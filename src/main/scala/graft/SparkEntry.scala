@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full checkable operator surface: core relational parity
+  * with the reference (graft.queries.CoreQueries) plus the north-star
+  * extensions (graft.queries.ExtQueries). Every SQL-expressible query has a
+  * DuckDB oracle in `oracleSql` with matching column names, a total ORDER
+  * BY, and engine-order-independent float aggregation (graft.ops.Exact).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's gold question — per-entity 1-minute metrics
+    * (`gold_aggregation.py:52-109`) — expressed over the events table. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("entity_id", $"user_id" % 5)
+      .groupBy($"entity_id", ops.Derive.minuteStart($"ts").as("minute_start"))
+      .agg(
+        avg($"value").as("avg_value"),
+        max($"value").as("max_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"entity_id", $"minute_start")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle
 }

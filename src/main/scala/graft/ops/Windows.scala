@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-bucketed aggregation and ordered-window analytics
+  * (SURVEY.md §2.6/§2.7 batch analogs: A1/A2/A4 windowed aggs;
+  * plus sessionization, the classic event-stream batch operator).
+  */
+object Windows {
+
+  /** A1/A2/A4 batch analog — tumbling 1-minute aggregation keyed by an
+    * entity column (ref `gold_aggregation.py:52-86` computes avg/max per
+    * (bridge_id, 1-min window)). The groupBy keys hash-partition the
+    * shuffle; partial aggregation runs map-side, so at 100 TB the exchange
+    * carries only (key → partial state), not rows. */
+  def minuteAgg(df: DataFrame, entity: String, tsCol: String, aggs: Seq[Column]): DataFrame =
+    df.groupBy(col(entity), date_trunc("minute", col(tsCol)).as("minute_start"))
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Gaps-and-islands sessionization: a new session starts after `gapMin`
+    * minutes of inactivity. Two narrow window functions over one
+    * hash-partition by user — a single shuffle, no self-join. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String, idCol: String, gapMin: Int): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    // exact integer microseconds (unix_micros), not seconds: a cast to long
+    // truncates sub-second precision and mis-buckets boundary events
+    val gap = unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(byUser))
+    val brk = when(gap > gapMin * 60L * 1000000L, 1).otherwise(0)
+    df.withColumn("brk", brk)
+      .withColumn("session_id",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .drop("brk")
+  }
+
+  /** Top-N rows per group by a strict ordering (deterministic tie-break
+    * columns required). Plans as WindowExec + Filter — at scale Spark's
+    * rank-limit pushdown (WindowGroupLimit) keeps only N rows per group
+    * per partition before the final sort. */
+  def topNPerGroup(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column], n: Int): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(partCols: _*).orderBy(orderCols: _*)).cast("int"))
+      .where(col("rn") <= n)
+}
