@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, in increasing
+  * fuzziness: exact (content hash), n-gram Jaccard (exact set similarity
+  * over an inverted index), MinHash+LSH (approximate Jaccard at scale),
+  * SimHash (approximate Hamming at scale).
+  *
+  * Scale posture: every pairwise operator avoids the O(n²) cross join —
+  * candidate pairs come from an equi-join on a shared token (inverted
+  * index), a shared LSH band bucket, or a shared SimHash chunk
+  * (pigeonhole), so Spark plans plain shuffled hash joins whose cost is
+  * bounded by bucket sizes, not n².
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct content with the
+    * survivor id (min) and the duplicate count. Grouping by md5 rather
+    * than the text itself keeps the shuffle narrow (32 hex chars vs
+    * full documents) at 100 TB. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode distinct shingles → self-equi-join on shingle → per-pair
+    * intersection counts → |A∪B| from per-doc sizes. No cross join; the
+    * shuffle is hash-partitioned by shingle. At extreme scale, very
+    * frequent shingles should additionally be document-frequency-capped
+    * (skew guard); left exact here because the oracle counts must match. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+        explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+    val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select($"doc".as("doc_a"), $"sh")
+      .join(sh.select($"doc".as("doc_b"), $"sh"), Seq("sh"))
+      .where($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard", $"inter" / ($"n_a" + $"n_b" - $"inter"))
+      .where($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** MinHash signature: k independent hash functions simulated by seeding
+    * xxhash64 with the function index (`xxhash64(shingle, i)`), min over
+    * the document's shingle set. All per-row HOFs — map-side only. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
+
+  /** MinHash + LSH banding: split the k-wide signature into `bands` bands
+    * of k/bands rows, hash each band, and emit one (band_id, band_hash)
+    * bucket row per band. Documents sharing any band bucket become
+    * candidate pairs; the estimated Jaccard is the fraction of equal
+    * signature components. With k=64, bands=16 (r=4) the S-curve threshold
+    * is (1/16)^(1/4) ≈ 0.5. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 64, bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sig = df.select(col(idCol).as("doc"),
+      minhashSignature(array_distinct(Text.shingles(col(textCol))), k).as("sig"))
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band_id"), xxhash64(slice($"sig", j * r + 1, r)).as("band_hash"))
+    }
+    val banded = sig.select($"doc", $"sig", explode(array(bandStructs: _*)).as("band"))
+      .select($"doc", $"sig", $"band.band_id", $"band.band_hash")
+    val pairs = banded.select($"doc".as("doc_a"), $"sig".as("sig_a"), $"band_id", $"band_hash")
+      .join(banded.select($"doc".as("doc_b"), $"sig".as("sig_b"), $"band_id", $"band_hash"),
+        Seq("band_id", "band_hash"))
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("est_jaccard",
+        aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (a, x) => a + x) / lit(k.toDouble))
+      .where($"est_jaccard" >= minEstJaccard)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+  }
+
+  /** 64-bit SimHash computed entirely per-row: fold token hashes into 64
+    * signed bit-counters (zip_with over a 64-wide state array), then pack
+    * the counter signs back into one long. No explode, no shuffle. */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(Text.tokens(textCol), t => xxhash64(t))
+    val zeros = transform(sequence(lit(0), lit(63)), _ => lit(0L))
+    val counters = aggregate(hashes, zeros,
+      (st, h) => zip_with(st, sequence(lit(0), lit(63)),
+        (c, j) => c + call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2L - 1L))
+    aggregate(zip_with(counters, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs. Candidate generation by the pigeonhole
+    * principle: split 64 bits into `chunks` chunks; any pair within
+    * Hamming distance < chunks must agree on at least one chunk, so an
+    * equi-join per chunk finds all such pairs without a cross join.
+    * Exact Hamming distance (bit_count of xor) filters candidates. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val bitsPerChunk = 64 / chunks
+    val withSig = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig"))
+    val chunkStructs = (0 until chunks).map { j =>
+      struct(lit(j).as("chunk_id"),
+        shiftright($"sig", j * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("chunk_val"))
+    }
+    val chunked = withSig.select($"doc", $"sig", explode(array(chunkStructs: _*)).as("c"))
+      .select($"doc", $"sig", $"c.chunk_id", $"c.chunk_val")
+    chunked.select($"doc".as("doc_a"), $"sig".as("sig_a"), $"chunk_id", $"chunk_val")
+      .join(chunked.select($"doc".as("doc_b"), $"sig".as("sig_b"), $"chunk_id", $"chunk_val"),
+        Seq("chunk_id", "chunk_val"))
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
+      .where($"hamming" <= maxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+}

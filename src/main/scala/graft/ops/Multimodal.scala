@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media record: an opaque binary payload plus typed metadata. */
+case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
+
+/** Decoded/extracted features for a media record. Width/height/frames come
+  * from the (stubbed) decoder; byte_len/checksum from the raw payload. */
+case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Int,
+                         checksum: Long, width: Int, height: Int, n_frames: Int)
+
+/** Multimodal-column plumbing: image/audio/video carried as opaque
+  * `binary` columns with typed metadata, decoded partition-wise.
+  *
+  * The Spark-side architecture is real and tested — schema, partitioning,
+  * iterator-batched per-partition processing (the Scala analog of
+  * `mapInPandas`: one decoder instantiation per partition, streaming
+  * through rows without materializing the partition). The *decoder itself*
+  * is a clearly-marked STUB (`decodeStub`): this container has no image /
+  * audio codecs, so it derives deterministic fake dimensions from the
+  * payload bytes. Swapping in a real codec changes only that function.
+  *
+  * Scale posture: binary payloads never enter a shuffle — features are
+  * extracted map-side and only the (small) typed metadata flows
+  * downstream. `withBinaryBudget` re-partitions by cumulative payload size
+  * so one task never holds more than ~budget bytes of media at once.
+  */
+object Multimodal {
+
+  /** Attach a fake binary payload to the documents table (UTF-8 bytes of
+    * the text) so the pipeline shape is exercised end-to-end without real
+    * media files. */
+  def attachBinary(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col(textCol).cast("binary").as("content"))
+
+  /** STUB decoder — deterministic fake. A real deployment replaces this
+    * with an actual codec call (e.g. javax.imageio / ffmpeg bindings);
+    * everything around it (batching, schema, partitioning) is production
+    * shape. */
+  private[ops] def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
+    // ??? <- real codec goes here; deterministic fake below keeps tests runnable
+    val n = bytes.length
+    mediaType match {
+      case "image" => (64 + n % 512, 64 + (n / 7) % 512, 1)
+      case "audio" => (0, 0, n / 100 + 1)
+      case _       => (320, 240, n / 50 + 1)
+    }
+  }
+
+  private def crc64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Partition-wise feature extraction (the mapInPandas analog): the
+    * iterator is consumed lazily, one decoder context per partition. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would happen here (once, not per row)
+      it.map { r =>
+        val (w, h, frames) = decodeStub(r.media_type, r.content)
+        MediaFeatures(r.doc_id, r.media_type, r.content.length, crc64(r.content), w, h, frames)
+      }
+    }
+  }
+
+  /** Re-partition so each task holds roughly `budgetBytes` of payload —
+    * the knob that keeps executors from OOMing on large media at 100 TB.
+    * Range-partitions on a size-bucketed key derived from the payload. */
+  def withBinaryBudget(media: DataFrame, budgetBytes: Long, totalBytes: Long): DataFrame = {
+    val parts = math.max(1, (totalBytes / budgetBytes).toInt)
+    media.repartition(parts, col("doc_id"))
+  }
+
+  /** End-to-end: documents → binary records → partition-wise features. */
+  def featuresOf(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    extractFeatures(attachBinary(docs).as[MediaRecord])
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language ID,
+  * fingerprinting. Everything is built from codegen'd higher-order
+  * functions (`transform`/`filter`/`aggregate`) — no UDFs, no shuffle:
+  * each operator is a per-row projection, so at 100 TB it runs entirely
+  * map-side inside whole-stage codegen.
+  */
+object Text {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Sum of token lengths via an `aggregate` fold — oracle:
+    * `list_sum(list_transform(string_split(text,' '), x -> length(x)))`. */
+  def sumTokenLen(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t)), lit(0), (a, x) => a + x)
+
+  /** Common-word list used by quality scoring (public stopword heads). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def stopwordCount(text: Column, words: Seq[String] = stopwords): Column =
+    size(filter(tokens(text), t => array_contains(typedLit(words), t)))
+
+  /** Heuristic document-quality score in [0,1]: favors reasonable length,
+    * low stopword density, and plausible mean word length. The exact
+    * arithmetic shape (operand order, least/greatest) is mirrored in the
+    * DuckDB oracle so both engines produce bit-identical doubles. */
+  def qualityScore(wordCount: Column, stopRatio: Column, avgWordLen: Column): Column =
+    least(lit(1.0), wordCount / lit(100.0)) * lit(0.4) +
+      (lit(1.0) - stopRatio) * lit(0.3) +
+      least(lit(1.0), avgWordLen / lit(8.0)) * lit(0.3)
+
+  /** Marker (stopword) lists per language for n-gram/stopword language ID.
+    * Public most-frequent-word heads; the heuristic is: score(lang) =
+    * number of tokens found in that language's marker list, argmax with a
+    * fixed tie-break order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "que", "los", "es", "un", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他"))
+
+  /** Per-language marker-hit scores; columns named `s_<lang>`. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, words) =>
+      lang -> size(filter(tokens(text), t => array_contains(typedLit(words), t)))
+    }
+
+  /** Argmax over the scores with deterministic tie-break (marker order). */
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    val preds = scores.zipWithIndex.map { case ((lang, c), i) =>
+      val beatsAll = scores.map(_._2).zipWithIndex.collect {
+        case (other, j) if j != i => c >= other
+      }.reduce(_ && _)
+      (lang, beatsAll)
+    }
+    preds.init.foldRight(lit(preds.last._1)) { case ((lang, cond), els) =>
+      when(cond, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Word n-gram shingles, 1-based slice to mirror the DuckDB oracle
+    * (`w[i] || ' ' || w[i+1] || ' ' || w[i+2]`). Empty array when the
+    * document is shorter than n (sequence() would otherwise run backwards
+    * and produce garbage shingles). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    * k-gram, slide a window of `w` hashes, keep each window's minimum.
+    * Guarantees any shared run of ≥ w+k-1 tokens yields a shared
+    * fingerprint. Pure per-row HOFs — no shuffle. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(shingles(text, k), s => xxhash64(s))
+    val mins = when(size(hashes) >= w,
+      transform(sequence(lit(1), size(hashes) - (w - 1)),
+        i => array_min(slice(hashes, i, lit(w)))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>")))
+    array_distinct(mins)
+  }
+}

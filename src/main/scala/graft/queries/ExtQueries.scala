@@ -1,14 +1,253 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Exact, Multimodal, Similarity, Text}
 
-/** North-star extension query surface (dedup, similarity search, text
-  * analysis, multimodal) — filled by graft.ops.{Dedup,Similarity,Text,
-  * Multimodal}. Queries without a DuckDB-expressible oracle are present in
-  * `queries` only (driver records a rows-only check).
+/** North-star extension query surface: deduplication, similarity search,
+  * text analysis, multimodal columns (SURVEY.md §7.4 + builder prompt).
+  * SQL-expressible operators carry a DuckDB oracle; approximate/LSH
+  * operators (minhash, simhash, LSH kNN, winnowing) are rows-only checked
+  * and covered by ScalaTest instead.
   */
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  /** Exact dedup groups by content hash (survivor id + copy count). */
+  private val q20: Q = (s, d) => {
+    import s.implicits._
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"keep_id")
+  }
+
+  /** Token counting: total / distinct tokens, char count. */
+  private val q21: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(
+        $"doc_id",
+        Text.tokenCount($"text").as("token_count"),
+        Text.distinctTokenCount($"text").as("distinct_tokens"),
+        length($"text").as("char_count"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length/stopword/word-shape heuristics. */
+  private val q22: Q = (s, d) => {
+    import s.implicits._
+    val wc = Text.tokenCount($"text")
+    val awl = Text.sumTokenLen($"text") / wc
+    val stopRatio = Text.stopwordCount($"text") / wc
+    Tables.documents(s, d).select(
+        $"doc_id",
+        wc.as("word_count"),
+        awl.as("avg_word_len"),
+        stopRatio.as("stopword_ratio"),
+        Text.qualityScore(wc, stopRatio, awl).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language ID: per-language marker-word scores, deterministic argmax. */
+  private val q23: Q = (s, d) => {
+    import s.implicits._
+    val scores = Text.langScores($"text")
+    val scoreCols = scores.map { case (lang, c) => c.as(s"s_$lang") }
+    Tables.documents(s, d).select(
+        Seq($"doc_id", $"lang") ++ scoreCols :+
+          Text.langPredict(scores).as("predicted_lang"): _*)
+      .withColumn("matches_label", $"predicted_lang" === $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs over an inverted shingle index. */
+  private val q24: Q = (s, d) => {
+    import s.implicits._
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash + LSH banding candidate pairs (approx Jaccard; no oracle). */
+  private val q25: Q = (s, d) => {
+    import s.implicits._
+    Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash near-dup pairs via pigeonhole chunk join (no oracle). */
+  private val q26: Q = (s, d) => {
+    import s.implicits._
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  private val q27: Q = (s, d) => {
+    import s.implicits._
+    val e = Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+    Similarity.knnBruteForce(e.where($"id" < 10), e, k = 5)
+      .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"),
+        $"rank".as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** LSH-bucketed approximate kNN (recall < 1 by design; no oracle). */
+  private val q28: Q = (s, d) => {
+    import s.implicits._
+    val e = Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+    Similarity.knnLsh(e.where($"id" < 10), e, k = 5)
+      .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"),
+        $"rank".as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** Winnowing document fingerprints, exploded to rows (no oracle). */
+  private val q29: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(Text.winnowFingerprints($"text")).as("fp"))
+      .orderBy($"doc_id", $"fp")
+  }
+
+  /** Per-label embedding stats (count, mean norm, mean first component). */
+  private val q30: Q = (s, d) => {
+    import s.implicits._
+    val emb = $"embedding".cast("array<double>")
+    Tables.embeddings(s, d)
+      .select($"label", Similarity.l2Norm(emb).as("nrm"), element_at(emb, 1).as("dim0"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        Exact.davg($"nrm").as("avg_norm"),
+        Exact.davg($"dim0").as("avg_dim0"))
+      .orderBy($"label")
+  }
+
+  /** Multimodal metadata over the binary payload column. */
+  private val q31: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.attachBinary(Tables.documents(s, d))
+      .select($"doc_id", $"media_type",
+        length($"content").as("byte_len"),
+        md5($"content").as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Embedding cosine near-dup pairs via LSH buckets + exact re-rank
+    * (threshold tuned to the synthetic corpus's cosine range; no oracle). */
+  private val q32: Q = (s, d) => {
+    import s.implicits._
+    Similarity.nearDupPairs(
+        Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding"),
+        minCosine = 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q20_dedup_exact"       -> q20,
+    "q21_token_stats"       -> q21,
+    "q22_text_quality"      -> q22,
+    "q23_lang_id"           -> q23,
+    "q24_ngram_jaccard"     -> q24,
+    "q25_minhash_pairs"     -> q25,
+    "q26_simhash_pairs"     -> q26,
+    "q27_knn_cosine"        -> q27,
+    "q28_knn_lsh"           -> q28,
+    "q29_winnow_fp"         -> q29,
+    "q30_embedding_stats"   -> q30,
+    "q31_binary_meta"       -> q31,
+    "q32_embed_neardup"     -> q32)
+
+  private val stopList = Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def markerList(lang: String) =
+    Text.langMarkers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+  private def langScoreSql(lang: String) =
+    s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
+
+  val oracle: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS token_count,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_tokens,
+        |  CAST(length(text) AS INTEGER) AS char_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS word_count,
+         |    list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_len,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> list_contains($stopList, x))) AS INTEGER) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, word_count,
+         |  sum_len / word_count AS avg_word_len,
+         |  n_stop / word_count AS stopword_ratio,
+         |  least(1.0, word_count / 100.0) * 0.4
+         |    + (1.0 - n_stop / word_count) * 0.3
+         |    + least(1.0, (sum_len / word_count) / 8.0) * 0.3 AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q23_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    ${Text.langMarkers.map { case (l, _) => langScoreSql(l) }.mkString(",\n    ")}
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh'
+         |  END AS predicted_lang,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh'
+         |  END = lang AS matches_label
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q24_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w) - 2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+        |FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q27_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+        |      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |      WHERE q.vec_id < 10),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS cosine, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q30_embedding_stats" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT label, sqrt(list_dot_product(emb, emb)) AS nrm, emb[1] AS dim0 FROM e)
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE) / count(nrm) AS avg_norm,
+        |  CAST(sum(CAST(dim0 AS DECIMAL(18,4))) AS DOUBLE) / count(dim0) AS avg_dim0
+        |FROM x GROUP BY label ORDER BY label""".stripMargin,
+    "q31_binary_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }
