@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
 object Derive {
 
   /** P1 — parse an ISO-8601 string column to timestamp
-    * (ref `bronze_ingest.py:46-47`). */
+    * (ref `bronze_ingest.py:46-47`). `try_to_timestamp`, not
+    * `to_timestamp`: under Spark 4's default ANSI mode the latter THROWS
+    * on malformed input, but quarantine routing (F1/F2) requires bad rows
+    * to surface as NULL and flow to the rejected sink. */
   def parseTs(df: DataFrame, src: String, dst: String): DataFrame =
-    df.withColumn(dst, to_timestamp(col(src)))
+    df.withColumn(dst, try_to_timestamp(col(src)))
 
   /** P2 — derive the partition date from an event-time timestamp
     * (ref `bronze_ingest.py:48`). */

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.{Derive, Quality}
+
+/** Shared dual-sink writer: one micro-batch scan feeds both the valid sink
+  * and the quarantine sink. The reference runs valid and rejected as
+  * independent streaming queries that each rescan the source
+  * (`bronze_ingest.py:64-103` — 4 queries per layer); at 100 TB that is 2×
+  * the I/O. Inside `foreachBatch` we cache the batch once and write both
+  * sides. Trade-off: `foreachBatch` parquet appends are at-least-once on
+  * failure-replay (the offset log still gives a deterministic batch, so a
+  * replay rewrites the same rows; downstream exact dedup or an
+  * ACID table format restores exactly-once where it matters).
+  */
+private[pipeline] object DualSink {
+  def write(batch: DataFrame, valid: Column, validPath: String,
+            rejectedPath: String, partitionCols: Seq[String],
+            transformValid: DataFrame => DataFrame = identity): Unit = {
+    val cached = batch.persist()
+    try {
+      val okWriter = transformValid(cached.where(valid)).write.mode("append")
+      (if (partitionCols.nonEmpty) okWriter.partitionBy(partitionCols: _*) else okWriter)
+        .parquet(validPath)
+      // three-valued logic: NULL predicates must land in quarantine too
+      cached.where(!coalesce(valid, lit(false))).write.mode("append").parquet(rejectedPath)
+    } finally { cached.unpersist(); () }
+  }
+}
+
+/** Bronze ingestion: schema-enforced JSON landing-zone stream → parsed
+  * timestamps + partition date → valid rows to bronze, unparseable rows to
+  * quarantine (SURVEY.md §2 S1/K1/K2/P1/P2/F1/F2; ref `bronze_ingest.py`).
+  */
+object Bronze {
+
+  /** P1/P2 — timestamp parsing + partition-date derivation
+    * (ref `bronze_ingest.py:44-49`). */
+  def derive(df: DataFrame): DataFrame =
+    Derive.partitionDate(
+      Derive.parseTs(Derive.parseTs(df, "event_time", "event_time_ts"),
+        "ingest_time", "ingest_time_ts"),
+      "event_time_ts")
+
+  /** One streaming query per sensor landing zone. The bronze sink is
+    * date-partitioned (scale improvement: partition pruning for all
+    * downstream batch reads; the reference writes a flat dir). */
+  def start(spark: SparkSession, cfg: PipelineConfig, sensor: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream.schema(Schemas.raw).json(cfg.landingDir(sensor))
+      .select(Schemas.raw.fieldNames.map(col).toIndexedSeq: _*) // drop discovered partition cols
+    val fn: (Dataset[Row], Long) => Unit = (batch, _) =>
+      DualSink.write(derive(batch.toDF()), Quality.bronzeValid(),
+        cfg.bronzeDir(sensor), cfg.bronzeRejectedDir(sensor), Seq("partition_date"))
+    raw.writeStream
+      .queryName(s"bronze_$sensor")
+      .option("checkpointLocation", cfg.checkpoint(s"bronze_$sensor"))
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
+  def startAll(spark: SparkSession, cfg: PipelineConfig,
+               trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] =
+    Schemas.sensors.map(start(spark, cfg, _, trigger))
+}

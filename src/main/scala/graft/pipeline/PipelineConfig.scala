@@ -1,0 +1,44 @@
+package graft.pipeline
+
+/** All paths and knobs for the medallion pipeline — injected, never
+  * hardcoded (the reference hardcodes relative dirs in each job). One
+  * checkpoint dir per streaming query (exactly-once restart safety,
+  * ref `README.md:268-270`).
+  */
+case class PipelineConfig(
+    landingRoot: String,
+    bronzeRoot: String,
+    silverRoot: String,
+    goldRoot: String,
+    checkpointRoot: String,
+    bridgesCsv: String,
+    watermark: String = "2 minutes",
+    windowLength: String = "1 minute") {
+
+  def landingDir(sensor: String): String = s"$landingRoot/bridge_$sensor"
+  def bronzeDir(sensor: String): String = s"$bronzeRoot/$sensor"
+  /** Quarantine is one logical table but one *physical* subdir per writing
+    * query (`src=<sensor>` Hive partition): three concurrent streaming
+    * queries appending to a single dir race on the shared
+    * FileOutputCommitter `_temporary` staging dir and corrupt each other's
+    * commits. A batch read of [[bronzeRejectedRoot]] reassembles the table
+    * with `src` as a partition column. */
+  def bronzeRejectedDir(sensor: String): String = s"$bronzeRoot/rejected/src=$sensor"
+  def bronzeRejectedRoot: String = s"$bronzeRoot/rejected"
+  def silverDir(sensor: String): String = s"$silverRoot/$sensor"
+  def silverRejectedDir(sensor: String): String = s"$silverRoot/rejected/src=$sensor"
+  def silverRejectedRoot: String = s"$silverRoot/rejected"
+  def goldDir: String = s"$goldRoot/bridge_metrics"
+  def checkpoint(name: String): String = s"$checkpointRoot/$name"
+}
+
+object PipelineConfig {
+  /** Conventional layout under one root (tests, local runs). */
+  def under(root: String, bridgesCsv: String): PipelineConfig = PipelineConfig(
+    landingRoot = s"$root/streams",
+    bronzeRoot = s"$root/bronze",
+    silverRoot = s"$root/silver",
+    goldRoot = s"$root/gold",
+    checkpointRoot = s"$root/checkpoints",
+    bridgesCsv = bridgesCsv)
+}

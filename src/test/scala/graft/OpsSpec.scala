@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Unit coverage for the operator library over small inline fixtures and
+  * the sf0.001 test tables. */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("Quality.split is a partition: valid ∪ invalid = input, disjoint") {
+    val ev = Tables.events(spark, sf)
+    val pred = col("value") >= 0.0 && col("value") <= 100.0
+    val (ok, bad) = Quality.split(ev, pred)
+    assert(ok.count() + bad.count() == ev.count())
+    assert(ok.join(bad, Seq("event_id"), "inner").count() == 0)
+  }
+
+  test("Quality.split routes NULL predicates to quarantine") {
+    val df = Seq[(Integer, java.lang.Double)]((1, 5.0), (2, null), (3, 500.0))
+      .toDF("id", "v")
+    val (ok, bad) = Quality.split(df, col("v") <= 100.0)
+    assert(ok.select("id").as[Int].collect().toSet == Set(1))
+    assert(bad.select("id").as[Int].collect().toSet == Set(2, 3))
+  }
+
+  test("Text.shingles guards short documents (no descending sequence)") {
+    val df = Seq("one two", "a b c d", "solo").toDF("text")
+    val got = df.select(Text.shingles(col("text")).as("sh")).as[Seq[String]].collect()
+    assert(got(0).isEmpty && got(2).isEmpty)
+    assert(got(1) == Seq("a b c", "b c d"))
+  }
+
+  test("winnowing fingerprints are deterministic and position-shift stable") {
+    val base = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"
+    val df = Seq(base, "zz " + base).toDF("text")
+    val fps = df.select(Text.winnowFingerprints(col("text")).as("fp"))
+      .as[Seq[Long]].collect()
+    // a shared run of >= w+k-1 tokens must share at least one fingerprint
+    assert(fps(0).intersect(fps(1)).nonEmpty)
+    val again = df.select(Text.winnowFingerprints(col("text")).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(fps.map(_.toSet).toSeq == again.map(_.toSet).toSeq)
+  }
+
+  test("Dedup.exactGroups finds duplicate content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("SimHash: identical texts collide, near-identical are Hamming-close") {
+    val df = Seq(
+      (1L, "spark window join filter agg scan table row value part"),
+      (2L, "spark window join filter agg scan table row value part"),
+      (3L, "spark window join filter agg scan table row value BATCH"),
+      (4L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 16)
+  }
+
+  test("MinHash estimate tracks exact Jaccard on duplicated docs") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashCandidates(docs, "doc_id", "text", minEstJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // banding at est>=0.5 should recover most true >=0.5 pairs
+    assert(exact.nonEmpty)
+    assert((exact intersect approx).size >= exact.size * 0.8)
+  }
+
+  test("Similarity: cosine self-similarity is 1, brute-force kNN shape") {
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val self = e.select(Similarity.cosine(col("emb"), col("emb"), col("norm"), col("norm")).as("c"))
+      .agg(min("c"), max("c")).as[(Double, Double)].head()
+    assert(math.abs(self._1 - 1.0) < 1e-9 && math.abs(self._2 - 1.0) < 1e-9)
+    val knn = Similarity.knnBruteForce(e.where(col("id") < 3), e, k = 4)
+    val rows = knn.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(rows.keySet == Set(0L, 1L, 2L) && rows.values.forall(_ == 4L))
+    // ranks are 1..k and cosine non-increasing within a query
+    val r0 = knn.where(col("query_id") === 0).orderBy(col("rank")).select("cosine").as[Double].collect()
+    assert(r0.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("Exact.dsum/davg equal plain sum/avg up to 1e-4 rounding") {
+    val li = Tables.lineitem(spark, sf)
+    val (ds, da, ps, pa) = li.select(
+        Exact.dsum(col("l_extendedprice")).as("ds"), Exact.davg(col("l_extendedprice")).as("da"),
+        sum(col("l_extendedprice")).as("ps"), avg(col("l_extendedprice")).as("pa"))
+      .as[(Double, Double, Double, Double)].head()
+    assert(math.abs(ds - ps) < 1e-2)
+    assert(math.abs(da - pa) < 1e-4)
+  }
+}
