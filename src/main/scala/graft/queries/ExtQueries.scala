@@ -100,11 +100,10 @@ object ExtQueries {
       .orderBy($"query_id", $"rnk")
   }
 
-  /** Winnowing document fingerprints, exploded to rows (no oracle). */
+  /** Winnowing document fingerprints as (doc_id, fp) rows (no oracle). */
   private val q29: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", explode(Text.winnowFingerprints($"text")).as("fp"))
+    Text.winnowFingerprintRows(Tables.documents(s, d), "doc_id", "text")
       .orderBy($"doc_id", $"fp")
   }
 

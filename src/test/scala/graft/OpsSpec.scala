@@ -35,14 +35,15 @@ class OpsSpec extends SparkSuite {
 
   test("winnowing fingerprints are deterministic and position-shift stable") {
     val base = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"
-    val df = Seq(base, "zz " + base).toDF("text")
-    val fps = df.select(Text.winnowFingerprints(col("text")).as("fp"))
-      .as[Seq[Long]].collect()
+    val df = Seq((1L, base), (2L, "zz " + base), (3L, "a b c")).toDF("doc_id", "text")
+    def fps() = Text.winnowFingerprintRows(df, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val a = fps()
     // a shared run of >= w+k-1 tokens must share at least one fingerprint
-    assert(fps(0).intersect(fps(1)).nonEmpty)
-    val again = df.select(Text.winnowFingerprints(col("text")).as("fp"))
-      .as[Seq[Long]].collect()
-    assert(fps.map(_.toSet).toSeq == again.map(_.toSet).toSeq)
+    assert(a(1L).intersect(a(2L)).nonEmpty)
+    // short doc (single 3-gram, fewer than w windows) still fingerprints
+    assert(a(3L).size == 1)
+    assert(fps() == a)
   }
 
   test("Dedup.exactGroups finds duplicate content") {
@@ -63,6 +64,10 @@ class OpsSpec extends SparkSuite {
       .toDF("doc_id", "text")
     val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
+    // the aggregated signature path must agree with the per-row HOF path
+    val aggSigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(aggSigs == sigs)
     assert(sigs(1L) == sigs(2L))
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < 16)
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 16)
