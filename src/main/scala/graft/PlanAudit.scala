@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: dump formatted physical plans for representative queries so
+  * pushdown / broadcast / codegen can be audited (`sbt "runMain
+  * graft.PlanAudit [query...]"`). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q02_event_filter", "q13_revenue_by_nation", "q06_dim_join_left")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

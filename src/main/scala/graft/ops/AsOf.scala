@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the payload of the
+  * latest right row with `rightTs <= leftTs` on the same key. Spark has no
+  * native as-of operator; the naive formulations are an O(n·m) range join
+  * or a per-key aggregation-and-rejoin. This implementation unions the two
+  * tagged sides and forward-fills the right payload with
+  * `last(_, ignoreNulls)` over one (key, ts, tag) sort — a single shuffle,
+  * linear work, bounded per-key state, which is exactly how it survives
+  * 100 TB (the same shape Flink/kdb use for temporal joins).
+  *
+  * Ties: a right row AT the left row's timestamp is eligible (`<=`), so
+  * right rows sort before left rows at equal ts.
+  */
+object AsOf {
+
+  /** @param payload right-side columns to carry (must not collide with
+    *                left column names; rename beforehand if needed) */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__tag", lit(1)).withColumn("__ts", col(leftTs))
+    val r = right.select(
+      Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__tag")) ++ payload.map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, F.last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__tag") === 1).drop("__tag", "__ts")
+  }
+}

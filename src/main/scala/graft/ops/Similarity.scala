@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array<double> columns via the library's native
+    * codegen'd expression (graft.functions.ArrayDotProduct) — requires
+    * [[graft.functions.GraftFunctions.register]] on the session, which
+    * every DataFrame entry point below performs. Same left-fold result as
+    * [[dotHof]]. */
+  def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
+
+  /** Built-ins-only fallback: higher-order-function fold (allocates an
+    * intermediate array and dispatches a lambda per element — kept for
+    * cross-checking the native expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -30,6 +39,7 @@ object Similarity {
 
   /** Project an embedding table to (id, double-cast embedding, norm). */
   def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val emb = col(embCol).cast("array<double>")
     df.select(col(idCol).as("id"), emb.as("emb"), l2Norm(emb).as("norm"))
   }

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.ops.{AsOf, Exact}
+
+/** Advanced relational surface: as-of join, rollup, conditional pivot,
+  * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
+  */
+object AdvQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** As-of join: each purchase enriched with the user's most recent view
+    * value at-or-before the purchase time (oracle: DuckDB ASOF LEFT JOIN).
+    * (user_id, ts) is unique among views in this corpus, so the result is
+    * deterministic. */
+  private val q33: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id", $"ts", $"value".as("last_view_value"))
+    AsOf.join(purchases, views, "user_id", "ts", "ts", Seq("last_view_value"))
+      .select($"event_id", $"user_id", $"ts", $"last_view_value")
+      .orderBy($"event_id")
+  }
+
+  /** ROLLUP over (returnflag, linestatus): subtotals + grand total.
+    * NULLS FIRST explicitly — Spark and DuckDB default opposite null
+    * orderings. */
+  private val q34: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(Exact.dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Conditional-aggregation pivot: per-user metric columns per event type
+    * (the scalable alternative to a dynamic pivot — fixed output schema,
+    * single pass, map-side partials). */
+  private val q35: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "view", 1)).as("n_view"),
+        count(when($"event_type" === "click", 1)).as("n_click"),
+        count(when($"event_type" === "purchase", 1)).as("n_purchase"),
+        sum(when($"event_type" === "purchase", $"value").cast(DecimalType(18, 4)))
+          .cast("double").as("purchase_value"))
+      .orderBy($"user_id")
+  }
+
+  /** Exact distinct cardinalities per group (the exact counterpart of the
+    * approx_count_distinct scale path; Catalyst plans expand + two-phase
+    * aggregation). */
+  private val q36: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Pearson correlation of value vs props.k per event type, computed from
+    * DECIMAL-exact component sums so both engines evaluate the identical
+    * closed-form double expression (built-in corr() uses engine-specific
+    * streaming algorithms whose low bits differ). */
+  private val q37: Q = (s, d) => {
+    import s.implicits._
+    val k = get_json_object($"props", "$.k").cast("int")
+    val d4 = DecimalType(18, 4)
+    val grouped = Tables.events(s, d)
+      .select($"event_type", $"value", k.as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"value".cast(d4)).cast("double").as("sx"),
+        sum($"k").cast("double").as("sy"),
+        sum(($"value" * $"k").cast(d4)).cast("double").as("sxy"),
+        sum(($"value" * $"value").cast(d4)).cast("double").as("sxx"),
+        sum(($"k" * $"k")).cast("double").as("syy"))
+    grouped.select(
+        $"event_type",
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")), 6)
+          .as("corr_value_k"),
+        $"n".cast("long").as("n"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q33_asof_join"       -> q33,
+    "q34_rollup"          -> q34,
+    "q35_pivot_metrics"   -> q35,
+    "q36_distinct_counts" -> q36,
+    "q37_corr_exact"      -> q37)
+
+  val oracle: Map[String, String] = Map(
+    "q33_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value AS last_view_value FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts, v.last_view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q35_pivot_metrics" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+        |    AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q36_distinct_counts" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q37_corr_exact" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(value * CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)
+        |           * CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) AS syy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |    AS corr_value_k,
+        |  CAST(n AS BIGINT) AS n
+        |FROM g ORDER BY event_type""".stripMargin)
+}

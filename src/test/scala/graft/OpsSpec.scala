@@ -97,6 +97,30 @@ class OpsSpec extends SparkSuite {
     assert(r0.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("native array_dot equals the HOF fold bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("emb"))
+    val diffs = e.select(
+        Similarity.dot(col("emb"), col("emb")).as("native"),
+        Similarity.dotHof(col("emb"), col("emb")).as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(diffs.count() == 0)
+  }
+
+  test("AsOf.join picks the latest right row at-or-before the left ts") {
+    val left = Seq((1L, 100L, "2024-01-01 00:10:00"), (2L, 100L, "2024-01-01 00:00:30"))
+      .toDF("event_id", "user_id", "ts_s")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val right = Seq((100L, "2024-01-01 00:05:00", 5.0), (100L, "2024-01-01 00:10:00", 7.0))
+      .toDF("user_id", "ts_s", "v")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("v"))
+    val got = AsOf.join(left, right, "user_id", "ts", "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, java.lang.Double)].collect().toMap
+    assert(got(1L) == 7.0) // equal-ts right row is eligible
+    assert(got(2L) == null) // no right row at or before
+  }
+
   test("Exact.dsum/davg equal plain sum/avg up to 1e-4 rounding") {
     val li = Tables.lineitem(spark, sf)
     val (ds, da, ps, pa) = li.select(
