@@ -35,6 +35,22 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** Time-bounded events read with the lower bound applied to the RAW
+    * nanosecond long, BEFORE the timestamp conversion: a predicate on
+    * `timestamp_micros(ts div 1000)` cannot push through the projection,
+    * but `ts >= <nanos>` reaches the parquet scan as a pushed filter and
+    * prunes row groups — the difference between scanning a day and
+    * scanning 100 TB. Equivalent row set for whole-second bounds (nanos
+    * below the bound truncate to a microsecond value below it too). */
+  def eventsFrom(s: SparkSession, d: String, fromUtc: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inst = java.time.Instant.parse(fromUtc)
+    val nanos = Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000000L), inst.getNano.toLong)
+    load(s, d, "events")
+      .where(org.apache.spark.sql.functions.col("ts") >= nanos)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -34,6 +34,19 @@ object Windows {
       .drop("brk")
   }
 
+  /** Session windows via Spark's native `session_window` (usable in batch
+    * and — with a watermark — streaming). Semantics: events merge while
+    * the gap to the previous event is strictly less than `gap`; the
+    * session end is last-event + gap. Complements [[sessionize]] (which
+    * yields explicit session ids and exact first/last timestamps). */
+  def sessionWindows(df: DataFrame, entity: String, tsCol: String, gap: String): DataFrame =
+    df.groupBy(col(entity), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(entity),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Top-N rows per group by a strict ordering (deterministic tie-break
     * columns required). Plans as WindowExec + Filter — at scale Spark's
     * rank-limit pushdown (WindowGroupLimit) keeps only N rows per group

@@ -51,10 +51,20 @@ object Bronze {
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val raw = spark.readStream.schema(Schemas.raw).json(cfg.landingDir(sensor))
       .select(Schemas.raw.fieldNames.map(col).toIndexedSeq: _*) // drop discovered partition cols
+    val derived = derive(raw)
+    // optional streaming exact dedup: watermark-bounded state keyed on the
+    // natural event identity. Keyed on the RAW event_time string (not the
+    // parsed timestamp) so quarantine-bound rows with unparseable times
+    // still flow through unharmed.
+    val deduped =
+      if (cfg.dedupeLanding)
+        derived.withWatermark("event_time_ts", cfg.watermark)
+          .dropDuplicatesWithinWatermark("bridge_id", "sensor_type", "event_time")
+      else derived
     val fn: (Dataset[Row], Long) => Unit = (batch, _) =>
-      DualSink.write(derive(batch.toDF()), Quality.bronzeValid(),
+      DualSink.write(batch.toDF(), Quality.bronzeValid(),
         cfg.bronzeDir(sensor), cfg.bronzeRejectedDir(sensor), Seq("partition_date"))
-    raw.writeStream
+    deduped.writeStream
       .queryName(s"bronze_$sensor")
       .option("checkpointLocation", cfg.checkpoint(s"bronze_$sensor"))
       .trigger(trigger)

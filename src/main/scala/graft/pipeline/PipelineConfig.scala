@@ -13,7 +13,11 @@ case class PipelineConfig(
     checkpointRoot: String,
     bridgesCsv: String,
     watermark: String = "2 minutes",
-    windowLength: String = "1 minute") {
+    windowLength: String = "1 minute",
+    /** Streaming exact dedup of landing events by (bridge_id, sensor_type,
+      * event_time) with watermark-bounded state — guards against at-least-
+      * once upstream delivery. Off by default (reference parity). */
+    dedupeLanding: Boolean = false) {
 
   def landingDir(sensor: String): String = s"$landingRoot/bridge_$sensor"
   def bronzeDir(sensor: String): String = s"$bronzeRoot/$sensor"

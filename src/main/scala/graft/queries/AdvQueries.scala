@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{AsOf, Exact}
+import graft.ops.{AsOf, Exact, Windows}
 
 /** Advanced relational surface: as-of join, rollup, conditional pivot,
   * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
@@ -93,12 +93,37 @@ object AdvQueries {
       .orderBy($"event_type")
   }
 
+  /** Approximate sketches (HLL++ distinct, approx percentile) — the scale
+    * path for cardinality/quantiles; engine-specific sketch internals, so
+    * rows-only checked here with error bounds asserted in OpsSpec against
+    * the exact q36 counterparts. */
+  private val q38: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("approx_median_value"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Native session windows (streaming-capable session_window; merge while
+    * gap < 30 min, end = last event + gap). */
+  private val q39: Q = (s, d) => {
+    import s.implicits._
+    Windows.sessionWindows(Tables.events(s, d), "user_id", "ts", "30 minutes")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_asof_join"       -> q33,
     "q34_rollup"          -> q34,
     "q35_pivot_metrics"   -> q35,
     "q36_distinct_counts" -> q36,
-    "q37_corr_exact"      -> q37)
+    "q37_corr_exact"      -> q37,
+    "q38_approx_sketches" -> q38,
+    "q39_session_window"  -> q39)
 
   val oracle: Map[String, String] = Map(
     "q33_asof_join" ->
@@ -124,6 +149,21 @@ object AdvQueries {
     "q36_distinct_counts" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q39_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
     "q37_corr_exact" ->
       """WITH g AS (
         |  SELECT event_type,

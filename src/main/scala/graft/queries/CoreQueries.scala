@@ -38,10 +38,11 @@ object CoreQueries {
     * (F3/F5; ref `silver_enrichment.py:70-88`, `demo.ipynb` cell 19). */
   private val q02: Q = (s, d) => {
     import s.implicits._
-    Tables.events(s, d)
+    // time bound via Tables.eventsFrom: pushed to the parquet scan as a
+    // raw-nanos filter (row-group pruning), not evaluated post-conversion
+    Tables.eventsFrom(s, d, "2024-01-10T00:00:00Z")
       .where($"event_type".isin("click", "view") &&
-        Quality.inRange($"value", 5.0, 50.0) &&
-        $"ts" >= lit("2024-01-10 00:00:00").cast("timestamp"))
+        Quality.inRange($"value", 5.0, 50.0))
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .orderBy($"event_id")
   }

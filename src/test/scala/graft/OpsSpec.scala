@@ -121,6 +121,32 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("Skew.saltedJoin equals the plain join") {
+    val ev = Tables.events(spark, sf)
+    val cust = Tables.customer(spark, sf).withColumnRenamed("c_custkey", "user_id")
+    val plain = ev.join(cust, Seq("user_id"), "inner")
+      .groupBy("user_id").count()
+    val salted = Skew.saltedJoin(ev, cust, Seq("user_id"), saltFactor = 8)
+      .groupBy("user_id").count()
+    assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
+  }
+
+  test("approximate sketches stay within error bounds of exact answers") {
+    val ev = Tables.events(spark, sf)
+    val got = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        expr("percentile(value, 0.5)").as("p50_exact"))
+      .collect()
+    got.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"approx distinct off: $a vs $e")
+      val (pa, pe) = (r.getAs[Double]("p50_approx"), r.getAs[Double]("p50_exact"))
+      assert(math.abs(pa - pe) / math.max(pe, 1.0) < 0.1, s"p50 off: $pa vs $pe")
+    }
+  }
+
   test("Exact.dsum/davg equal plain sum/avg up to 1e-4 rounding") {
     val li = Tables.lineitem(spark, sf)
     val (ds, da, ps, pa) = li.select(
