@@ -94,6 +94,39 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"cosine", $"rn".as("rank"))
   }
 
+  /** IVF (inverted-file) approximate kNN — the classic ANN scale path:
+    * a k-means coarse quantizer partitions candidates into `nCells`
+    * Voronoi cells; each query probes its `nProbe` nearest cells and
+    * re-ranks exactly (cosine) inside them. Search cost drops from
+    * O(|candidates|) to O(nProbe/nCells · |candidates|) per query, and
+    * the cell assignment is a plain equi-join key — shuffle-friendly at
+    * 100 TB. Deterministic via the fixed k-means seed. */
+  def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
+             nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val cand = candidates.withColumn("fv", array_to_vector($"emb"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(cand)
+    val assigned = model.transform(cand).drop("fv")
+      .select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"), $"cell")
+    val centers = typedLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    // nProbe nearest cells per query by squared euclidean distance
+    // (‖q‖² is constant per query, so rank by ‖c‖² − 2·q·c)
+    val probed = Windows.topNPerGroup(
+        queries.select($"id".as("query_id"), $"emb".as("q_emb"), $"norm".as("q_norm"))
+          .select($"*", posexplode(centers).as(Seq("cell", "centroid")))
+          .withColumn("dist_rank",
+            dot($"centroid", $"centroid") - lit(2.0) * dot($"q_emb", $"centroid")),
+        Seq($"query_id"), Seq($"dist_rank".asc, $"cell"), nProbe)
+      .select($"query_id", $"q_emb", $"q_norm", $"cell")
+    val scored = assigned.join(probed, Seq("cell"))
+      .where($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", cosine($"q_emb", $"c_emb", $"q_norm", $"c_norm"))
+    Windows.topNPerGroup(scored, Seq($"query_id"), Seq($"cosine".desc, $"neighbor_id"), k)
+      .select($"query_id", $"neighbor_id", $"cosine", $"rn".as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucketed candidate generation,
     * exact cosine threshold filter. The scalable analog of an all-pairs
     * cosine join. */

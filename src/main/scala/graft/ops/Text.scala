@@ -24,6 +24,13 @@ object Text {
   def sumTokenLen(text: Column): Column =
     aggregate(transform(tokens(text), t => length(t)), lit(0), (a, x) => a + x)
 
+  /** BPE-ish token count: alphanumeric runs plus individual non-space
+    * symbols — the cheap proxy for subword-tokenizer counts used to
+    * budget training data. Kept to an ASCII character-class regex so the
+    * Java (Spark) and RE2 (DuckDB oracle) dialects agree. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0)))
+
   /** Common-word list used by quality scoring (public stopword heads). */
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")

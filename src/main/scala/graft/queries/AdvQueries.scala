@@ -116,7 +116,29 @@ object AdvQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Whitespace vs BPE-ish token counts per document. */
+  private val q40: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        graft.ops.Text.tokenCount($"text").as("ws_tokens"),
+        graft.ops.Text.bpeishTokenCount($"text").as("bpeish_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** IVF approximate kNN (k-means coarse quantizer + in-cell exact
+    * re-rank; rows-only — recall asserted vs brute force in OpsSpec). */
+  private val q41: Q = (s, d) => {
+    import s.implicits._
+    val e = graft.ops.Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+    graft.ops.Similarity.knnIvf(e.where($"id" < 10), e, k = 5, nCells = 16, nProbe = 4)
+      .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q40_bpeish_tokens"   -> q40,
+    "q41_knn_ivf"         -> q41,
     "q33_asof_join"       -> q33,
     "q34_rollup"          -> q34,
     "q35_pivot_metrics"   -> q35,
@@ -126,6 +148,11 @@ object AdvQueries {
     "q39_session_window"  -> q39)
 
   val oracle: Map[String, String] = Map(
+    "q40_bpeish_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, ts, value AS last_view_value FROM events WHERE event_type = 'view')

@@ -121,6 +121,17 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("IVF kNN recalls most brute-force neighbors") {
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val q = e.where(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.knnBruteForce(q, e, k = 5))
+    val ivf = pairs(Similarity.knnIvf(q, e, k = 5, nCells = 8, nProbe = 4))
+    assert((exact intersect ivf).size >= (exact.size * 0.5).toInt,
+      s"recall ${(exact intersect ivf).size}/${exact.size}")
+  }
+
   test("Skew.saltedJoin equals the plain join") {
     val ev = Tables.events(spark, sf)
     val cust = Tables.customer(spark, sf).withColumnRenamed("c_custkey", "user_id")
