@@ -44,6 +44,15 @@ object Similarity {
     df.select(col(idCol).as("id"), emb.as("emb"), l2Norm(emb).as("norm"))
   }
 
+  /** Shared re-rank tail: score each (query, candidate) pair by cosine and
+    * keep the per-query top-k with a deterministic tie-break. */
+  private def rerank(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined.withColumn("cosine",
+      cosine($"q_emb", $"c_emb", $"q_norm", $"c_norm"))
+    Windows.topNPerGroup(scored, Seq($"query_id"), Seq($"cosine".desc, $"neighbor_id"), k)
+      .select($"query_id", $"neighbor_id", $"cosine", $"rn".as("rank"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * candidates (excluding itself). Queries are broadcast; the join is a
     * BroadcastNestedLoopJoin over the candidate scan, then a per-query
@@ -51,10 +60,7 @@ object Similarity {
   def knnBruteForce(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select($"id".as("query_id"), $"emb".as("q_emb"), $"norm".as("q_norm"))
     val c = candidates.select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"))
-    val scored = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", cosine($"q_emb", $"c_emb", $"q_norm", $"c_norm"))
-    Windows.topNPerGroup(scored, Seq($"query_id"), Seq($"cosine".desc, $"neighbor_id"), k)
-      .select($"query_id", $"neighbor_id", $"cosine", $"rn".as("rank"))
+    rerank(c.join(broadcast(q), $"query_id" =!= $"neighbor_id"), k)
   }
 
   /** Deterministic pseudo-random hyperplanes: `h` × `dim` doubles in
@@ -87,11 +93,7 @@ object Similarity {
       lshBucket($"emb", planes).as("bucket"))
     val c = candidates.select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"),
       lshBucket($"emb", planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .where($"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", cosine($"q_emb", $"c_emb", $"q_norm", $"c_norm"))
-    Windows.topNPerGroup(scored, Seq($"query_id"), Seq($"cosine".desc, $"neighbor_id"), k)
-      .select($"query_id", $"neighbor_id", $"cosine", $"rn".as("rank"))
+    rerank(c.join(broadcast(q), Seq("bucket")).where($"query_id" =!= $"neighbor_id"), k)
   }
 
   /** IVF (inverted-file) approximate kNN — the classic ANN scale path:
@@ -105,26 +107,37 @@ object Similarity {
              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val cand = candidates.withColumn("fv", array_to_vector($"emb"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+    // euclidean k-means over L2-NORMALIZED vectors: on the unit sphere,
+    // squared euclidean distance is 2 − 2·cosine, so the quantizer
+    // partitions by the same metric the re-rank uses (clustering raw
+    // magnitudes would put same-direction vectors in different cells)
+    val unit = transform($"emb", (x: Column) => x / $"norm")
+    val cand = candidates.withColumn("fv", array_to_vector(unit))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(cand)
     val assigned = model.transform(cand).drop("fv")
       .select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"), $"cell")
-    val centers = typedLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
-    // nProbe nearest cells per query by squared euclidean distance
-    // (‖q‖² is constant per query, so rank by ‖c‖² − 2·q·c)
+    // (centroid, ‖centroid‖²) baked into the literal — driver-side
+    // constants, not recomputed per exploded row
+    val centers = typedLit(model.clusterCenters.map { c =>
+      val a = c.toArray.toSeq
+      (a, a.map(x => x * x).sum)
+    }.toSeq)
+    // nProbe nearest cells per unit-query by squared euclidean distance
+    // (‖q̂‖² = 1 is constant, so rank by ‖c‖² − 2·q̂·c)
     val probed = Windows.topNPerGroup(
         queries.select($"id".as("query_id"), $"emb".as("q_emb"), $"norm".as("q_norm"))
           .select($"*", posexplode(centers).as(Seq("cell", "centroid")))
           .withColumn("dist_rank",
-            dot($"centroid", $"centroid") - lit(2.0) * dot($"q_emb", $"centroid")),
+            $"centroid._2" - lit(2.0) * dot(transform($"q_emb", (x: Column) => x / $"q_norm"),
+              $"centroid._1")),
         Seq($"query_id"), Seq($"dist_rank".asc, $"cell"), nProbe)
       .select($"query_id", $"q_emb", $"q_norm", $"cell")
-    val scored = assigned.join(probed, Seq("cell"))
-      .where($"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", cosine($"q_emb", $"c_emb", $"q_norm", $"c_norm"))
-    Windows.topNPerGroup(scored, Seq($"query_id"), Seq($"cosine".desc, $"neighbor_id"), k)
-      .select($"query_id", $"neighbor_id", $"cosine", $"rn".as("rank"))
+    // broadcast the (queries × nProbe)-row probed side: 'cell' has only
+    // nCells distinct values, so a shuffled join would hash the entire
+    // candidate table into ≤ nCells reducers
+    rerank(assigned.join(broadcast(probed), Seq("cell"))
+      .where($"query_id" =!= $"neighbor_id"), k)
   }
 
   /** Embedding near-duplicate pairs: LSH-bucketed candidate generation,

@@ -35,7 +35,7 @@ object AdvQueries {
     import s.implicits._
     Tables.lineitem(s, d)
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(Exact.dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .agg(Exact.dsumScaled($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
@@ -161,7 +161,7 @@ object AdvQueries {
         |ORDER BY p.event_id""".stripMargin,
     "q34_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  sum(CAST(round(l_quantity * 10000, 0) AS BIGINT)) / 10000.0 AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,

@@ -21,15 +21,17 @@ object CoreQueries {
     * `gold_aggregation.py:52-86`). */
   private val q01: Q = (s, d) => {
     import s.implicits._
+    // scaled-long exact sums: lineitem money/quantity magnitudes are
+    // provably bounded, so the primitive-codegen path beats decimal ~2x
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        Exact.dsum($"l_quantity").as("sum_qty"),
-        Exact.dsum($"l_extendedprice").as("sum_base_price"),
-        Exact.dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
-        Exact.davg($"l_quantity").as("avg_qty"),
-        Exact.davg($"l_extendedprice").as("avg_price"),
-        Exact.davg($"l_discount").as("avg_disc"),
+        Exact.dsumScaled($"l_quantity").as("sum_qty"),
+        Exact.dsumScaled($"l_extendedprice").as("sum_base_price"),
+        Exact.dsumScaled($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+        Exact.davgScaled($"l_quantity").as("avg_qty"),
+        Exact.davgScaled($"l_extendedprice").as("avg_price"),
+        Exact.davgScaled($"l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -168,7 +170,7 @@ object CoreQueries {
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(
-        Exact.dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        Exact.dsumScaled($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"n_name")
   }
@@ -259,16 +261,19 @@ object CoreQueries {
   /** DECIMAL-exact sum/avg helpers, mirrored from [[graft.ops.Exact]]. */
   private def dsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   private def davg(x: String) = s"${dsum(x)} / count($x)"
+  /** Scaled-long variants (Exact.dsumScaled/davgScaled). */
+  private def dsumS(x: String) = s"sum(CAST(round(($x) * 10000, 0) AS BIGINT)) / 10000.0"
+  private def davgS(x: String) = s"${dsumS(x)} / count($x)"
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${dsum("l_quantity")} AS sum_qty,
-         |  ${dsum("l_extendedprice")} AS sum_base_price,
-         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-         |  ${davg("l_quantity")} AS avg_qty,
-         |  ${davg("l_extendedprice")} AS avg_price,
-         |  ${davg("l_discount")} AS avg_disc,
+         |  ${dsumS("l_quantity")} AS sum_qty,
+         |  ${dsumS("l_extendedprice")} AS sum_base_price,
+         |  ${dsumS("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${davgS("l_quantity")} AS avg_qty,
+         |  ${davgS("l_extendedprice")} AS avg_price,
+         |  ${davgS("l_discount")} AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -326,7 +331,7 @@ object CoreQueries {
         |ORDER BY event_type""".stripMargin,
     "q13_revenue_by_nation" ->
       s"""SELECT n_name,
-         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  ${dsumS("l_extendedprice * (1 - l_discount)")} AS revenue,
          |  count(*) AS n_items
          |FROM lineitem
          |JOIN orders   ON l_orderkey = o_orderkey

@@ -128,6 +128,7 @@ class OpsSpec extends SparkSuite {
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = pairs(Similarity.knnBruteForce(q, e, k = 5))
     val ivf = pairs(Similarity.knnIvf(q, e, k = 5, nCells = 8, nProbe = 4))
+    assert(exact.nonEmpty) // guard: 0 >= 0 would pass vacuously below
     assert((exact intersect ivf).size >= (exact.size * 0.5).toInt,
       s"recall ${(exact intersect ivf).size}/${exact.size}")
   }
