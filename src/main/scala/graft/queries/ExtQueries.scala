@@ -140,7 +140,31 @@ object ExtQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Capstone: the training-data curation flow composed from the ops —
+    * quality-filter → exact dedup (keep min id) → near-dup drop (remove
+    * the larger id of every Jaccard≥0.5 pair among survivors). One
+    * deterministic pass; fully oracle-expressible. The near-dup rule is
+    * single-step (pairwise), not transitive-closure clustering — the
+    * deterministic choice a one-pass distributed pipeline makes. */
+  private val q42: Q = (s, d) => {
+    import s.implicits._
+    val wc = Text.tokenCount($"text")
+    val awl = Text.sumTokenLen($"text") / wc
+    val stopRatio = Text.stopwordCount($"text") / wc
+    val scored = Tables.documents(s, d)
+      .withColumn("q", Text.qualityScore(wc, stopRatio, awl))
+      .where($"q" >= 0.6)
+    val keepIds = Dedup.exactGroups(scored, "doc_id", "text").select($"keep_id".as("doc_id"))
+    val kept = scored.join(keepIds, Seq("doc_id"), "left_semi")
+    val dropB = Dedup.ngramJaccardPairs(kept, "doc_id", "text", threshold = 0.5)
+      .select($"doc_b".as("doc_id")).distinct()
+    kept.join(dropB, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q42_curation"          -> q42,
     "q20_dedup_exact"       -> q20,
     "q21_token_stats"       -> q21,
     "q22_text_quality"      -> q22,
@@ -162,6 +186,36 @@ object ExtQueries {
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   val oracle: Map[String, String] = Map(
+    "q42_curation" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS word_count,
+         |    list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_len,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> list_contains($stopList, x))) AS INTEGER) AS n_stop
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang, n_chars, text FROM m
+         |  WHERE least(1.0, word_count / 100.0) * 0.4
+         |      + (1.0 - n_stop / word_count) * 0.3
+         |      + least(1.0, (sum_len / word_count) / 8.0) * 0.3 >= 0.6),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(text)),
+         |kept AS (SELECT s.* FROM scored s JOIN keep k ON s.doc_id = k.doc_id),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+         |g AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(generate_series(1, len(w) - 2),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         |      FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |dropb AS (SELECT DISTINCT doc_b FROM p
+         |          JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE inter / (sa.n + sb.n - inter) >= 0.5)
+         |SELECT doc_id, lang, n_chars FROM kept
+         |WHERE NOT EXISTS (SELECT 1 FROM dropb WHERE dropb.doc_b = kept.doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
