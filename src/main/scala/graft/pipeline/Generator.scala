@@ -20,6 +20,18 @@ import java.util.Locale
   */
 object Generator {
 
+  /** CLI mirroring the reference generator's surface
+    * (`data_generator.py:139-165`):
+    * `runMain graft.pipeline.Generator <landingRoot> [rate] [durationSeconds] [seed]` */
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(sys.error("usage: Generator <landingRoot> [rate] [duration] [seed]"))
+    val rate = args.lift(1).map(_.toInt).getOrElse(10)
+    val duration = args.lift(2).map(_.toInt).getOrElse(60)
+    val seed = args.lift(3).map(_.toLong).getOrElse(42L)
+    val n = generate(root, rate, duration, seed)
+    println(s"[generator] wrote $n events to $root (rate=$rate duration=${duration}s seed=$seed)")
+  }
+
   val bridges: Seq[Int] = 1 to 5
   val sensors: Seq[String] = Schemas.sensors
 
