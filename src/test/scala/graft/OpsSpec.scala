@@ -73,6 +73,18 @@ class OpsSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 16)
   }
 
+  test("prefix-filtered Jaccard pairs equal the naive inverted-index join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == direct, s"threshold $t: ${prefix.size} vs ${direct.size}")
+      assert(direct.nonEmpty || t > 0.5)
+    }
+  }
+
   test("MinHash estimate tracks exact Jaccard on duplicated docs") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
