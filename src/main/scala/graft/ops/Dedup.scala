@@ -24,6 +24,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exploded distinct-shingle index and per-doc set sizes — shared by
+    * both Jaccard variants so their shingle semantics cannot diverge. */
+  private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): (DataFrame, DataFrame) = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+    (sh, sh.groupBy($"doc").agg(count(lit(1)).as("n_sh")))
+  }
+
+  /** Shared finalization: exact Jaccard from intersection + set sizes. */
+  private def jaccardScore(inter: DataFrame, threshold: Double): DataFrame =
+    inter
+      .withColumn("jaccard", $"inter" / ($"n_a" + $"n_b" - $"inter"))
+      .where($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     * explode distinct shingles → self-equi-join on shingle → per-pair
     * intersection counts → |A∪B| from per-doc sizes. No cross join; the
@@ -32,18 +48,14 @@ object Dedup {
     * measured trade-off between the two. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-        explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
-    val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("n_sh"))
-    sh.select($"doc".as("doc_a"), $"sh")
+    val (sh, sizes) = shingleIndex(df, idCol, textCol, n)
+    val inter = sh.select($"doc".as("doc_a"), $"sh")
       .join(sh.select($"doc".as("doc_b"), $"sh"), Seq("sh"))
       .where($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select($"doc".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
       .join(sizes.select($"doc".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
-      .withColumn("jaccard", $"inter" / ($"n_a" + $"n_b" - $"inter"))
-      .where($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", $"jaccard")
+    jaccardScore(inter, threshold)
   }
 
   /** PREFIX-FILTERED exact Jaccard pairs (the PPJoin family, Xiao et al.):
@@ -65,29 +77,31 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = df.select(col(idCol).as("doc"),
-        explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
-    val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("n_sh"))
+    val (sh, sizes) = shingleIndex(df, idCol, textCol, n)
+    // ε-slack on every threshold comparison: IEEE arithmetic overshoots
+    // (0.07 * 100 == 7.000000000000001), which would shorten prefixes /
+    // reject sizes below the lossless bound for thresholds like 0.07 or
+    // 0.55. Relaxing by ε only ADMITS extra candidates — the final exact
+    // jaccard filter keeps the result identical to the direct join.
+    val eps = 1e-9
     val shDf = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
     val prefix = sh.join(shDf, "sh")
       .withColumn("pos", row_number().over(
         Window.partitionBy($"doc").orderBy($"df", $"sh")))
       .join(sizes, "doc")
-      .where($"pos" <= $"n_sh" - ceil(lit(threshold) * $"n_sh") + 1)
+      .where($"pos" <= $"n_sh" - ceil(lit(threshold) * $"n_sh" - eps) + 1)
       .select($"doc", $"sh", $"n_sh")
     val cand = prefix.select($"doc".as("doc_a"), $"n_sh".as("n_a"), $"sh")
       .join(prefix.select($"doc".as("doc_b"), $"n_sh".as("n_b"), $"sh"), Seq("sh"))
       .where($"doc_a" < $"doc_b" &&
-        $"n_b" >= lit(threshold) * $"n_a" && $"n_a" >= lit(threshold) * $"n_b")
+        $"n_b" >= lit(threshold) * $"n_a" - eps && $"n_a" >= lit(threshold) * $"n_b" - eps)
       .select($"doc_a", $"doc_b", $"n_a", $"n_b")
       .distinct()
-    cand
+    val inter = cand
       .join(sh.select($"doc".as("doc_a"), $"sh"), Seq("doc_a"))
       .join(sh.select($"doc".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
       .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b").agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", $"inter" / ($"n_a" + $"n_b" - $"inter"))
-      .where($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", $"jaccard")
+    jaccardScore(inter, threshold)
   }
 
 
