@@ -15,6 +15,19 @@ import graft.ops.{Derive, Quality}
   * replay rewrites the same rows; downstream exact dedup or an
   * ACID table format restores exactly-once where it matters).
   */
+private[pipeline] object PipelineFs {
+  /** Create a stream-source dir if missing: a file-stream source refuses
+    * to START on a nonexistent path, so on a cold simultaneous start
+    * (continuous mode) every tier must be able to open its upstream dir
+    * before the upstream has produced anything. Hadoop FS API, so it
+    * works on HDFS/S3 as well as local files. */
+  def ensureDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    ()
+  }
+}
+
 private[pipeline] object DualSink {
   def write(batch: DataFrame, valid: Column, validPath: String,
             rejectedPath: String, partitionCols: Seq[String],
@@ -49,8 +62,12 @@ object Bronze {
     * downstream batch reads; the reference writes a flat dir). */
   def start(spark: SparkSession, cfg: PipelineConfig, sensor: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val raw = spark.readStream.schema(Schemas.raw).json(cfg.landingDir(sensor))
-      .select(Schemas.raw.fieldNames.map(col).toIndexedSeq: _*) // drop discovered partition cols
+    PipelineFs.ensureDir(spark, cfg.landingDir(sensor))
+    // schema includes the date partition column (see Schemas.rawLanding),
+    // then drops it — keeping the plan schema stable whether or not
+    // date= subdirs exist at stream start
+    val raw = spark.readStream.schema(Schemas.rawLanding).json(cfg.landingDir(sensor))
+      .select(Schemas.raw.fieldNames.map(col).toIndexedSeq: _*)
     val derived = derive(raw)
     // optional streaming exact dedup: watermark-bounded state keyed on the
     // natural event identity. Keyed on the RAW event_time string (not the

@@ -19,11 +19,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object Gold {
 
   private def sensorAgg(spark: SparkSession, cfg: PipelineConfig, sensor: String,
-                        aggExpr: org.apache.spark.sql.Column): DataFrame =
+                        aggExpr: org.apache.spark.sql.Column): DataFrame = {
+    PipelineFs.ensureDir(spark, cfg.silverDir(sensor))
     spark.readStream.schema(Schemas.silver).parquet(cfg.silverDir(sensor))
       .withWatermark("event_time_ts", cfg.watermark)
       .groupBy(col("bridge_id"), window(col("event_time_ts"), cfg.windowLength))
       .agg(aggExpr)
+  }
 
   /** The composed streaming DataFrame (unstarted — tests can inspect it). */
   def metrics(spark: SparkSession, cfg: PipelineConfig): DataFrame = {

@@ -18,6 +18,14 @@ object Schemas {
     StructField("value", DoubleType),
     StructField("ingest_time", StringType)))
 
+  /** Raw schema + the landing zone's `date=` Hive partition column. The
+    * column MUST be declared in the stream-read schema: a file-stream
+    * source started against an empty landing dir captures a plan schema
+    * without it, and the first batch that lists `date=` subdirs then
+    * carries a discovered extra column — killing the query with
+    * "Invalid batch: ... != ... date#N" on any cold start. */
+  val rawLanding: StructType = StructType(raw.fields :+ StructField("date", StringType))
+
   /** Bronze = raw + parsed timestamps + partition date
     * (ref `bronze_ingest.py:18-24,44-49`). */
   val bronze: StructType = StructType(raw.fields ++ Seq(

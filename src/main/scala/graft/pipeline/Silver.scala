@@ -21,6 +21,7 @@ object Silver {
 
   def start(spark: SparkSession, cfg: PipelineConfig, sensor: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    PipelineFs.ensureDir(spark, cfg.bronzeDir(sensor))
     val bronzeStream = spark.readStream.schema(Schemas.bronze)
       .parquet(cfg.bronzeDir(sensor))
     // J1: 5-row dimension — broadcast, so the fact stream never shuffles
