@@ -34,11 +34,13 @@ private[pipeline] object DualSink {
             transformValid: DataFrame => DataFrame = identity): Unit = {
     val cached = batch.persist()
     try {
-      val okWriter = transformValid(cached.where(valid)).write.mode("append")
+      // Quality.split owns the 3VL routing rule (NULL predicate →
+      // quarantine) so batch and streaming paths cannot drift
+      val (ok, bad) = Quality.split(cached, valid)
+      val okWriter = transformValid(ok).write.mode("append")
       (if (partitionCols.nonEmpty) okWriter.partitionBy(partitionCols: _*) else okWriter)
         .parquet(validPath)
-      // three-valued logic: NULL predicates must land in quarantine too
-      cached.where(!coalesce(valid, lit(false))).write.mode("append").parquet(rejectedPath)
+      bad.write.mode("append").parquet(rejectedPath)
     } finally { cached.unpersist(); () }
   }
 }
@@ -70,13 +72,20 @@ object Bronze {
       .select(Schemas.raw.fieldNames.map(col).toIndexedSeq: _*)
     val derived = derive(raw)
     // optional streaming exact dedup: watermark-bounded state keyed on the
-    // natural event identity. Keyed on the RAW event_time string (not the
-    // parsed timestamp) so quarantine-bound rows with unparseable times
-    // still flow through unharmed.
+    // natural event identity (RAW event_time string, not the parsed
+    // timestamp). The WATERMARK column must be non-null for every row —
+    // a NULL event-time row would otherwise be discarded as late by the
+    // stateful operator once the watermark advances, silently losing the
+    // quarantine audit trail — so unparseable rows ride on ingest time
+    // (falling back to processing time when that is unparseable too).
     val deduped =
       if (cfg.dedupeLanding)
-        derived.withWatermark("event_time_ts", cfg.watermark)
+        derived
+          .withColumn("wm_ts",
+            coalesce(col("event_time_ts"), col("ingest_time_ts"), current_timestamp()))
+          .withWatermark("wm_ts", cfg.watermark)
           .dropDuplicatesWithinWatermark("bridge_id", "sensor_type", "event_time")
+          .drop("wm_ts")
       else derived
     val fn: (Dataset[Row], Long) => Unit = (batch, _) =>
       DualSink.write(batch.toDF(), Quality.bronzeValid(),

@@ -71,11 +71,13 @@ object Generator {
     val rng = new java.util.Random(seed)
     var written = 0
     var fileIdx = 0
-    // filenames are namespaced by the run's base instant: a second
-    // generate() into the same landing zone must never reuse a path —
-    // Spark's file-stream source tracks seen files by path and silently
-    // ignores overwritten ones
-    val runTag = base.getEpochSecond
+    // filenames are namespaced by ALL run parameters: a second generate()
+    // into the same landing zone must never reuse a path with different
+    // content — Spark's file-stream source tracks seen files by path and
+    // silently ignores overwritten ones. Identical-argument calls produce
+    // byte-identical files (idempotent); any differing argument changes
+    // the tag.
+    val runTag = s"${base.getEpochSecond}_${seed}_${rate}x$durationSeconds"
     val buffers = scala.collection.mutable.Map.empty[String, StringBuilder]
     def flush(at: Instant): Unit = {
       buffers.foreach { case (sensor, sb) =>
