@@ -77,16 +77,24 @@ object Text {
     }
   }
 
-  /** Word n-gram shingles, 1-based slice to mirror the DuckDB oracle
-    * (`w[i] || ' ' || w[i+1] || ' ' || w[i+2]`). Empty array when the
-    * document is shorter than n (sequence() would otherwise run backwards
-    * and produce garbage shingles). */
+  /** Word n-gram shingles, same values as the DuckDB oracle's
+    * `w[i] || ' ' || w[i+1] || ' ' || w[i+2]`. Empty array when the
+    * document is shorter than n.
+    *
+    * Shape matters: built by zipping n shifted slices of the token array
+    * (`zip_with(slice(toks,1,m), slice(toks,2,m), ...)`) rather than
+    * `transform(sequence(1,m), i -> slice(toks, i, n))`. In the transform
+    * form `toks` is CAPTURED by the lambda, and Catalyst re-evaluates the
+    * captured `split()` at every position — quadratic per document
+    * (measured 3× end-to-end on the shingle explode at sf0.1). In the
+    * zip_with form every slice is an HOF *argument*, evaluated once per
+    * row; the lambdas touch only their element variables. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val m = size(toks) - (n - 1)
+    val parts = (0 until n).map(i => slice(toks, lit(i + 1), m))
+    val joined = parts.reduceLeft((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+    when(size(toks) >= n, joined).otherwise(array().cast("array<string>"))
   }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
