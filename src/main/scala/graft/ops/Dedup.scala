@@ -40,18 +40,77 @@ object Dedup {
       .where($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode distinct shingles → self-equi-join on shingle → per-pair
-    * intersection counts → |A∪B| from per-doc sizes. No cross join; the
-    * shuffle is hash-partitioned by shingle. See
-    * [[ngramJaccardPairsPrefix]] for the prefix-filtered variant and the
-    * measured trade-off between the two. */
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index,
+    * posting-list form: one pass computes each document's distinct-shingle
+    * array (set size carried alongside), the index groups postings per
+    * shingle, and candidate pairs are generated *inside* each posting-list
+    * array — so the input subtree is evaluated exactly once and the whole
+    * computation costs two shuffles (by shingle, then by pair). The earlier
+    * self-join form evaluated the upstream plan four times (two join sides
+    * plus two size joins) and shuffled five times; on a derived input such
+    * as q42's curated subset that repetition dominated the runtime.
+    *
+    * Candidate cost is Σ_shingle df²/2, same as any inverted-index join.
+    * On corpora with unboundedly frequent shingles (stop-shingles at
+    * 100 TB) pass `maxDf` to switch to [[ngramJaccardPairsCapped]]'s
+    * df-capped semantics — the standard stop-shingle lever. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val (sh, sizes) = shingleIndex(df, idCol, textCol, n)
-    val inter = sh.select($"doc".as("doc_a"), $"sh")
-      .join(sh.select($"doc".as("doc_b"), $"sh"), Seq("sh"))
-      .where($"doc_a" < $"doc_b")
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxDf: Option[Int] = None): DataFrame = maxDf match {
+    case Some(cap) => ngramJaccardPairsCapped(df, idCol, textCol, n, threshold, cap)
+    case None =>
+      val docs = df.select(col(idCol).as("doc"),
+        array_distinct(Text.shingles(col(textCol), n)).as("shs"))
+      val sh = docs.select($"doc", size($"shs").as("n"), explode($"shs").as("sh"))
+      val postings = sh.groupBy($"sh")
+        .agg(collect_list(struct($"doc", $"n")).as("ds"))
+      // All ordered pairs within one posting list; `ds` is a plain
+      // aggregation attribute, so its capture by the nested lambda is a
+      // column read, not a re-evaluated expression (the HOF trap needs a
+      // *computed* captured expression). The size-compatibility filter is
+      // the standard lossless length bound: jaccard(A,B) ≤ min/max, so a
+      // qualifying pair has min(n) ≥ t·max(n) — ε-relaxed so IEEE
+      // round-off can only ADMIT extra candidates (the exact jaccard
+      // filter at the end re-checks them).
+      val eps = 1e-9
+      val pairsInList = flatten(transform($"ds", x =>
+        transform(filter($"ds", y => y("doc") > x("doc") &&
+            least(x("n"), y("n")) >= lit(threshold) * greatest(x("n"), y("n")) - eps), y =>
+          struct(x("doc").as("doc_a"), y("doc").as("doc_b"),
+            x("n").as("n_a"), y("n").as("n_b")))))
+      val inter = postings
+        .select(explode(pairsInList).as("p"))
+        .select($"p.doc_a", $"p.doc_b", $"p.n_a".as("n_a"), $"p.n_b".as("n_b"))
+        .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b").agg(count(lit(1)).as("inter"))
+      jaccardScore(inter, threshold)
+  }
+
+  /** Df-capped Jaccard pairs: shingles occurring in more than `maxDf`
+    * documents are treated as stop-shingles and removed from the universe —
+    * both from candidate generation AND from the set sizes, so the score is
+    * the exact Jaccard of the *capped* shingle sets (the standard
+    * stop-word-removal semantics, not a biased approximation of the full
+    * score). This bounds the per-shingle candidate blowup at maxDf²/2 and
+    * the posting-list arrays at maxDf entries — the knob that keeps the
+    * plan alive when a 100 TB corpus has shingles with df in the millions.
+    * The df-filter join and the df-count aggregate shuffle by the same key,
+    * so the exchange is planned once and reused. */
+  def ngramJaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf)")
+    val (sh, _) = shingleIndex(df, idCol, textCol, n)
+    val keptSh = sh.join(
+      sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .where($"df" <= maxDf).select($"sh"),
+      Seq("sh"))
+    val sizes = keptSh.groupBy($"doc").agg(count(lit(1)).as("n_sh"))
+    val postings = keptSh.groupBy($"sh").agg(collect_list($"doc").as("ds"))
+    val pairsInList = flatten(transform($"ds", x =>
+      transform(filter($"ds", y => y > x), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
+    val inter = postings
+      .select(explode(pairsInList).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select($"doc".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
       .join(sizes.select($"doc".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
