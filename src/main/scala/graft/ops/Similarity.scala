@@ -83,11 +83,20 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding dimensionality, read from the data at plan-build time (one
+    * bounded `first()` — the alternative, a hard-coded dim, silently
+    * bucketed wider embeddings on their first components only because the
+    * dot product zips to the shorter array). Empty input → 1 (any planes
+    * work; every downstream result is empty anyway). */
+  private def embDim(df: DataFrame): Int =
+    df.select(size($"emb")).limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
+
   /** Approximate top-k: candidates considered only within the query's LSH
     * bucket, exact cosine re-rank inside. Recall < 1 by design; `h`
-    * controls the bucket granularity (2^h buckets). */
+    * controls the bucket granularity (2^h buckets). Hyperplane
+    * dimensionality is inferred from the candidate embeddings. */
   def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int, h: Int = 8): DataFrame = {
-    val dim = 64
+    val dim = embDim(candidates)
     val planes = hyperplanes(h, dim)
     val q = queries.select($"id".as("query_id"), $"emb".as("q_emb"), $"norm".as("q_norm"),
       lshBucket($"emb", planes).as("bucket"))
@@ -96,35 +105,96 @@ object Similarity {
     rerank(c.join(broadcast(q), Seq("bucket")).where($"query_id" =!= $"neighbor_id"), k)
   }
 
-  /** IVF (inverted-file) approximate kNN — the classic ANN scale path:
-    * a k-means coarse quantizer partitions candidates into `nCells`
-    * Voronoi cells; each query probes its `nProbe` nearest cells and
-    * re-ranks exactly (cosine) inside them. Search cost drops from
-    * O(|candidates|) to O(nProbe/nCells · |candidates|) per query, and
-    * the cell assignment is a plain equi-join key — shuffle-friendly at
-    * 100 TB. Deterministic via the fixed k-means seed. */
-  def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
-             nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // euclidean k-means over L2-NORMALIZED vectors: on the unit sphere,
-    // squared euclidean distance is 2 − 2·cosine, so the quantizer
-    // partitions by the same metric the re-rank uses (clustering raw
-    // magnitudes would put same-direction vectors in different cells)
-    val unit = transform($"emb", (x: Column) => x / $"norm")
-    val cand = candidates.withColumn("fv", array_to_vector(unit))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(cand)
-    val assigned = model.transform(cand).drop("fv")
+  /** A trained IVF coarse quantizer: unit-sphere centroids held as
+    * driver-side constants, baked into plans as literals (the 100 TB
+    * shape — an index is trained once, then broadcast into every probe
+    * plan; it is never recomputed in a query's hot path). */
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    def nCells: Int = centroids.length
+    /** (centroid, ‖centroid‖²) pairs for plan literals. */
+    private[ops] def centroidStructs: Seq[(Seq[Double], Double)] =
+      centroids.toSeq.map(c => (c.toSeq, c.map(x => x * x).sum))
+  }
+
+  /** Train an IVF coarse quantizer ONCE: k-means over a bounded,
+    * deterministic sample of unit-normalized candidate vectors, run
+    * driver-side (Lloyd's on ≤ `sampleCap` points is microseconds —
+    * FAISS trains IVF quantizers on a bounded sample regardless of corpus
+    * size for the same reason). The sample is the `sampleCap` lowest rows
+    * by hash of id: Spark plans TakeOrderedAndProject (per-partition
+    * partial top-k, no full sort), the hash order is corpus-wide
+    * pseudo-random, and the result is independent of partitioning — so
+    * the index is reproducible at any scale. Euclidean k-means on the
+    * unit sphere partitions by cosine (‖a−b‖² = 2 − 2·cos on unit
+    * vectors), the metric the probe re-ranks with. */
+  def buildIvfIndex(candidates: DataFrame, nCells: Int,
+                    sampleCap: Int = 4096, maxIter: Int = 10): IvfIndex = {
+    val sample = candidates
+      .select(transform($"emb", (x: Column) => x / $"norm").as("u"),
+        xxhash64($"id").as("hk"))
+      .orderBy($"hk").limit(sampleCap)
+      .select($"u").collect().map(_.getSeq[Double](0).toArray)
+    IvfIndex(lloyd(sample, nCells, maxIter))
+  }
+
+  /** Plain Lloyd's iterations, deterministic: init = first k distinct
+    * points in (hash-ordered) sample order; empty clusters keep their
+    * previous centroid. */
+  private def lloyd(points: Array[Array[Double]], k: Int, maxIter: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot train an IVF index on an empty candidate set")
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (p <- points if init.size < k && !init.exists(_.sameElements(p))) init += p
+    var centroids = init.toArray
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (i <- centroids.indices) {
+        var d = 0.0; var j = 0
+        while (j < p.length && j < centroids(i).length) {
+          val diff = p(j) - centroids(i)(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+      }
+      best
+    }
+    for (_ <- 0 until maxIter) {
+      val sums = Array.fill(centroids.length)(new Array[Double](points.head.length))
+      val counts = new Array[Long](centroids.length)
+      for (p <- points) {
+        val c = nearest(p); counts(c) += 1
+        var j = 0; while (j < p.length) { sums(c)(j) += p(j); j += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Add the IVF cell id to a prepared embedding frame: argmin over the
+    * centroid literals of ‖c‖² − 2·û·c (û unit-normalized, ‖û‖² constant),
+    * first-min tie-break. A pure codegen'd projection — cell assignment
+    * at 100 TB is one map-side scan, no ML pipeline in the plan. */
+  def assignCells(df: DataFrame, index: IvfIndex): DataFrame = {
+    val withU = df.withColumn("u", transform($"emb", (x: Column) => x / $"norm"))
+    val dists = array(index.centroidStructs.map { case (c, n2) =>
+      lit(n2) - lit(2.0) * dot($"u", typedLit(c))
+    }: _*)
+    withU.withColumn("cell", (array_position(dists, array_min(dists)) - 1).cast("int"))
+      .drop("u")
+  }
+
+  /** Probe a trained IVF index: each query ranks the centroid literals,
+    * keeps its `nProbe` nearest cells, and exact-cosine re-ranks only the
+    * candidates assigned to those cells. The probed side (queries ×
+    * nProbe rows) is broadcast: 'cell' has only nCells distinct values,
+    * so a shuffled join would hash the entire candidate table into
+    * ≤ nCells reducers. */
+  def probeIvf(index: IvfIndex, queries: DataFrame, candidates: DataFrame,
+               k: Int, nProbe: Int): DataFrame = {
+    val assigned = assignCells(candidates, index)
       .select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"), $"cell")
-    // (centroid, ‖centroid‖²) baked into the literal — driver-side
-    // constants, not recomputed per exploded row
-    val centers = typedLit(model.clusterCenters.map { c =>
-      val a = c.toArray.toSeq
-      (a, a.map(x => x * x).sum)
-    }.toSeq)
-    // nProbe nearest cells per unit-query by squared euclidean distance
-    // (‖q̂‖² = 1 is constant, so rank by ‖c‖² − 2·q̂·c)
+    val centers = typedLit(index.centroidStructs)
     val probed = Windows.topNPerGroup(
         queries.select($"id".as("query_id"), $"emb".as("q_emb"), $"norm".as("q_norm"))
           .select($"*", posexplode(centers).as(Seq("cell", "centroid")))
@@ -133,18 +203,31 @@ object Similarity {
               $"centroid._1")),
         Seq($"query_id"), Seq($"dist_rank".asc, $"cell"), nProbe)
       .select($"query_id", $"q_emb", $"q_norm", $"cell")
-    // broadcast the (queries × nProbe)-row probed side: 'cell' has only
-    // nCells distinct values, so a shuffled join would hash the entire
-    // candidate table into ≤ nCells reducers
     rerank(assigned.join(broadcast(probed), Seq("cell"))
       .where($"query_id" =!= $"neighbor_id"), k)
+  }
+
+  /** Train-once memo: fitted centroids per (canonicalized candidate plan,
+    * nCells, sampleCap) — repeated queries over the same candidate set
+    * reuse the index instead of re-running the sample job. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), IvfIndex]()
+
+  /** IVF approximate kNN: convenience wrapper = cached [[buildIvfIndex]]
+    * + [[probeIvf]]. Search cost drops from O(|candidates|) to
+    * O(nProbe/nCells · |candidates|) per query; fully deterministic. */
+  def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
+             nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val key = (candidates.queryExecution.analyzed.canonicalized, nCells, 4096)
+    val index = ivfCache.computeIfAbsent(key, _ => buildIvfIndex(candidates, nCells))
+    probeIvf(index, queries, candidates, k, nProbe)
   }
 
   /** Embedding near-duplicate pairs: LSH-bucketed candidate generation,
     * exact cosine threshold filter. The scalable analog of an all-pairs
     * cosine join. */
   def nearDupPairs(df: DataFrame, minCosine: Double, h: Int = 6): DataFrame = {
-    val planes = hyperplanes(h, 64)
+    val planes = hyperplanes(h, embDim(df))
     val withBucket = df.withColumn("bucket", lshBucket($"emb", planes))
     val a = withBucket.select($"id".as("id_a"), $"emb".as("emb_a"), $"norm".as("norm_a"), $"bucket")
     val b = withBucket.select($"id".as("id_b"), $"emb".as("emb_b"), $"norm".as("norm_b"), $"bucket")

@@ -147,6 +147,56 @@ class OpsSpec extends SparkSuite {
       s"recall ${(exact intersect ivf).size}/${exact.size}")
   }
 
+  test("LSH buckets use all embedding components (non-64-dim fixture)") {
+    // two 128-dim vectors identical in the first 64 dims, opposed in the
+    // upper 64: a truncated-to-64 bucketer can never separate them
+    val lower = Seq.fill(64)(1.0)
+    val v1 = lower ++ Seq.fill(64)(1.0)
+    val v2 = lower ++ Seq.fill(64)(-1.0)
+    val df = Seq((0L, v1), (1L, v2), (2L, v1)).toDF("id", "emb")
+      .select(col("id"), col("emb"), Similarity.l2Norm(col("emb")).as("norm"))
+    val planes = Similarity.hyperplanes(8, 128)
+    val buckets = df.select(col("id"), Similarity.lshBucket(col("emb"), planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(0L) != buckets(1L), "opposed upper halves must bucket apart")
+    assert(buckets(0L) == buckets(2L))
+    // knnLsh infers dim from the data: the exact duplicate is found at rank 1
+    val knn = Similarity.knnLsh(df.where(col("id") === 0), df, k = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(knn.contains((0L, 2L, 1)))
+  }
+
+  test("df-capped Jaccard equals exact above max df, restricts universe below") {
+    val docs = Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5))
+    // cap above any shingle's df: identical result (no shingle dropped)
+    val capped = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxDf = Some(1000000)))
+    assert(capped == exact && exact.nonEmpty)
+    // tiny cap: exact duplicates (identical capped shingle sets) survive
+    // with jaccard 1, since dropping stop-shingles drops them from both
+    // sides and both sizes
+    val tiny = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxDf = Some(2))
+    val dupPairs = Dedup.exactGroups(docs, "doc_id", "text")
+      .where(col("n_copies") >= 2).count()
+    assert(dupPairs == 0 || tiny.where(col("jaccard") >= 0.999).count() > 0)
+  }
+
+  test("IVF index training is deterministic and probe matches assignment metric") {
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val i1 = Similarity.buildIvfIndex(e, nCells = 8)
+    val i2 = Similarity.buildIvfIndex(e, nCells = 8)
+    assert(i1.centroids.length == i2.centroids.length)
+    assert(i1.centroids.zip(i2.centroids).forall { case (a, b) => a.sameElements(b) })
+    // every candidate gets a cell in [0, nCells)
+    val cells = Similarity.assignCells(e, i1).select("cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < i1.nCells))
+  }
+
   test("Skew.saltedJoin equals the plain join") {
     val ev = Tables.events(spark, sf)
     val cust = Tables.customer(spark, sf).withColumnRenamed("c_custkey", "user_id")
