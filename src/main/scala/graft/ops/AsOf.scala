@@ -19,18 +19,24 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** @param payload right-side columns to carry (must not collide with
-    *                left column names; rename beforehand if needed) */
+    *                left column names; rename beforehand if needed)
+    *
+    * The forward-fill carries ONE struct of all payload columns rather
+    * than filling each column independently: the struct is non-null
+    * whenever a right row exists, so a matched right row whose payload
+    * *value* is NULL yields NULL (true as-of / DuckDB ASOF semantics)
+    * instead of leaking an older row's value past the match. */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val l = left.withColumn("__tag", lit(1)).withColumn("__ts", col(leftTs))
-    val r = right.select(
-      Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__tag")) ++ payload.map(col): _*)
+    val r = right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__tag"),
+      struct(payload.map(col): _*).as("__p"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, F.last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__tag") === 1).drop("__tag", "__ts")
+    val filled = unioned.withColumn("__p", F.last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+    payload.foldLeft(filled)((df, p) => df.withColumn(p, col("__p")(p)))
+      .drop("__tag", "__ts", "__p")
   }
 }

@@ -254,6 +254,12 @@ object Dedup {
     * Exact Hamming distance (bit_count of xor) filters candidates. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    // pigeonhole completeness: distance <= maxHamming flips at most
+    // maxHamming chunks, so some chunk is untouched ONLY if there are
+    // strictly more chunks than flips
+    require(maxHamming < chunks,
+      s"simhashPairs needs maxHamming < chunks for complete candidate " +
+        s"generation (got maxHamming=$maxHamming, chunks=$chunks)")
     val bitsPerChunk = 64 / chunks
     val withSig = simhashSignatures(df, idCol, textCol)
     val chunkStructs = (0 until chunks).map { j =>

@@ -24,8 +24,9 @@ case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Int,
   *
   * Scale posture: binary payloads never enter a shuffle — features are
   * extracted map-side and only the (small) typed metadata flows
-  * downstream. `withBinaryBudget` re-partitions by cumulative payload size
-  * so one task never holds more than ~budget bytes of media at once.
+  * downstream. `withBinaryBudget` sizes the partition count from the
+  * total payload volume so the EXPECTED per-task payload is ~budget
+  * bytes (hash distribution; not a hard per-task cap under size skew).
   */
 object Multimodal {
 
@@ -74,9 +75,13 @@ object Multimodal {
     }
   }
 
-  /** Re-partition so each task holds roughly `budgetBytes` of payload —
-    * the knob that keeps executors from OOMing on large media at 100 TB.
-    * Range-partitions on a size-bucketed key derived from the payload. */
+  /** Re-partition so each task holds roughly `budgetBytes` of payload in
+    * EXPECTATION: the partition count is total/budget and records
+    * hash-spread by doc_id, so the average task carries ~budget bytes.
+    * This bounds the mean, not the tail — a pathological size skew (one
+    * record ≫ budget) still lands somewhere; a hard per-task byte cap
+    * would need a cumulative-size assignment pass (a metadata-only
+    * prefix-sum), which this deliberately avoids. */
   def withBinaryBudget(media: DataFrame, budgetBytes: Long, totalBytes: Long): DataFrame = {
     val parts = math.max(1, (totalBytes / budgetBytes).toInt)
     media.repartition(parts, col("doc_id"))

@@ -16,8 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Fact-side-preserving join types only: the dim side is replicated
+    * across all `saltFactor` salts, so any type that can emit an
+    * *unmatched dim row* (right/full outer) would emit it saltFactor
+    * times. */
+  private val safeJoinTypes = Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(safeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin replicates the dim side; join type '$joinType' would " +
+        "duplicate unmatched dim rows (supported: inner/cross/left/left_semi/left_anti)")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn("__salt",

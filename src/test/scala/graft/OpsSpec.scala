@@ -135,6 +135,38 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("AsOf.join preserves a NULL payload value on the matched row") {
+    // the matched right row (00:05) carries v = NULL; true as-of returns
+    // NULL, not the older row's 1.0
+    val left = Seq((1L, 100L, "2024-01-01 00:10:00")).toDF("event_id", "user_id", "ts_s")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val right = Seq((100L, "2024-01-01 00:01:00", java.lang.Double.valueOf(1.0)),
+        (100L, "2024-01-01 00:05:00", null.asInstanceOf[java.lang.Double]))
+      .toDF("user_id", "ts_s", "v")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("v"))
+    val got = AsOf.join(left, right, "user_id", "ts", "ts", Seq("v"))
+      .select("v").as[java.lang.Double].head()
+    assert(got == null)
+  }
+
+  test("saltedJoin rejects join types that would duplicate unmatched dim rows") {
+    val f = Seq((1L, "x")).toDF("k", "a")
+    val d = Seq((1L, "y")).toDF("k", "b")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(f, d, Seq("k"), saltFactor = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(f, d, Seq("k"), saltFactor = 4, joinType = "full_outer")
+    }
+  }
+
+  test("simhashPairs rejects maxHamming >= chunks (incomplete pigeonhole)") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 4, chunks = 4)
+    }
+  }
+
   test("IVF kNN recalls most brute-force neighbors") {
     val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
     val q = e.where(col("id") < 10)
