@@ -214,6 +214,51 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"est_jaccard")
   }
 
+  /** Connected components over an undirected pair graph — the transitive
+    * closure step real curation pipelines run on near-dup pairs (single-
+    * step pair dropping under-merges: A~B, B~C but A≁C still form one
+    * cluster). Returns (doc_id, component_id) for every vertex that
+    * appears in a pair, component_id = the minimum doc id in the
+    * component.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — each round
+    * every vertex takes the min of its own and its neighbors' labels (one
+    * equi-join + groupBy-min per round), converging in O(diameter) rounds.
+    * Near-dup graphs have tiny diameters (dup clusters are dense), so this
+    * beats the log-round large-star/small-star machinery in practice; the
+    * per-round cost is one shuffle of |E| + |V| rows. The driver-side loop
+    * makes one scalar convergence probe per round (a control decision,
+    * not a data collect); labels are persisted per round and the previous
+    * round is unpersisted, so peak storage is 2|V| label rows. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val aCol = pairs.columns(0)
+    val bCol = pairs.columns(1)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("label", $"node").persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select($"node".as("dst"), $"label"), Seq("dst"))
+        .select($"src".as("node"), $"label")
+      val next = labels.union(viaNeighbors)
+        .groupBy($"node").agg(min($"label").as("label"))
+        .persist()
+      val changed = next
+        .join(labels.select($"node", $"label".as("prev")), Seq("node"))
+        .where($"label" =!= $"prev")
+      converged = changed.isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select($"node".as("doc_id"), $"label".as("component_id"))
+  }
+
   /** 64-bit SimHash computed entirely per-row: fold token hashes into 64
     * signed bit-counters (zip_with over a 64-wide state array), then pack
     * the counter signs back into one long. No explode, no shuffle. */

@@ -170,7 +170,20 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Transitive near-dup clustering: connected components over the exact
+    * Jaccard≥0.5 pair graph (min-id labels). The clustering step real
+    * curation pipelines run after pair generation — single-step pair
+    * dropping (q42) under-merges chains A~B~C. */
+  private val q43: Q = (s, d) => {
+    import s.implicits._
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5).select($"doc_a", $"doc_b"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q43_dedup_clusters"    -> q43,
     "q42_curation"          -> q42,
     "q20_dedup_exact"       -> q20,
     "q21_token_stats"       -> q21,
@@ -193,6 +206,27 @@ object ExtQueries {
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   val oracle: Map[String, String] = Map(
+    "q43_dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w) - 2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pp AS (SELECT doc_a, doc_b FROM p
+        |       JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |       WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pp UNION SELECT doc_b, doc_a FROM pp),
+        |walk(node, label) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node)
+        |SELECT node AS doc_id, min(label) AS component_id
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     "q42_curation" ->
       s"""WITH m AS (
          |  SELECT doc_id, lang, n_chars, text,

@@ -135,6 +135,14 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("connectedComponents merges transitive chains to min-id labels") {
+    // chain 1-2-3-4 (diameter 3, needs multi-round propagation) + pair 9-7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("AsOf.join preserves a NULL payload value on the matched row") {
     // the matched right row (00:05) carries v = NULL; true as-of returns
     // NULL, not the older row's 1.0
