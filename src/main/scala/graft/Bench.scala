@@ -10,10 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen/JIT/FileIndex) so the first measured query
-    // doesn't absorb startup cost
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => }
+    // warm the session so the first measured query doesn't absorb startup
+    // cost: one scan (FileIndex/parquet reader JIT) plus one full run of
+    // the first-alphabetical query — the latter exercises Janino codegen
+    // compilation, the two-phase HashAggregate path, and the noop sink,
+    // which a bare count() leaves cold (measured ~2s of q01's first-run
+    // time was aggregate-codegen warmup, not query work)
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      SparkEntry.queries.get("q01_pricing_summary")
+        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+    } catch { case _: Throwable => }
     // noop write, not count(): count() lets Catalyst prune every column
     // and skip the projections/sorts, under-measuring projection-heavy
     // queries; the noop sink materializes the full result. A failed query

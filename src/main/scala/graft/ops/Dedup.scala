@@ -85,6 +85,37 @@ object Dedup {
       jaccardScore(inter, threshold)
   }
 
+  /** Corpus-adaptive exact Jaccard pairs — ONE entry point that picks the
+    * winning plan shape so callers need not know their corpus:
+    *
+    *  - dense vocabulary (a bounded shingle space saturates: most shingles
+    *    frequent) → the direct posting-list join; prefixes barely prune
+    *    there and the prefix variant's candidate re-expansion join
+    *    dominates (measured 15.4s vs 8.2s at sf0.1 on the synthetic
+    *    corpus);
+    *  - sparse/Zipfian vocabulary (most shingles rare — realistic text at
+    *    scale) → the PPJoin prefix filter, whose rare-shingle prefixes
+    *    prune candidates by orders of magnitude.
+    *
+    * Density is estimated from a bounded sample (`sampleDocs` docs, one
+    * small aggregate job at plan-build time): the distinct/total shingle
+    * ratio is low when the vocabulary saturates within the sample and
+    * near 1 when the corpus keeps minting new shingles. Both variants are
+    * lossless, so the choice affects cost only, never results. */
+  def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.5,
+                            sampleDocs: Int = 2048,
+                            sparseVocabRatio: Double = 0.5): DataFrame = {
+    val r = df.select(explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+      .limit(sampleDocs * 64) // bound the sample by postings, not a full scan
+      .agg(count(lit(1)).as("total"), approx_count_distinct($"sh").as("distinct"))
+      .head()
+    val ratio =
+      if (r.getLong(0) == 0L) 1.0 else r.getLong(1).toDouble / r.getLong(0).toDouble
+    if (ratio >= sparseVocabRatio) ngramJaccardPairsPrefix(df, idCol, textCol, n, threshold)
+    else ngramJaccardPairs(df, idCol, textCol, n, threshold)
+  }
+
   /** Df-capped Jaccard pairs: shingles occurring in more than `maxDf`
     * documents are treated as stop-shingles and removed from the universe —
     * both from candidate generation AND from the set sizes, so the score is

@@ -64,6 +64,7 @@ object Pipelines {
     * make every rerun incremental, and a later call also advances the gold
     * watermark so previously-open windows finalize. */
   def drainOnce(spark: SparkSession, cfg: PipelineConfig): Unit = {
+    cfg.applySessionConf(spark)
     Bronze.startAll(spark, cfg).foreach(_.awaitTermination())
     Silver.startAll(spark, cfg).foreach(_.awaitTermination())
     Gold.start(spark, cfg).awaitTermination()
@@ -74,10 +75,12 @@ object Pipelines {
     * never notices the other queries failing, `bronze_ingest.py:105`),
     * this surfaces the first failure from any query. */
   def startContinuous(spark: SparkSession, cfg: PipelineConfig,
-                      trigger: Trigger): Seq[StreamingQuery] =
+                      trigger: Trigger): Seq[StreamingQuery] = {
+    cfg.applySessionConf(spark)
     Bronze.startAll(spark, cfg, trigger) ++
       Silver.startAll(spark, cfg, trigger) :+
       Gold.start(spark, cfg, trigger)
+  }
 
   def awaitAny(spark: SparkSession): Unit =
     spark.streams.awaitAnyTermination()

@@ -17,7 +17,22 @@ case class PipelineConfig(
     /** Streaming exact dedup of landing events by (bridge_id, sensor_type,
       * event_time) with watermark-bounded state — guards against at-least-
       * once upstream delivery. Off by default (reference parity). */
-    dedupeLanding: Boolean = false) {
+    dedupeLanding: Boolean = false,
+    /** Fully-qualified state-store provider class, applied to the session
+      * before any stateful query starts. None = Spark's default HDFS-
+      * backed store (state lives on the executor heap — fine for a
+      * 2-minute watermark at test scale). At 100 TB-scale state (wide
+      * keys, long watermarks, stream-stream joins), set
+      * [[PipelineConfig.RocksDbProvider]]: state moves off-heap into
+      * embedded RocksDB with incremental checkpointing, so state size is
+      * bounded by local disk, not heap. */
+    stateStoreProvider: Option[String] = None) {
+
+  /** Apply session-level knobs (state store) — called by the pipeline
+    * orchestrators before starting streaming queries. */
+  def applySessionConf(spark: org.apache.spark.sql.SparkSession): Unit =
+    stateStoreProvider.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
 
   def landingDir(sensor: String): String = s"$landingRoot/bridge_$sensor"
   def bronzeDir(sensor: String): String = s"$bronzeRoot/$sensor"
@@ -37,6 +52,11 @@ case class PipelineConfig(
 }
 
 object PipelineConfig {
+  /** RocksDB-backed state store (ships with Spark 4): off-heap state with
+    * incremental snapshots — the provider a large deployment runs. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Conventional layout under one root (tests, local runs). */
   def under(root: String, bridgesCsv: String): PipelineConfig = PipelineConfig(
     landingRoot = s"$root/streams",

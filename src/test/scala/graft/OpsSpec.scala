@@ -135,6 +135,25 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("ngramJaccardPairsAuto equals the direct join on both corpus shapes") {
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // dense vocabulary (the synthetic corpus): auto must match direct
+    val dense = Tables.documents(spark, sf)
+    assert(triples(Dedup.ngramJaccardPairsAuto(dense, "doc_id", "text"))
+      == triples(Dedup.ngramJaccardPairs(dense, "doc_id", "text")))
+    // sparse vocabulary (every doc mints its own shingles + one dup pair):
+    // auto picks the prefix path; results still identical (lossless)
+    val sparse = ((0L until 40L).map(i =>
+        (i, (0 until 20).map(j => s"d${i}w$j").mkString(" "))) :+
+        (100L, (0 until 20).map(j => "d5w" + j).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(triples(Dedup.ngramJaccardPairsAuto(sparse, "doc_id", "text"))
+      == triples(Dedup.ngramJaccardPairs(sparse, "doc_id", "text")))
+    assert(triples(Dedup.ngramJaccardPairs(sparse, "doc_id", "text"))
+      .exists { case (a, b, j) => a == 5L && b == 100L && j == 1.0 })
+  }
+
   test("connectedComponents merges transitive chains to min-id labels") {
     // chain 1-2-3-4 (diameter 3, needs multi-round propagation) + pair 9-7
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("doc_a", "doc_b")
