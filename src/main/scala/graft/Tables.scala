@@ -34,7 +34,14 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long and truncate
     * to microseconds — the same truncation DuckDB applies implicitly — so
-    * both engines see identical timestamp values. */
+    * both engines see identical timestamp values.
+    *
+    * The session-conf mutation is deliberate: `nanosAsLong` is a legacy
+    * SQL conf with NO reader-level (`.option(...)`) equivalent — probed on
+    * Spark 4.1.2, a reader option is ignored and the scan still throws.
+    * The conf only affects schema mapping of nanos columns (a no-op for
+    * every other table here) and is idempotent, so setting it per read is
+    * the least-state alternative available. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")

@@ -97,6 +97,33 @@ object Text {
     when(size(toks) >= n, joined).otherwise(array().cast("array<string>"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): per document
+    * and n-gram order, the duplicate-n-gram fraction
+    * (1 − distinct/total) and the top-n-gram coverage (occurrences of the
+    * most frequent n-gram / total). High values flag boilerplate and
+    * degenerate repetition — a standard LLM training-data quality rule.
+    *
+    * Pure map-side projection, no shuffle. The n-gram arrays are projected
+    * to attributes FIRST so the nested occurrence-count lambdas capture a
+    * column read, not a re-evaluated shingling expression (the HOF trap);
+    * the count itself is O(|distinct|·|g|) per row on short arrays. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, ns: Seq[Int] = Seq(2, 3)): org.apache.spark.sql.DataFrame = {
+    val projected = df.select(col(idCol) +: ns.map(n =>
+      shingles(col(textCol), n).as(s"g$n")): _*)
+    val sigCols = ns.flatMap { n =>
+      val g = col(s"g$n")
+      val total = size(g)
+      val dup = when(total > 0,
+        lit(1.0) - size(array_distinct(g)) / total).otherwise(0.0)
+      val top = when(total > 0,
+        array_max(transform(array_distinct(g), x => size(filter(g, y => y === x)))) / total)
+        .otherwise(0.0)
+      Seq(dup.as(s"dup_${n}gram_frac"), top.as(s"top_${n}gram_frac"))
+    }
+    projected.select(col(idCol) +: sigCols: _*)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * k-gram, slide a window of `w` hashes, keep each window's minimum.
     * Guarantees any shared run of ≥ w+k-1 tokens yields a shared

@@ -182,7 +182,15 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style repetition quality signals per document. */
+  private val q44: Q = (s, d) => {
+    import s.implicits._
+    Text.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_repetition"        -> q44,
     "q43_dedup_clusters"    -> q43,
     "q42_curation"          -> q42,
     "q20_dedup_exact"       -> q20,
@@ -206,6 +214,20 @@ object ExtQueries {
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   val oracle: Map[String, String] = Map(
+    "q44_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1]) AS g2,
+        |        list_transform(generate_series(1, len(w) - 2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        |      FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN len(g2) > 0 THEN CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS top_2gram_frac,
+        |  CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS dup_3gram_frac,
+        |  CASE WHEN len(g3) > 0 THEN CAST(list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x)))) AS DOUBLE) / CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS top_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q43_dedup_clusters" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

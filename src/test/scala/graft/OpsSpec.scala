@@ -135,6 +135,21 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("repetitionSignals flags degenerate repetition, not varied text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),          // one 2-gram repeated
+      (2L, "one two three four five six seven eight")) // all distinct
+      .toDF("doc_id", "text")
+    val got = Text.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (dup2a, top2a, dup3a, top3a) = got(1L)
+    assert(dup2a == 0.8 && top2a == 1.0) // 5 bigrams, 1 distinct
+    assert(dup3a == 0.75 && top3a == 1.0)
+    val (dup2b, top2b, _, _) = got(2L)
+    assert(dup2b == 0.0 && top2b == 1.0 / 7.0)
+  }
+
   test("ngramJaccardPairsAuto equals the direct join on both corpus shapes") {
     def triples(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
