@@ -69,7 +69,14 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
 object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))))
+    "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))),
+    "minhash_sigs" -> (exprs => {
+      require(exprs(1).foldable, "minhash_sigs k must be a literal")
+      MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }),
+    "simhash_sig" -> (exprs => SimHashSignature(exprs(0))),
+    "array_top_count" -> (exprs => ArrayTopCount(exprs(0))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
@@ -79,11 +86,17 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private val classNames = Map(
+    "array_dot" -> classOf[ArrayDotProduct].getName,
+    "minhash_sigs" -> classOf[MinHashSignature].getName,
+    "simhash_sig" -> classOf[SimHashSignature].getName,
+    "array_top_count" -> classOf[ArrayTopCount].getName)
+
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[ArrayDotProduct].getName, name),
+        new ExpressionInfo(classNames(name), name),
         builder))
     }
 }

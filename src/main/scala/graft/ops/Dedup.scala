@@ -199,15 +199,31 @@ object Dedup {
     * xxhash64 with the function index (`xxhash64(shingle, i)`), min over
     * the document's shingle set.
     *
-    * Shape matters: explode shingles once, then k `min()` partial
-    * aggregates. The tempting pure-HOF form
-    * (`transform(0..k-1, i -> array_min(transform(shingles, ...)))`)
-    * re-evaluates the whole shingling expression for every i — Catalyst
-    * inlines the captured expression into each lambda invocation — and was
-    * measured 50× slower. The explode form hashes each shingle exactly k
-    * times, the `min`s combine map-side, and the only shuffle carries
-    * k longs per document. */
+    * Computed by the native [[graft.functions.MinHashSignature]]
+    * expression: one string hash + k integer finalizations per shingle,
+    * as a pure map-side projection — no explode, no shuffle. Bit-identical
+    * to [[minhashSignaturesExploded]] (asserted in OpsSpec), which it
+    * replaced after three measured shapes:
+    *  - pure-HOF (`transform(0..k-1, i -> array_min(...))`): the captured
+    *    shingling expression re-evaluates per i — 50× slower (the HOF
+    *    capture trap);
+    *  - explode + k partial `min()`s: each of the k aggregates re-hashes
+    *    the shingle STRING from scratch (k string hashes per shingle) and
+    *    the signature build pays an explode and a shuffle;
+    *  - native expression: k× less hash work, zero shuffle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+        call_function("minhash_sigs", Text.shingles(col(textCol)), lit(k)).as("sig"))
+      // the exploded form emits no row for a shingle-less doc; match it
+      .where($"sig".isNotNull)
+  }
+
+  /** The explode + k-partial-mins formulation of [[minhashSignatures]] —
+    * built-ins only. Kept as the cross-check path for the native
+    * expression (OpsSpec asserts bit-equality of the two). */
+  private[graft] def minhashSignaturesExploded(df: DataFrame, idCol: String,
+                                               textCol: String, k: Int): DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
       explode(array_distinct(Text.shingles(col(textCol)))).as("sh"))
     val aggs = (0 until k).map(i => min(xxhash64($"sh", lit(i))).as(s"h$i"))
@@ -225,19 +241,30 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
     val r = k / bands
+    // the signature frame is consumed three times (banding + two
+    // candidate re-attach joins): stage it — k longs per doc, orders of
+    // magnitude smaller than the corpus. Repeated invocations dedupe via
+    // the cache manager (same analyzed plan → same InMemoryRelation).
     val sig = minhashSignatures(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band_id"), xxhash64(slice($"sig", j * r + 1, r)).as("band_hash"))
     }
-    val banded = sig.select($"doc", $"sig", explode(array(bandStructs: _*)).as("band"))
-      .select($"doc", $"sig", $"band.band_id", $"band.band_hash")
-    val pairs = banded.select($"doc".as("doc_a"), $"sig".as("sig_a"), $"band_id", $"band_hash")
-      .join(banded.select($"doc".as("doc_b"), $"sig".as("sig_b"), $"band_id", $"band_hash"),
+    // candidate generation on NARROW rows (doc, band_id, band_hash): the
+    // k-long signatures stay out of the band shuffle and the pair rows,
+    // and are re-attached only to the deduplicated candidates (two joins
+    // against the staged per-doc signature frame)
+    val banded = sig.select($"doc", explode(array(bandStructs: _*)).as("band"))
+      .select($"doc", $"band.band_id", $"band.band_hash")
+    val cand = banded.select($"doc".as("doc_a"), $"band_id", $"band_hash")
+      .join(banded.select($"doc".as("doc_b"), $"band_id", $"band_hash"),
         Seq("band_id", "band_hash"))
       .where($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b")
+      .select($"doc_a", $"doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    pairs
+    cand
+      .join(sig.select($"doc".as("doc_a"), $"sig".as("sig_a")), Seq("doc_a"))
+      .join(sig.select($"doc".as("doc_b"), $"sig".as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (a, x) => a + x) / lit(k.toDouble))
@@ -304,13 +331,23 @@ object Dedup {
       lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
-  /** SimHash signatures at scale: explode token hashes once, 64 partial
-    * `sum` aggregates of per-bit signs, pack the signs into one long.
-    * Produces the same signature as [[simhash]] (same sign convention) but
-    * combines map-side — the shuffle carries 64 longs per doc, and no
-    * per-token array allocation happens (the HOF fold allocates two
-    * 64-wide arrays per token; this was the hot spot at sf0.1). */
+  /** SimHash signatures via the native [[graft.functions.SimHashSignature]]
+    * expression: one token hash + 64 counter updates per token, map-side,
+    * no explode/shuffle. Same signature as [[simhash]] (same sign
+    * convention) and as [[simhashSignaturesExploded]] — both equalities
+    * asserted in OpsSpec. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+        call_function("simhash_sig", Text.tokens(col(textCol))).as("sig"))
+      .where($"sig".isNotNull)
+  }
+
+  /** The explode + 64-sign-sum formulation of [[simhashSignatures]] —
+    * built-ins only; the shuffle carries 64 longs per doc. Kept as the
+    * cross-check path for the native expression. */
+  private[graft] def simhashSignaturesExploded(df: DataFrame, idCol: String,
+                                               textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"), explode(Text.tokens(col(textCol))).as("t"))
       .select($"doc", xxhash64($"t").as("h"))
     val sums = (0 until 64).map { j =>

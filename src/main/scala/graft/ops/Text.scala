@@ -109,6 +109,7 @@ object Text {
     * the count itself is O(|distinct|·|g|) per row on short arrays. */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, ns: Seq[Int] = Seq(2, 3)): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val projected = df.select(col(idCol) +: ns.map(n =>
       shingles(col(textCol), n).as(s"g$n")): _*)
     val sigCols = ns.flatMap { n =>
@@ -116,9 +117,12 @@ object Text {
       val total = size(g)
       val dup = when(total > 0,
         lit(1.0) - size(array_distinct(g)) / total).otherwise(0.0)
-      val top = when(total > 0,
-        array_max(transform(array_distinct(g), x => size(filter(g, y => y === x)))) / total)
-        .otherwise(0.0)
+      // max occurrence count via the native array_top_count expression —
+      // one hashmap pass per row. The built-in formulations are
+      // O(|distinct|·|g|) lambda dispatches (measured 6.6s at sf0.1) or
+      // an interpreted struct-fold over a sort (2.6s); the native pass
+      // keeps the whole projection inside codegen.
+      val top = when(total > 0, call_function("array_top_count", g) / total).otherwise(0.0)
       Seq(dup.as(s"dup_${n}gram_frac"), top.as(s"top_${n}gram_frac"))
     }
     projected.select(col(idCol) +: sigCols: _*)

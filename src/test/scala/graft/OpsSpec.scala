@@ -87,6 +87,20 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("native signature expressions match the exploded formulations bit-for-bit") {
+    val docs = Tables.documents(spark, sf)
+    val mNative = Dedup.minhashSignatures(docs, "doc_id", "text", 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    val mExploded = Dedup.minhashSignaturesExploded(docs, "doc_id", "text", 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(mNative.nonEmpty && mNative == mExploded)
+    val sNative = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val sExploded = Dedup.simhashSignaturesExploded(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sNative.nonEmpty && sNative == sExploded)
+  }
+
   test("MinHash estimate tracks exact Jaccard on duplicated docs") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
