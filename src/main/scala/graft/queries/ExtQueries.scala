@@ -189,7 +189,23 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Embedding-space near-dup clusters: LSH-bucketed cosine pairs fed
+    * through connected components — semantic dedup at cluster granularity
+    * (no oracle: seeded hyperplanes aren't DuckDB-expressible; golden-file
+    * checked instead). */
+  private val q45: Q = (s, d) => {
+    import s.implicits._
+    Dedup.connectedComponents(
+        Similarity.nearDupPairs(
+            Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding"),
+            minCosine = 0.4)
+          .select($"id_a", $"id_b"))
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q45_embed_clusters"    -> q45,
     "q44_repetition"        -> q44,
     "q43_dedup_clusters"    -> q43,
     "q42_curation"          -> q42,

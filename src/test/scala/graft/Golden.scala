@@ -19,7 +19,8 @@ object Golden {
     * committed sf0.01 golden files. */
   val queries: Seq[String] = Seq(
     "q25_minhash_pairs", "q26_simhash_pairs", "q28_knn_lsh",
-    "q29_winnow_fp", "q32_embed_neardup", "q41_knn_ivf")
+    "q29_winnow_fp", "q32_embed_neardup", "q41_knn_ivf",
+    "q45_embed_clusters")
 
   val sfDir = "/root/testdata/sf0.01"
 
