@@ -294,23 +294,32 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
-    var labels = edges.select($"src".as("node")).distinct()
+    // `persisted` tracks the exact cached frame (unpersist is plan-keyed;
+    // calling it on a projection of the cached plan would be a no-op and
+    // leak one cache entry per round)
+    var persisted = edges.select($"src".as("node")).distinct()
       .withColumn("label", $"node").persist()
+    var labels = persisted
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val viaNeighbors = edges
         .join(labels.select($"node".as("dst"), $"label"), Seq("dst"))
         .select($"src".as("node"), $"label")
-      val next = labels.union(viaNeighbors)
-        .groupBy($"node").agg(min($"label").as("label"))
+      // carry the previous label through the same aggregation (tagged
+      // self-rows) so convergence is a scan of the aggregated frame, not
+      // an extra per-round join: labels only ever decrease, so the round
+      // changed nothing iff no node has new < prev
+      val next = labels.select($"node", $"label", lit(true).as("self"))
+        .union(viaNeighbors.select($"node", $"label", lit(false).as("self")))
+        .groupBy($"node")
+        .agg(min($"label").as("label"),
+          min(when($"self", $"label")).as("prev"))
         .persist()
-      val changed = next
-        .join(labels.select($"node", $"label".as("prev")), Seq("node"))
-        .where($"label" =!= $"prev")
-      converged = changed.isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.where($"label" < $"prev").isEmpty
+      persisted.unpersist()
+      persisted = next
+      labels = next.select($"node", $"label")
       i += 1
     }
     edges.unpersist()
