@@ -75,6 +75,58 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame: parent doc, frame index, fake frame bytes. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB resize — a real deployment calls an image library; the fake is
+    * deterministic in (payload, target dims) so tests can pin it. The
+    * plumbing (typed Dataset in/out, partition-wise batching, binary
+    * stays map-side) is the production shape. */
+  private[ops] def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    // ??? <- real codec goes here; deterministic fake: header + truncated payload
+    val header = s"resized:${w}x$h:".getBytes("UTF-8")
+    header ++ bytes.take(math.max(0, w * h / 64))
+  }
+
+  /** Partition-wise resize of image records (non-images pass through
+    * unchanged): one decoder/scaler context per partition, lazy iterator,
+    * binary never shuffles. */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition scaler init would happen here (once, not per row)
+      it.map { r =>
+        if (r.media_type == "image") r.copy(content = resizeStub(r.content, w, h))
+        else r
+      }
+    }
+  }
+
+  /** Partition-wise frame sampling of video records: every `everyN`-th
+    * frame (index 0, everyN, 2·everyN, …) of each video becomes one
+    * output row. The fan-out happens inside the partition iterator
+    * (`flatMap`) — frames of one video never need co-location, so no
+    * shuffle is introduced; downstream feature extraction sees frame rows
+    * exactly like any other binary record. Frame *decode* is the same
+    * honest stub as [[decodeStub]] (no codecs in this container): fake
+    * frame bytes are a deterministic function of (payload, frame index).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[FrameSample] = {
+    require(everyN >= 1, s"everyN must be >= 1 (got $everyN)")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.media_type == "video").flatMap { r =>
+        val (_, _, nFrames) = decodeStub(r.media_type, r.content)
+        (0 until nFrames by everyN).iterator.map { f =>
+          // ??? <- real frame grab goes here; deterministic fake below
+          val fake = s"frame:$f:".getBytes("UTF-8") ++
+            r.content.slice(f % math.max(1, r.content.length), math.min(r.content.length, f % math.max(1, r.content.length) + 16))
+          FrameSample(r.doc_id, f, fake)
+        }
+      }
+    }
+  }
+
   /** Re-partition so each task holds roughly `budgetBytes` of payload in
     * EXPECTATION: the partition count is total/budget and records
     * hash-spread by doc_id, so the average task carries ~budget bytes.

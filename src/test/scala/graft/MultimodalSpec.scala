@@ -36,4 +36,41 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.where(col("media_type") === "image" && (col("width") < 64 || col("height") < 64)).count() == 0)
     feats.unpersist()
   }
+
+  test("resizeImages rewrites image payloads only, deterministically") {
+    val media = Multimodal.attachBinary(Tables.documents(spark, sf)).as[graft.ops.MediaRecord]
+    val resized = Multimodal.resizeImages(media, 32, 32).cache()
+    assert(resized.count() == media.count())
+    val byType = resized.collect().groupBy(_.media_type)
+    assert(byType("image").forall(r => new String(r.content.take(11), "UTF-8") == "resized:32x"))
+    // non-images untouched (byte-equal to the original payloads)
+    val orig = media.collect().map(r => r.doc_id -> r.content).toMap
+    assert(byType("audio").forall(r => r.content.sameElements(orig(r.doc_id))))
+    assert(byType("video").forall(r => r.content.sameElements(orig(r.doc_id))))
+    // deterministic on recompute
+    val again = Multimodal.resizeImages(media, 32, 32).collect()
+      .map(r => r.doc_id -> r.content.toSeq).toMap
+    assert(resized.collect().forall(r => again(r.doc_id) == r.content.toSeq))
+    resized.unpersist()
+  }
+
+  test("sampleFrames emits every Nth frame of videos only, no shuffle") {
+    val media = Multimodal.attachBinary(Tables.documents(spark, sf)).as[graft.ops.MediaRecord]
+    val frames = Multimodal.sampleFrames(media, everyN = 5).cache()
+    val videos = media.filter(_.media_type == "video").collect()
+    // expected count: ceil(n_frames / 5) per video, from the stub decoder
+    val expected = videos.map { r =>
+      val n = r.content.length / 50 + 1
+      (n + 4) / 5
+    }.sum
+    assert(frames.count() == expected)
+    // frame indices are 0, 5, 10, ... and unique per video
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc.values.forall(fs => fs.map(_.frame_idx).sorted.sameElements(
+      (0 until fs.length).map(_ * 5))))
+    // the sampling plan introduces no exchange (map-side fan-out)
+    val plan = Multimodal.sampleFrames(media, 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    frames.unpersist()
+  }
 }
