@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-stable only for a fixed partitioning — repartition
+  * the input (or run another engine) and the sample changes. These
+  * operators decide membership per ROW from a content hash, so the sample
+  * is a pure function of the data: reproducible across engines, partition
+  * layouts, and reruns, and any row's membership is auditable after the
+  * fact. The hash is md5 (identical lowercase hex in Spark and DuckDB —
+  * which is what makes the DuckDB oracle able to verify the sampler), and
+  * the keep rule is a lexicographic threshold on the hex digest, i.e. a
+  * uniform [0,1) draw with 128-bit resolution.
+  *
+  * At scale this is a map-side filter — no shuffle, pushes nothing, reads
+  * only the key column beyond the projection.
+  */
+object Sampling {
+
+  /** Hex threshold for a fraction: first 8 nibbles of the unit interval
+    * scaled to 16^8, zero-padded to the full 32-digit digest width. */
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1] (got $fraction)")
+    f"${(fraction * 4294967296.0).toLong}%08x" + "0" * 24
+  }
+
+  /** Membership predicate: md5(key as string) < threshold(fraction). */
+  def keepPredicate(key: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true)
+    else md5(key.cast("string")) < lit(hexThreshold(fraction))
+
+  /** Uniform deterministic sample: keep ~`fraction` of rows, decided per
+    * row by content hash of `keyCol`. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.where(keepPredicate(col(keyCol), fraction))
+
+  /** Stratified deterministic sample: per-stratum fractions (e.g.
+    * downsample dominant languages, keep the tail whole). Strata missing
+    * from the map use `defaultFraction`. The per-row decision is a single
+    * chained conditional on the stratum column — one map-side filter, no
+    * shuffle, no per-stratum passes. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    val key = col(keyCol)
+    val pred = fractions.toSeq.sortBy(_._1).foldRight(
+      keepPredicate(key, defaultFraction): Column) { case ((stratum, f), els) =>
+      when(col(strataCol) === stratum, keepPredicate(key, f)).otherwise(els)
+    }
+    df.where(pred)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Exact, Multimodal, Similarity, Text}
+import graft.ops.{Dedup, Exact, Multimodal, Sampling, Similarity, Text}
 
 /** North-star extension query surface: deduplication, similarity search,
   * text analysis, multimodal columns (SURVEY.md §7.4 + builder prompt).
@@ -204,7 +204,19 @@ object ExtQueries {
       .orderBy($"vec_id")
   }
 
+  /** Stratified deterministic corpus sampling: downsample dominant
+    * languages by content hash (reproducible across engines/partitionings
+    * — which is exactly what the DuckDB oracle verifies). */
+  private val q46: Q = (s, d) => {
+    import s.implicits._
+    Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.25))
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_stratified_sample" -> q46,
     "q45_embed_clusters"    -> q45,
     "q44_repetition"        -> q44,
     "q43_dedup_clusters"    -> q43,
@@ -230,6 +242,13 @@ object ExtQueries {
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   val oracle: Map[String, String] = Map(
+    "q46_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CASE
+         |  WHEN lang = 'en' THEN md5(CAST(doc_id AS VARCHAR)) < '80000000${"0" * 24}'
+         |  WHEN lang = 'zh' THEN md5(CAST(doc_id AS VARCHAR)) < '40000000${"0" * 24}'
+         |  ELSE true END
+         |ORDER BY doc_id""".stripMargin,
     "q44_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id,

@@ -149,6 +149,27 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("deterministic sampling: partition-independent, fraction-accurate, stratified") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val n = docs.count().toDouble
+    val half = Sampling.deterministicSample(docs, "doc_id", 0.5)
+    val got = half.count().toDouble
+    assert(math.abs(got / n - 0.5) < 0.07, s"sampled ${got / n}")
+    // pure function of the data: identical under a different partitioning
+    val reparted = Sampling.deterministicSample(docs.repartition(13), "doc_id", 0.5)
+    assert(half.select("doc_id").exceptAll(reparted.select("doc_id")).isEmpty)
+    assert(reparted.count() == got)
+    // stratified: untouched strata stay complete, sampled stratum shrinks
+    val strat = Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 0.25))
+    val byLang = strat.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val origByLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    origByLang.keys.filter(_ != "en").foreach(l => assert(byLang(l) == origByLang(l)))
+    assert(byLang("en") < origByLang("en") / 2)
+    // boundary fractions
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() == n)
+    assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() == 0)
+  }
+
   test("repetitionSignals flags degenerate repetition, not varied text") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),          // one 2-gram repeated
