@@ -215,7 +215,24 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Mergeable distinct-count sketches (DataSketches HLL): per-type user
+    * sketches plus an 'ALL' row re-aggregated by sketch UNION — the
+    * 100 TB rollup pattern (store sketches, merge them at query time;
+    * recounting raw data per rollup level is what doesn't scale). No
+    * oracle: DuckDB's approx_count_distinct is a different sketch;
+    * golden-file checked (HLL register merge is order-independent). */
+  private val q47: Q = (s, d) => {
+    import s.implicits._
+    val sk = Tables.events(s, d).groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    sk.select($"event_type", hll_sketch_estimate($"sk").as("approx_users"))
+      .unionByName(sk.agg(hll_union_agg($"sk").as("u"))
+        .select(lit("ALL").as("event_type"), hll_sketch_estimate($"u").as("approx_users")))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_sketch_rollup"     -> q47,
     "q46_stratified_sample" -> q46,
     "q45_embed_clusters"    -> q45,
     "q44_repetition"        -> q44,

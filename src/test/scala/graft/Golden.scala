@@ -20,7 +20,7 @@ object Golden {
   val queries: Seq[String] = Seq(
     "q25_minhash_pairs", "q26_simhash_pairs", "q28_knn_lsh",
     "q29_winnow_fp", "q32_embed_neardup", "q41_knn_ivf",
-    "q45_embed_clusters")
+    "q45_embed_clusters", "q47_sketch_rollup")
 
   val sfDir = "/root/testdata/sf0.01"
 
