@@ -40,4 +40,17 @@ object Quality {
     * loses a row: valid ∪ invalid = input, valid ∩ invalid = ∅. */
   def split(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
     (df.where(valid), df.where(!coalesce(valid, lit(false))))
+
+  /** Rejection-reason attribution: label every row with the FIRST failing
+    * rule (ordered — deterministic for the audit) or NULL when all rules
+    * pass. A quarantine table with reasons is what makes DQ actionable
+    * (which upstream broke, how often) instead of a write-only dump; the
+    * label is one map-side conditional, so attribution costs nothing at
+    * scale. Rule predicates are evaluated NULL-safe: a rule whose
+    * predicate is NULL (e.g. a range check on a NULL value) counts as
+    * failed, mirroring [[split]]'s routing. */
+  def rejectReason(rules: Seq[(String, Column)]): Column =
+    rules.foldRight(lit(null).cast("string")) { case ((name, pred), els) =>
+      when(!coalesce(pred, lit(false)), lit(name)).otherwise(els)
+    }
 }

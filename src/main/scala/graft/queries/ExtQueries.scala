@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Exact, Multimodal, Sampling, Similarity, Text}
+import graft.ops.{Dedup, Exact, Multimodal, Quality, Sampling, Similarity, Text}
 
 /** North-star extension query surface: deduplication, similarity search,
   * text analysis, multimodal columns (SURVEY.md §7.4 + builder prompt).
@@ -231,7 +231,25 @@ object ExtQueries {
       .orderBy($"event_type")
   }
 
+  /** Reason-attributed quarantine audit: every rejected row labeled with
+    * its first failing DQ rule, counts per reason — the view a data-
+    * platform team actually watches (which upstream broke, how often). */
+  private val q48: Q = (s, d) => {
+    import s.implicits._
+    val rules = Seq(
+      "null_value" -> $"value".isNotNull,
+      "value_low"  -> ($"value" >= 0.0),
+      "value_high" -> ($"value" <= 100.0),
+      "null_type"  -> $"event_type".isNotNull)
+    Tables.events(s, d)
+      .withColumn("reject_reason", Quality.rejectReason(rules))
+      .where($"reject_reason".isNotNull)
+      .groupBy($"reject_reason").agg(count(lit(1)).as("n_rows"))
+      .orderBy($"reject_reason")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_reject_reasons"    -> q48,
     "q47_sketch_rollup"     -> q47,
     "q46_stratified_sample" -> q46,
     "q45_embed_clusters"    -> q45,
@@ -259,6 +277,17 @@ object ExtQueries {
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   val oracle: Map[String, String] = Map(
+    "q48_reject_reasons" ->
+      """WITH r AS (SELECT CASE
+        |    WHEN value IS NULL THEN 'null_value'
+        |    WHEN NOT (value >= 0.0) THEN 'value_low'
+        |    WHEN NOT (value <= 100.0) THEN 'value_high'
+        |    WHEN event_type IS NULL THEN 'null_type'
+        |    ELSE NULL END AS reject_reason
+        |  FROM events)
+        |SELECT reject_reason, count(*) AS n_rows FROM r
+        |WHERE reject_reason IS NOT NULL
+        |GROUP BY reject_reason ORDER BY reject_reason""".stripMargin,
     "q46_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE CASE

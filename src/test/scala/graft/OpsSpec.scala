@@ -149,6 +149,26 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("rejectReason labels the first failing rule, NULL-safe, and agrees with split") {
+    val df = Seq[(Integer, java.lang.Double, String)](
+      (1, 50.0, "ok"), (2, null, "t"), (3, -5.0, "t"), (4, 500.0, null), (5, 50.0, null))
+      .toDF("id", "v", "t")
+    val rules = Seq(
+      "null_v"  -> col("v").isNotNull,
+      "v_low"   -> (col("v") >= 0.0),
+      "v_high"  -> (col("v") <= 100.0),
+      "null_t"  -> col("t").isNotNull)
+    val got = df.withColumn("r", Quality.rejectReason(rules))
+      .select("id", "r").as[(Int, String)].collect().toMap
+    // first failing rule wins: row 4 fails v_high before null_t
+    assert(got == Map(1 -> null, 2 -> "null_v", 3 -> "v_low", 4 -> "v_high", 5 -> "null_t"))
+    // NULL reason <=> valid side of the conjunction split
+    val (ok, bad) = Quality.split(df, rules.map(_._2).reduce(_ && _))
+    assert(df.withColumn("r", Quality.rejectReason(rules)).where(col("r").isNull)
+      .select("id").as[Int].collect().toSet == ok.select("id").as[Int].collect().toSet)
+    assert(bad.count() == got.values.count(_ != null))
+  }
+
   test("deterministic sampling: partition-independent, fraction-accurate, stratified") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val n = docs.count().toDouble
