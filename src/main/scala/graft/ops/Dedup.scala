@@ -279,21 +279,35 @@ object Dedup {
     * appears in a pair, component_id = the minimum doc id in the
     * component.
     *
-    * Algorithm: iterative min-label propagation to fixpoint — each round
-    * every vertex takes the min of its own and its neighbors' labels (one
-    * equi-join + groupBy-min per round), converging in O(diameter) rounds.
-    * Near-dup graphs have tiny diameters (dup clusters are dense), so this
-    * beats the log-round large-star/small-star machinery in practice; the
-    * per-round cost is one shuffle of |E| + |V| rows. The driver-side loop
-    * makes one scalar convergence probe per round (a control decision,
-    * not a data collect); labels are persisted per round and the previous
-    * round is unpersisted, so peak storage is 2|V| label rows. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Algorithm, size-adaptive (the same reasoning that makes Spark
+    * broadcast a small join side):
+    *  - small edge sets (≤ `driverLimit` pair rows — the pair count is
+    *    known cheaply because the edge frame is persisted anyway) are
+    *    collected and solved with driver-side union-find: microseconds of
+    *    CPU instead of O(diameter) Spark rounds of per-job overhead. A
+    *    near-dup pair list is ALREADY a reduction of the corpus by many
+    *    orders of magnitude, so this is the common case even at large
+    *    input scale.
+    *  - larger graphs run iterative min-label propagation to fixpoint —
+    *    each round every vertex takes the min of its own and its
+    *    neighbors' labels (one equi-join + groupBy-min per round),
+    *    converging in O(diameter) rounds; near-dup graphs have tiny
+    *    diameters (dup clusters are dense). Labels persist per round, the
+    *    previous round unpersists, so peak storage is 2|V| label rows. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverLimit: Long = 1L << 20): DataFrame = {
     val aCol = pairs.columns(0)
     val bCol = pairs.columns(1)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
+    if (edges.count() <= 2 * driverLimit) {
+      val result = connectedComponentsDriver(
+        edges.select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1))),
+        pairs.sparkSession)
+      edges.unpersist()
+      return result
+    }
     // `persisted` tracks the exact cached frame (unpersist is plan-keyed;
     // calling it on a projection of the cached plan would be a no-op and
     // leak one cache entry per round)
@@ -324,6 +338,30 @@ object Dedup {
     }
     edges.unpersist()
     labels.select($"node".as("doc_id"), $"label".as("component_id"))
+  }
+
+  /** Driver-side union-find with path compression + union-by-min, used
+    * for small edge sets. Produces the identical (doc, min-id) labeling
+    * as the distributed fixpoint. */
+  private def connectedComponentsDriver(
+      edges: Array[(Long, Long)],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.map(v => (v, find(v))).sorted
+      .toDF("doc_id", "component_id")
   }
 
   /** 64-bit SimHash computed entirely per-row: fold token hashes into 64

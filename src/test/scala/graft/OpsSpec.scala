@@ -232,6 +232,16 @@ class OpsSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents: distributed fixpoint equals driver union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L), (100L, 1L),
+      (50L, 60L), (60L, 70L), (70L, 50L)).toDF("doc_a", "doc_b")
+    val small = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, driverLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(small == dist)
+    assert(small(100L) == 1L && small(70L) == 50L)
+  }
+
   test("AsOf.join preserves a NULL payload value on the matched row") {
     // the matched right row (00:05) carries v = NULL; true as-of returns
     // NULL, not the older row's 1.0
