@@ -128,6 +128,18 @@ object Text {
     projected.select(col(idCol) +: sigCols: _*)
   }
 
+  /** Ordered regex scrubbing — the text-cleaning / PII-redaction step of
+    * a curation pipeline (strip numeric identifiers, normalize
+    * whitespace, mask emails, …) as a pure map-side fold of
+    * `regexp_replace`s. Rules apply in sequence, each replacing ALL
+    * matches. Patterns should stay in the RE2-compatible subset so the
+    * same rules run on any engine (the DuckDB oracle verifies q49's rules
+    * verbatim). */
+  def scrub(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (acc, (pattern, replacement)) =>
+      regexp_replace(acc, pattern, replacement)
+    }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * k-gram, slide a window of `w` hashes, keep each window's minimum.
     * Guarantees any shared run of ≥ w+k-1 tokens yields a shared

@@ -248,7 +248,19 @@ object ExtQueries {
       .orderBy($"reject_reason")
   }
 
+  /** Payload scrubbing: redact numeric identifiers in event payloads and
+    * count distinct shapes — the masking step before payloads leave a
+    * controlled domain. */
+  private val q49: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(Text.scrub($"props", Seq("[0-9]+" -> "#")).as("props_shape"))
+      .groupBy($"props_shape").agg(count(lit(1)).as("n_events"))
+      .orderBy($"props_shape")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q49_scrub_payloads"    -> q49,
     "q48_reject_reasons"    -> q48,
     "q47_sketch_rollup"     -> q47,
     "q46_stratified_sample" -> q46,
@@ -277,6 +289,10 @@ object ExtQueries {
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   val oracle: Map[String, String] = Map(
+    "q49_scrub_payloads" ->
+      """SELECT regexp_replace(props, '[0-9]+', '#', 'g') AS props_shape,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY props_shape""".stripMargin,
     "q48_reject_reasons" ->
       """WITH r AS (SELECT CASE
         |    WHEN value IS NULL THEN 'null_value'

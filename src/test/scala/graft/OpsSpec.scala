@@ -149,6 +149,16 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("scrub applies ordered regex rules to all matches") {
+    val df = Seq("user 12345 paid 99 at a@b.com", "no digits here").toDF("t")
+    val got = df.select(Text.scrub(col("t"), Seq(
+        "[0-9]+" -> "#",
+        "[a-z]+@[a-z.]+" -> "<email>")).as("s"))
+      .as[String].collect()
+    assert(got(0) == "user # paid # at <email>")
+    assert(got(1) == "no digits here")
+  }
+
   test("rejectReason labels the first failing rule, NULL-safe, and agrees with split") {
     val df = Seq[(Integer, java.lang.Double, String)](
       (1, 50.0, "ok"), (2, null, "t"), (3, -5.0, "t"), (4, 500.0, null), (5, 50.0, null))
