@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Exact, Multimodal, Quality, Sampling, Similarity, Text}
+import graft.ops.{Dedup, Exact, Multimodal, Packing, Quality, Sampling, Similarity, Text}
 
 /** North-star extension query surface: deduplication, similarity search,
   * text analysis, multimodal columns (SURVEY.md §7.4 + builder prompt).
@@ -259,7 +259,21 @@ object ExtQueries {
       .orderBy($"props_shape")
   }
 
+  /** Sequence packing: per-language contiguous token-budget bins with
+    * per-bin document and token counts — the batch-assembly step of a
+    * pretraining pipeline. */
+  private val q50: Q = (s, d) => {
+    import s.implicits._
+    val withTokens = Tables.documents(s, d)
+      .select($"doc_id", $"lang", Text.tokenCount($"text").as("n_tokens"))
+    Packing.packSequences(withTokens, Seq("lang"), "doc_id", "n_tokens", budget = 512)
+      .groupBy($"lang", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .orderBy($"lang", $"bin_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q50_seq_packing"       -> q50,
     "q49_scrub_payloads"    -> q49,
     "q48_reject_reasons"    -> q48,
     "q47_sketch_rollup"     -> q47,
@@ -289,6 +303,18 @@ object ExtQueries {
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   val oracle: Map[String, String] = Map(
+    "q50_seq_packing" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT lang, doc_id, n_tokens,
+        |    CAST((sum(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512
+        |      AS BIGINT) AS bin_id
+        |  FROM t)
+        |SELECT lang, bin_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin,
     "q49_scrub_payloads" ->
       """SELECT regexp_replace(props, '[0-9]+', '#', 'g') AS props_shape,
         |  count(*) AS n_events

@@ -149,6 +149,18 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("packSequences bins contiguously by token budget, boundary-split") {
+    val df = Seq((1L, "a", 300), (2L, "a", 300), (3L, "a", 300), (4L, "a", 50),
+        (5L, "b", 600))
+      .toDF("doc_id", "grp", "n_tok")
+    val got = Packing.packSequences(df, Seq("grp"), "doc_id", "n_tok", budget = 512)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    // doc1 starts at 0 -> bin 0; doc2 starts at 300 -> bin 0 (straddles);
+    // doc3 starts at 600 -> bin 1; doc4 starts at 900 -> bin 1;
+    // group b independent: doc5 starts at 0 -> bin 0
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("scrub applies ordered regex rules to all matches") {
     val df = Seq("user 12345 paid 99 at a@b.com", "no digits here").toDF("t")
     val got = df.select(Text.scrub(col("t"), Seq(
