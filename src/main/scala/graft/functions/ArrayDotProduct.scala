@@ -71,7 +71,14 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))),
     "minhash_sigs" -> (exprs => {
-      require(exprs(1).foldable, "minhash_sigs k must be a literal")
+      // clear analysis-time errors for the spark.sql surface: arity first,
+      // then the literal-k requirement, instead of raw IndexOutOfBounds
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"minhash_sigs expects 2 arguments (array<string>, k literal), got ${exprs.length}")
+      if (!exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "minhash_sigs: k (2nd argument) must be a literal integer")
       MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())
     }),

@@ -51,12 +51,20 @@ object Dedup {
     * as q42's curated subset that repetition dominated the runtime.
     *
     * Candidate cost is Σ_shingle df²/2, same as any inverted-index join.
-    * On corpora with unboundedly frequent shingles (stop-shingles at
-    * 100 TB) pass `maxDf` to switch to [[ngramJaccardPairsCapped]]'s
-    * df-capped semantics — the standard stop-shingle lever. */
+    * Skew safety ladder: posting lists up to `inArrayLimit` generate
+    * their pairs inside the array (fast path, zero extra shuffles);
+    * longer lists fall back to a per-shingle self-join scoped to just
+    * those shingles, so the O(df²) pairs STREAM through the join instead
+    * of materializing as one in-row array (an unbounded in-array
+    * generation would OOM a task on the first 100k-doc stop-shingle).
+    * For truly unbounded stop-shingles (df in the millions — where even
+    * the posting list itself is unreasonable) pass `maxDf` to switch to
+    * [[ngramJaccardPairsCapped]]'s df-capped semantics — the standard
+    * stop-shingle lever. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxDf: Option[Int] = None): DataFrame = maxDf match {
+                        maxDf: Option[Int] = None,
+                        inArrayLimit: Int = 512): DataFrame = maxDf match {
     case Some(cap) => ngramJaccardPairsCapped(df, idCol, textCol, n, threshold, cap)
     case None =>
       val docs = df.select(col(idCol).as("doc"),
@@ -64,22 +72,34 @@ object Dedup {
       val sh = docs.select($"doc", size($"shs").as("n"), explode($"shs").as("sh"))
       val postings = sh.groupBy($"sh")
         .agg(collect_list(struct($"doc", $"n")).as("ds"))
-      // All ordered pairs within one posting list; `ds` is a plain
+      // The size-compatibility filter is the standard lossless length
+      // bound: jaccard(A,B) ≤ min/max, so a qualifying pair has
+      // min(n) ≥ t·max(n) — ε-relaxed so IEEE round-off can only ADMIT
+      // extra candidates (the exact jaccard filter at the end re-checks).
+      val eps = 1e-9
+      def lenOk(a: Column, b: Column): Column =
+        least(a("n"), b("n")) >= lit(threshold) * greatest(a("n"), b("n")) - eps
+      // fast path: all ordered pairs inside the array; `ds` is a plain
       // aggregation attribute, so its capture by the nested lambda is a
       // column read, not a re-evaluated expression (the HOF trap needs a
-      // *computed* captured expression). The size-compatibility filter is
-      // the standard lossless length bound: jaccard(A,B) ≤ min/max, so a
-      // qualifying pair has min(n) ≥ t·max(n) — ε-relaxed so IEEE
-      // round-off can only ADMIT extra candidates (the exact jaccard
-      // filter at the end re-checks them).
-      val eps = 1e-9
+      // *computed* captured expression)
       val pairsInList = flatten(transform($"ds", x =>
-        transform(filter($"ds", y => y("doc") > x("doc") &&
-            least(x("n"), y("n")) >= lit(threshold) * greatest(x("n"), y("n")) - eps), y =>
+        transform(filter($"ds", y => y("doc") > x("doc") && lenOk(x, y)), y =>
           struct(x("doc").as("doc_a"), y("doc").as("doc_b"),
             x("n").as("n_a"), y("n").as("n_b")))))
-      val inter = postings
+      val small = postings.where(size($"ds") <= inArrayLimit)
         .select(explode(pairsInList).as("p"))
+      // skew path: re-explode only the oversized posting lists and pair
+      // them with a per-shingle equi self-join (both sides derive from
+      // the same aggregated exchange, which Spark plans once and reuses)
+      val largeRows = postings.where(size($"ds") > inArrayLimit)
+        .select($"sh", explode($"ds").as("x"))
+      val large = largeRows
+        .join(largeRows.select($"sh", $"x".as("y")), Seq("sh"))
+        .where($"x.doc" < $"y.doc" && lenOk($"x", $"y"))
+        .select(struct($"x.doc".as("doc_a"), $"y.doc".as("doc_b"),
+          $"x.n".as("n_a"), $"y.n".as("n_b")).as("p"))
+      val inter = small.unionByName(large)
         .select($"p.doc_a", $"p.doc_b", $"p.n_a".as("n_a"), $"p.n_b".as("n_b"))
         .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b").agg(count(lit(1)).as("inter"))
       jaccardScore(inter, threshold)
@@ -298,8 +318,10 @@ object Dedup {
                           driverLimit: Long = 1L << 20): DataFrame = {
     val aCol = pairs.columns(0)
     val bCol = pairs.columns(1)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // ids normalized to long so both paths (driver union-find and the
+    // distributed fixpoint) emit the same (bigint, bigint) schema
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .persist()
     if (edges.count() <= 2 * driverLimit) {
       val result = connectedComponentsDriver(
@@ -337,6 +359,18 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // a silent partial result would under-merge clusters — exactly the
+    // bug this operator exists to prevent; a diameter > maxIter graph is
+    // pathological for near-dup data, so fail loudly instead
+    if (!converged) {
+      persisted.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          s"(graph diameter exceeds maxIter); raise maxIter")
+    }
+    // NOTE: the returned frame reads the final round's persisted labels;
+    // long-lived callers can release it with spark.catalog.clearCache or
+    // by unpersisting after materializing the result
     labels.select($"node".as("doc_id"), $"label".as("component_id"))
   }
 

@@ -12,19 +12,23 @@ import org.apache.spark.sql.functions._
   * layouts, and reruns, and any row's membership is auditable after the
   * fact. The hash is md5 (identical lowercase hex in Spark and DuckDB —
   * which is what makes the DuckDB oracle able to verify the sampler), and
-  * the keep rule is a lexicographic threshold on the hex digest, i.e. a
-  * uniform [0,1) draw with 128-bit resolution.
+  * the keep rule is a lexicographic threshold on the hex digest — a
+  * uniform [0,1) draw compared at 2⁻⁶⁴ threshold resolution.
   *
   * At scale this is a map-side filter — no shuffle, pushes nothing, reads
   * only the key column beyond the projection.
   */
 object Sampling {
 
-  /** Hex threshold for a fraction: first 8 nibbles of the unit interval
-    * scaled to 16^8, zero-padded to the full 32-digit digest width. */
+  /** Hex threshold for a fraction: first 16 nibbles of the unit interval
+    * scaled to 16^16, zero-padded to the full 32-digit digest width.
+    * Resolution is therefore 2⁻⁶⁴ — fractions are quantized to that grid
+    * (a double has only 53 mantissa bits anyway, so the threshold is
+    * exact for every representable fraction). */
   private def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1] (got $fraction)")
-    f"${(fraction * 4294967296.0).toLong}%08x" + "0" * 24
+    val scaled = (BigDecimal(fraction) * BigDecimal(BigInt(1) << 64)).toBigInt
+    f"${scaled.toString(16)}%16s".replace(' ', '0') + "0" * 16
   }
 
   /** Membership predicate: md5(key as string) < threshold(fraction). */

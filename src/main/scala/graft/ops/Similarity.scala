@@ -209,7 +209,15 @@ object Similarity {
 
   /** Train-once memo: fitted centroids per (canonicalized candidate plan,
     * nCells, sampleCap) — repeated queries over the same candidate set
-    * reuse the index instead of re-running the sample job. */
+    * reuse the index instead of re-running the sample job.
+    *
+    * Two documented limits of plan-keyed memoization: (1) if the FILES
+    * behind an identical plan change, the cached index is stale — rebuild
+    * explicitly with [[buildIvfIndex]] (training is one cheap bounded
+    * job); (2) entries are never individually evicted, so the map is
+    * cleared wholesale past a small bound to keep long-lived drivers from
+    * accumulating plan trees. */
+  private val IvfCacheMax = 64
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), IvfIndex]()
 
@@ -219,6 +227,7 @@ object Similarity {
   def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     val key = (candidates.queryExecution.analyzed.canonicalized, nCells, 4096)
+    if (ivfCache.size() > IvfCacheMax) ivfCache.clear()
     val index = ivfCache.computeIfAbsent(key, _ => buildIvfIndex(candidates, nCells))
     probeIvf(index, queries, candidates, k, nProbe)
   }

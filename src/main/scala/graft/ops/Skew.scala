@@ -20,7 +20,8 @@ object Skew {
     * across all `saltFactor` salts, so any type that can emit an
     * *unmatched dim row* (right/full outer) would emit it saltFactor
     * times. */
-  private val safeJoinTypes = Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+  private val safeJoinTypes =
+    Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {

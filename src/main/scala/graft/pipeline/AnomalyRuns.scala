@@ -57,16 +57,26 @@ object AnomalyRuns {
       .flatMapGroupsWithState[RunState, AnomalyAlert](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((bridge, sensor), rows, state) =>
+          // full microsecond precision: getTime is millis only — the
+          // sub-millisecond part lives in getNanos (events here are
+          // micros via the TIMESTAMP(NANOS) handling)
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
           val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyAlert]
           var st = state.getOption.getOrElse(RunState(0, 0L, 0L))
-          rows.toSeq.sortBy(_.event_time_ts.getTime).foreach { r =>
+          rows.toSeq.sortBy(r => micros(r.event_time_ts)).foreach { r =>
             if (isAnomalous(r)) {
-              val ts = r.event_time_ts.getTime * 1000L
+              val ts = micros(r.event_time_ts)
               st = RunState(st.runLen + 1, if (st.runLen == 0) ts else st.startUs, ts)
-              if (st.runLen == minRun)
+              if (st.runLen == minRun) {
+                def toTs(us: Long): java.sql.Timestamp = {
+                  val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+                  t.setNanos((us % 1000000L).toInt * 1000)
+                  t
+                }
                 out += AnomalyAlert(bridge, sensor, st.runLen,
-                  new java.sql.Timestamp(st.startUs / 1000L),
-                  new java.sql.Timestamp(st.lastUs / 1000L))
+                  toTs(st.startUs), toTs(st.lastUs))
+              }
             } else {
               st = RunState(0, 0L, 0L)
             }

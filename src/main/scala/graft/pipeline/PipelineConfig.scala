@@ -29,10 +29,16 @@ case class PipelineConfig(
     stateStoreProvider: Option[String] = None) {
 
   /** Apply session-level knobs (state store) — called by the pipeline
-    * orchestrators before starting streaming queries. */
+    * orchestrators before starting streaming queries. None RESETS the
+    * conf to Spark's default, so a config without a provider never
+    * silently inherits one a previous pipeline set on the same session. */
   def applySessionConf(spark: org.apache.spark.sql.SparkSession): Unit =
-    stateStoreProvider.foreach(
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    stateStoreProvider match {
+      case Some(cls) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
 
   def landingDir(sensor: String): String = s"$landingRoot/bridge_$sensor"
   def bronzeDir(sensor: String): String = s"$bronzeRoot/$sensor"

@@ -254,6 +254,24 @@ class OpsSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("jaccard skew path (forced per-shingle join) equals the in-array path") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inArray = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+    // inArrayLimit = 1 pushes every posting list with df >= 2 through the
+    // per-shingle self-join fallback
+    val joined = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", inArrayLimit = 1))
+    assert(inArray.nonEmpty && inArray == joined)
+  }
+
+  test("connectedComponents fails loudly when maxIter is too small to converge") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1, driverLimit = 0L).collect()
+    }
+  }
+
   test("connectedComponents: distributed fixpoint equals driver union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L), (100L, 1L),
       (50L, 60L), (60L, 70L), (70L, 50L)).toDF("doc_a", "doc_b")
