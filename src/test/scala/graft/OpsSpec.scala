@@ -149,6 +149,33 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) == null) // no right row at or before
   }
 
+  test("sampling is monotone in fraction (threshold chain gives subset chain)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val chains = Seq(0.05, 0.2, 0.5, 0.9, 1.0).map { f =>
+      f -> Sampling.deterministicSample(docs, "doc_id", f)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    chains.sliding(2).foreach { case Seq((fa, a), (fb, b)) =>
+      assert(a.subsetOf(b), s"sample($fa) must be a subset of sample($fb)")
+    }
+    assert(chains.last._2.size == docs.count())
+  }
+
+  test("packSequences agrees with a sequential driver-side reference packing") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i, "g" + (i % 3), 1 + rnd.nextInt(400)))
+    val df = rows.toDF("doc_id", "grp", "n_tok")
+    val got = Packing.packSequences(df, Seq("grp"), "doc_id", "n_tok", budget = 1000)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    val expected = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy(_._1).map { case (id, _, tok) =>
+        val bin = cum / 1000; cum += tok; id -> bin
+      }
+    }
+    assert(got == expected)
+  }
+
   test("packSequences bins contiguously by token budget, boundary-split") {
     val df = Seq((1L, "a", 300), (2L, "a", 300), (3L, "a", 300), (4L, "a", 50),
         (5L, "b", 600))
