@@ -45,10 +45,12 @@ object Dedup {
     * array (set size carried alongside), the index groups postings per
     * shingle, and candidate pairs are generated *inside* each posting-list
     * array — so the input subtree is evaluated exactly once and the whole
-    * computation costs two shuffles (by shingle, then by pair). The earlier
-    * self-join form evaluated the upstream plan four times (two join sides
-    * plus two size joins) and shuffled five times; on a derived input such
-    * as q42's curated subset that repetition dominated the runtime.
+    * computation costs two shuffles (by shingle, then by pair) when no
+    * posting list exceeds `inArrayLimit` (plus a per-shingle join scoped
+    * to the oversized lists otherwise). The earlier self-join form
+    * evaluated the upstream plan four times (two join sides plus two size
+    * joins) and shuffled five times; on a derived input such as q42's
+    * curated subset that repetition dominated the runtime.
     *
     * Candidate cost is Σ_shingle df²/2, same as any inverted-index join.
     * Skew safety ladder: posting lists up to `inArrayLimit` generate
