@@ -128,6 +128,33 @@ object Text {
     projected.select(col(idCol) +: sigCols: _*)
   }
 
+  /** Overlapping token-window chunking — the document → embedding-unit
+    * step of a retrieval/embedding pipeline: each document becomes
+    * ceil(max(|tokens| − overlap, 1) / (chunkSize − overlap)) chunks of up
+    * to `chunkSize` tokens, consecutive chunks sharing `overlap` tokens.
+    * Returns (id, chunk_idx, chunk_text, chunk_tokens) rows.
+    *
+    * Shape: the token array is projected to an attribute FIRST, so the
+    * per-chunk `slice` lambdas capture a column read, not a re-evaluated
+    * `split` (the HOF trap); the fan-out is a single posexplode — one
+    * map-side generate, no shuffle. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize (got chunkSize=$chunkSize, overlap=$overlap)")
+    val step = chunkSize - overlap
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val nChunks = greatest(lit(1),
+      expr(s"(size(__toks) - $overlap + $step - 1) div $step"))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => slice($"__toks", i * step + 1, lit(chunkSize)))
+    withToks
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), $"chunk_idx",
+        concat_ws(" ", $"__chunk").as("chunk_text"),
+        size($"__chunk").as("chunk_tokens"))
+  }
+
   /** Ordered regex scrubbing — the text-cleaning / PII-redaction step of
     * a curation pipeline (strip numeric identifiers, normalize
     * whitespace, mask emails, …) as a pure map-side fold of

@@ -272,7 +272,18 @@ object ExtQueries {
       .orderBy($"lang", $"bin_id")
   }
 
+  /** Token-window chunking: documents → overlapping 32-token chunks
+    * (8-token overlap), the embedding-unit fan-out of a retrieval
+    * pipeline. */
+  private val q51: Q = (s, d) => {
+    import s.implicits._
+    Text.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q51_chunking"          -> q51,
     "q50_seq_packing"       -> q50,
     "q49_scrub_payloads"    -> q49,
     "q48_reject_reasons"    -> q48,
@@ -303,6 +314,15 @@ object ExtQueries {
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   val oracle: Map[String, String] = Map(
+    "q51_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |n AS (SELECT doc_id, w, greatest(1, (len(w) - 8 + 23) // 24) AS nc FROM t),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n),
+        |s AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |        list_slice(w, i * 24 + 1, i * 24 + 32) AS ch FROM c)
+        |SELECT doc_id, chunk_idx, array_to_string(ch, ' ') AS chunk_text,
+        |  CAST(len(ch) AS INTEGER) AS chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "q50_seq_packing" ->
       """WITH t AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

@@ -188,6 +188,24 @@ class OpsSpec extends SparkSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("chunkTokens covers every token with the configured overlap") {
+    val doc = (1 to 50).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val chunks = Text.chunkTokens(df, "doc_id", "text", chunkSize = 20, overlap = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // 50 tokens, step 15 -> ceil(45/15) = 3 chunks at starts 1, 16, 31
+    assert(d1.length == 3)
+    assert(d1(0)._3.startsWith("w1 ") && d1(0)._4 == 20)
+    assert(d1(1)._3.startsWith("w16 ") && d1(1)._4 == 20)
+    assert(d1(2)._3.startsWith("w31 ") && d1(2)._4 == 20) // tokens 31..50
+    // consecutive chunks overlap by 5 tokens
+    assert(d1(0)._3.split(" ").takeRight(5).sameElements(d1(1)._3.split(" ").take(5)))
+    // short docs yield exactly one whole-doc chunk
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0, "solo", 1)))
+  }
+
   test("scrub applies ordered regex rules to all matches") {
     val df = Seq("user 12345 paid 99 at a@b.com", "no digits here").toDF("t")
     val got = df.select(Text.scrub(col("t"), Seq(
