@@ -79,8 +79,11 @@ object GraftFunctions {
       if (!exprs(1).foldable)
         throw new IllegalArgumentException(
           "minhash_sigs: k (2nd argument) must be a literal integer")
-      MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())
+      exprs(1).eval() match {
+        case n: Number => MinHashSignature(exprs(0), n.intValue())
+        case other => throw new IllegalArgumentException(
+          s"minhash_sigs: k must be a non-null integer literal, got $other")
+      }
     }),
     "simhash_sig" -> (exprs => SimHashSignature(exprs(0))),
     "array_top_count" -> (exprs => ArrayTopCount(exprs(0))))

@@ -72,8 +72,13 @@ object Dedup {
       val docs = df.select(col(idCol).as("doc"),
         array_distinct(Text.shingles(col(textCol), n)).as("shs"))
       val sh = docs.select($"doc", size($"shs").as("n"), explode($"shs").as("sh"))
+      // staged: three consumers below (small filter + both sides of the
+      // skew self-join); without the persist only the shuffle exchange is
+      // reused and the collect_list final aggregation re-runs per
+      // consumer. Repeated calls dedupe via the cache manager.
       val postings = sh.groupBy($"sh")
         .agg(collect_list(struct($"doc", $"n")).as("ds"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // The size-compatibility filter is the standard lossless length
       // bound: jaccard(A,B) ≤ min/max, so a qualifying pair has
       // min(n) ≥ t·max(n) — ε-relaxed so IEEE round-off can only ADMIT
@@ -320,12 +325,24 @@ object Dedup {
                           driverLimit: Long = 1L << 20): DataFrame = {
     val aCol = pairs.columns(0)
     val bCol = pairs.columns(1)
-    // ids normalized to long so both paths (driver union-find and the
-    // distributed fixpoint) emit the same (bigint, bigint) schema
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .persist()
-    if (edges.count() <= 2 * driverLimit) {
+    // integral ids are normalized to long so the driver union-find and
+    // the distributed fixpoint emit the same (bigint, bigint) schema;
+    // non-numeric ids (uuid strings, …) keep their type and always take
+    // the distributed path (the fixpoint only needs an ordering)
+    val idIsIntegral = {
+      import org.apache.spark.sql.types._
+      pairs.schema(aCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    def side(a: String, b: String) = {
+      val (ca, cb) = (col(a), col(b))
+      if (idIsIntegral) pairs.select(ca.cast("long").as("src"), cb.cast("long").as("dst"))
+      else pairs.select(ca.as("src"), cb.as("dst"))
+    }
+    val edges = side(aCol, bCol).union(side(bCol, aCol)).persist()
+    if (idIsIntegral && edges.count() <= 2 * driverLimit) {
       val result = connectedComponentsDriver(
         edges.select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1))),
         pairs.sparkSession)

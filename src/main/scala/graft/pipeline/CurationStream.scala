@@ -34,7 +34,11 @@ object CurationStream {
   /** The composed streaming transform (unstarted — tests inspect it).
     * Input columns: doc_id, text, ingest_ts (event time). Output adds
     * `quality`; text is scrubbed; duplicates within the watermark are
-    * dropped (first arrival wins). */
+    * dropped. Across micro-batches the earlier batch's document wins
+    * (its fingerprint is already in state); WITHIN one micro-batch the
+    * survivor among same-batch duplicates is whichever row reaches the
+    * state partition first — stable for a given plan and partitioning
+    * but not a cross-partition arrival-order guarantee. */
   def curated(docs: DataFrame, cfg: CurationConfig): DataFrame = {
     val scrubbed = docs.withColumn("text", Text.scrub(col("text"), cfg.scrubRules))
     val wc = Text.tokenCount(col("text"))

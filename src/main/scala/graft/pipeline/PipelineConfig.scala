@@ -29,16 +29,15 @@ case class PipelineConfig(
     stateStoreProvider: Option[String] = None) {
 
   /** Apply session-level knobs (state store) — called by the pipeline
-    * orchestrators before starting streaming queries. None RESETS the
-    * conf to Spark's default, so a config without a provider never
-    * silently inherits one a previous pipeline set on the same session. */
+    * orchestrators before starting streaming queries. None leaves the
+    * session conf UNTOUCHED (an unset here would clobber a provider the
+    * operator configured at submit time, which is outside this config's
+    * authority); to explicitly return to Spark's default store after a
+    * RocksDB pipeline on the same session, pass
+    * `Some(PipelineConfig.DefaultProvider)`. */
   def applySessionConf(spark: org.apache.spark.sql.SparkSession): Unit =
-    stateStoreProvider match {
-      case Some(cls) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    stateStoreProvider.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
 
   def landingDir(sensor: String): String = s"$landingRoot/bridge_$sensor"
   def bronzeDir(sensor: String): String = s"$bronzeRoot/$sensor"
@@ -62,6 +61,11 @@ object PipelineConfig {
     * incremental snapshots — the provider a large deployment runs. */
   val RocksDbProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Spark's default heap-backed store — pass explicitly to return to the
+    * default after a RocksDB pipeline on the same session. */
+  val DefaultProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 
   /** Conventional layout under one root (tests, local runs). */
   def under(root: String, bridgesCsv: String): PipelineConfig = PipelineConfig(
