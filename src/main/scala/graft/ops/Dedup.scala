@@ -299,6 +299,28 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"est_jaccard")
   }
 
+  /** Benchmark decontamination: drop every corpus document that shares at
+    * least one word n-gram with the benchmark set — the standard guard
+    * against evaluation data leaking into training corpora (n-gram
+    * overlap is the published methodology; 8–13 grams typical).
+    *
+    * Plan shape: the benchmark's distinct shingles are usually tiny
+    * relative to the corpus (an eval set, not a second corpus), so the
+    * overlap probe is a broadcast semi-join against the corpus shingle
+    * explode — one corpus scan, no corpus-sized shuffle — followed by a
+    * left-anti join on the contaminated ids. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected pair graph — the transitive
     * closure step real curation pipelines run on near-dup pairs (single-
     * step pair dropping under-merges: A~B, B~C but A≁C still form one

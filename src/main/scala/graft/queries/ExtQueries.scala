@@ -282,7 +282,20 @@ object ExtQueries {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Benchmark decontamination: documents sharing any 8-gram with the
+    * deterministic "benchmark" subset (doc_id % 97 == 0) are dropped —
+    * the eval-leakage guard of a training pipeline. */
+  private val q52: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminate(docs, docs.where($"doc_id" % 97 === 0),
+        "doc_id", "text", n = 8)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q52_decontaminate"     -> q52,
     "q51_chunking"          -> q51,
     "q50_seq_packing"       -> q50,
     "q49_scrub_payloads"    -> q49,
@@ -314,6 +327,18 @@ object ExtQueries {
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   val oracle: Map[String, String] = Map(
+    "q52_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w) - 7),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |            || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS sh
+        |      FROM t),
+        |bsh AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM g JOIN bsh USING (sh))
+        |SELECT doc_id, lang, n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q51_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |n AS (SELECT doc_id, w, greatest(1, (len(w) - 8 + 23) // 24) AS nc FROM t),

@@ -188,6 +188,22 @@ class OpsSpec extends SparkSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains bench 4-gram
+      (2L, "one two three four five six"),           // clean
+      (3L, "x alpha beta gamma delta y"))            // contains it mid-doc
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // benchmark shorter than n contaminates nothing
+    val keptAll = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L, 3L))
+  }
+
   test("chunkTokens covers every token with the configured overlap") {
     val doc = (1 to 50).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, doc), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
