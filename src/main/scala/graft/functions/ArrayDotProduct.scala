@@ -86,7 +86,20 @@ object GraftFunctions {
       }
     }),
     "simhash_sig" -> (exprs => SimHashSignature(exprs(0))),
-    "array_top_count" -> (exprs => ArrayTopCount(exprs(0))))
+    "array_top_count" -> (exprs => ArrayTopCount(exprs(0))),
+    "winnow_fps" -> (exprs => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"winnow_fps expects 2 arguments (array<string>, w literal), got ${exprs.length}")
+      if (!exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "winnow_fps: w (2nd argument) must be a literal integer")
+      exprs(1).eval() match {
+        case n: Number => WinnowFingerprints(exprs(0), n.intValue())
+        case other => throw new IllegalArgumentException(
+          s"winnow_fps: w must be a non-null integer literal, got $other")
+      }
+    }))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
@@ -100,7 +113,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "array_dot" -> classOf[ArrayDotProduct].getName,
     "minhash_sigs" -> classOf[MinHashSignature].getName,
     "simhash_sig" -> classOf[SimHashSignature].getName,
-    "array_top_count" -> classOf[ArrayTopCount].getName)
+    "array_top_count" -> classOf[ArrayTopCount].getName,
+    "winnow_fps" -> classOf[WinnowFingerprints].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.builders.foreach { case (name, builder) =>

@@ -75,6 +75,75 @@ object MinHashSignature {
   }
 }
 
+/** Native per-row winnowing fingerprints (Schleimer et al., SIGMOD'03)
+  * over an array<string> k-gram column: hash every k-gram (xxhash64
+  * semantics, seed 42), slide a window of `w` hashes keeping each
+  * window's minimum, return the distinct minima. Matches the
+  * posexplode + sliding-min-window formulation bit-for-bit, including
+  * the short-document rule (fewer than `w` k-grams → the single global
+  * minimum) — but as a map-side projection: the windowed form shuffles
+  * every k-gram row by document to order the window frames; this touches
+  * nothing but the row. Empty arrays yield NULL (the exploded form emits
+  * no rows). */
+case class WinnowFingerprints(child: Expression, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if w > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument and w > 0, got " +
+        s"${child.dataType.simpleString} with w=$w")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowFingerprints.compute(v.asInstanceOf[ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.WinnowFingerprints.compute($a, $w);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** Exposed for generated code. Returns null for an empty array. */
+  def compute(arr: ArrayData, w: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L); i += 1 }
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    if (n < w) {
+      var m = h(0); i = 1
+      while (i < n) { if (h(i) < m) m = h(i); i += 1 }
+      fps.add(m)
+    } else {
+      // O(n·w) sliding min — w is a small constant (4 by default)
+      var start = 0
+      while (start <= n - w) {
+        var m = h(start)
+        var j = start + 1
+        while (j < start + w) { if (h(j) < m) m = h(j); j += 1 }
+        fps.add(m)
+        start += 1
+      }
+    }
+    val out = new Array[Long](fps.size())
+    val it = fps.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native per-row 64-bit SimHash over an array<string> token column:
   * bit-identical to the explode + 64-sign-sum aggregation form (token
   * hashed once with seed 42; counter sign convention `(h>>j & 1)*2 − 1`,

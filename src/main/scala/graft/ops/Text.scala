@@ -172,14 +172,29 @@ object Text {
     * Guarantees any shared run of ≥ w+k-1 tokens yields a shared
     * fingerprint. Returns (doc_id, fp) rows, one per distinct fingerprint.
     *
-    * Shape matters: posexplode the k-gram hashes once and take the sliding
-    * minimum with a ROWS-window function over (doc, pos). The pure-HOF
-    * form (`transform(positions, i -> array_min(slice(hashes, i, w)))`)
-    * re-evaluates the captured hash-array expression at every position —
-    * quadratic per document, measured ~20× slower at sf0.1. One shuffle,
-    * hash-partitioned by document. */
+    * Computed by the native [[graft.functions.WinnowFingerprints]]
+    * expression — a pure map-side projection (hash + sliding min + dedup
+    * inside one row). The journey here is the whole optimization story in
+    * miniature: the pure-HOF form re-evaluated the captured hash array per
+    * position (quadratic, ~20× slower); the posexplode + window-function
+    * form ([[winnowFingerprintRowsWindowed]], kept as the cross-check
+    * path) fixed that but shuffles every k-gram row by document to order
+    * the window frames; the native expression needs no shuffle at all. */
   def winnowFingerprintRows(df: org.apache.spark.sql.DataFrame, idCol: String,
                             textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        call_function("winnow_fps", shingles(col(textCol), k), lit(w)).as("fps"))
+      .where($"fps".isNotNull)
+      .select($"doc_id", explode($"fps").as("fp"))
+  }
+
+  /** The posexplode + sliding-min-window formulation — built-ins only,
+    * one shuffle hash-partitioned by document. Kept as the cross-check
+    * path for the native expression (OpsSpec asserts set equality). */
+  private[graft] def winnowFingerprintRowsWindowed(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol).as("doc_id"),
         posexplode(shingles(col(textCol), k)).as(Seq("pos", "sh")))

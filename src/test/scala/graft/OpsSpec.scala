@@ -87,6 +87,15 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("native winnowing matches the windowed formulation on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    def fpSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val native = fpSet(Text.winnowFingerprintRows(docs, "doc_id", "text"))
+    val windowed = fpSet(Text.winnowFingerprintRowsWindowed(docs, "doc_id", "text"))
+    assert(native.nonEmpty && native == windowed)
+  }
+
   test("native signature expressions match the exploded formulations bit-for-bit") {
     val docs = Tables.documents(spark, sf)
     val mNative = Dedup.minhashSignatures(docs, "doc_id", "text", 64)
