@@ -68,38 +68,33 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * (`GraftFunctions.register`) or via `SparkSessionExtensions`
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
 object GraftFunctions {
+  /** Builder for (array, literal-int) expressions with clear analysis-time
+    * errors on the spark.sql surface: arity, then foldability, then a
+    * whole-number check (a fractional literal would otherwise silently
+    * truncate), instead of raw IndexOutOfBounds/ClassCast errors. */
+  private def literalIntBuilder(fn: String, argName: String)(
+      ctor: (Expression, Int) => Expression): Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$fn expects 2 arguments (array<string>, $argName literal), got ${exprs.length}")
+    if (!exprs(1).foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $argName (2nd argument) must be a literal integer")
+    exprs(1).eval() match {
+      case n: Number if n.doubleValue() == n.intValue().toDouble =>
+        ctor(exprs(0), n.intValue())
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be a non-null whole-number literal, got " +
+          (if (other == null) "NULL" else other.toString))
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))),
-    "minhash_sigs" -> (exprs => {
-      // clear analysis-time errors for the spark.sql surface: arity first,
-      // then the literal-k requirement, instead of raw IndexOutOfBounds
-      if (exprs.length != 2)
-        throw new IllegalArgumentException(
-          s"minhash_sigs expects 2 arguments (array<string>, k literal), got ${exprs.length}")
-      if (!exprs(1).foldable)
-        throw new IllegalArgumentException(
-          "minhash_sigs: k (2nd argument) must be a literal integer")
-      exprs(1).eval() match {
-        case n: Number => MinHashSignature(exprs(0), n.intValue())
-        case other => throw new IllegalArgumentException(
-          s"minhash_sigs: k must be a non-null integer literal, got $other")
-      }
-    }),
+    "minhash_sigs" -> literalIntBuilder("minhash_sigs", "k")(MinHashSignature.apply),
     "simhash_sig" -> (exprs => SimHashSignature(exprs(0))),
     "array_top_count" -> (exprs => ArrayTopCount(exprs(0))),
-    "winnow_fps" -> (exprs => {
-      if (exprs.length != 2)
-        throw new IllegalArgumentException(
-          s"winnow_fps expects 2 arguments (array<string>, w literal), got ${exprs.length}")
-      if (!exprs(1).foldable)
-        throw new IllegalArgumentException(
-          "winnow_fps: w (2nd argument) must be a literal integer")
-      exprs(1).eval() match {
-        case n: Number => WinnowFingerprints(exprs(0), n.intValue())
-        case other => throw new IllegalArgumentException(
-          s"winnow_fps: w must be a non-null integer literal, got $other")
-      }
-    }))
+    "winnow_fps" -> literalIntBuilder("winnow_fps", "w")(WinnowFingerprints.apply))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -84,7 +84,7 @@ object MinHashSignature {
   * minimum) — but as a map-side projection: the windowed form shuffles
   * every k-gram row by document to order the window frames; this touches
   * nothing but the row. Empty arrays yield NULL (the exploded form emits
-  * no rows). */
+  * no rows). Elements are assumed non-null (k-grams of non-null text). */
 case class WinnowFingerprints(child: Expression, w: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -120,11 +120,13 @@ object WinnowFingerprints {
     val h = new Array[Long](n)
     var i = 0
     while (i < n) { h(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L); i += 1 }
-    val fps = new java.util.TreeSet[java.lang.Long]()
+    // primitive minima buffer, then in-place sort + dedup — no boxing,
+    // no per-row tree (consecutive windows mostly share their minimum)
+    val minima = new Array[Long](if (n < w) 1 else n - w + 1)
     if (n < w) {
       var m = h(0); i = 1
       while (i < n) { if (h(i) < m) m = h(i); i += 1 }
-      fps.add(m)
+      minima(0) = m
     } else {
       // O(n·w) sliding min — w is a small constant (4 by default)
       var start = 0
@@ -132,15 +134,18 @@ object WinnowFingerprints {
         var m = h(start)
         var j = start + 1
         while (j < start + w) { if (h(j) < m) m = h(j); j += 1 }
-        fps.add(m)
+        minima(start) = m
         start += 1
       }
     }
-    val out = new Array[Long](fps.size())
-    val it = fps.iterator()
+    java.util.Arrays.sort(minima)
+    var distinct = 0
     i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    while (i < minima.length) {
+      if (i == 0 || minima(i) != minima(i - 1)) { minima(distinct) = minima(i); distinct += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(minima, distinct))
   }
 }
 

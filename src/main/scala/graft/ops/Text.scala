@@ -183,9 +183,11 @@ object Text {
   def winnowFingerprintRows(df: org.apache.spark.sql.DataFrame, idCol: String,
                             textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // no isNotNull filter: explode emits nothing for NULL/empty arrays
+    // already, and a filter on the aliased expression would be pushed
+    // below the projection and evaluate the whole fingerprint pass twice
     df.select(col(idCol).as("doc_id"),
         call_function("winnow_fps", shingles(col(textCol), k), lit(w)).as("fps"))
-      .where($"fps".isNotNull)
       .select($"doc_id", explode($"fps").as("fp"))
   }
 
