@@ -32,7 +32,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that stage frames (persist) would otherwise accumulate
+      // cache across the run: later queries get nondeterministic hits and
+      // the tail of the run measures under memory pressure (the round-1
+      // last-query blowup pattern). Clearing between queries makes every
+      // measurement standalone; the clear itself is outside the timer.
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
