@@ -41,6 +41,21 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.where(keepPredicate(col(keyCol), fraction))
 
+  /** Weighted corpus mixture: union several corpora, each thinned to its
+    * weight by the deterministic sampler — the "mix Wikipedia at 3×, web
+    * crawl at 0.2×" step of training-data assembly, reproducible across
+    * reruns and engines. Weights are capped at 1.0 (upsampling means
+    * repeating data; do that explicitly if intended). Columns are aligned
+    * by name; a `source` tag column records provenance. */
+  def mixCorpora(corpora: Seq[(String, DataFrame, Double)], keyCol: String): DataFrame = {
+    require(corpora.nonEmpty, "mixCorpora needs at least one corpus")
+    corpora.map { case (name, df, weight) =>
+      require(weight >= 0.0 && weight <= 1.0,
+        s"weight for '$name' must be in [0,1] (got $weight); repeat data explicitly to upsample")
+      deterministicSample(df, keyCol, weight).withColumn("source", lit(name))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g.
     * downsample dominant languages, keep the tail whole). Strata missing
     * from the map use `defaultFraction`. The per-row decision is a single

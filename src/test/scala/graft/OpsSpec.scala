@@ -261,6 +261,18 @@ class OpsSpec extends SparkSuite {
     assert(bad.count() == got.values.count(_ != null))
   }
 
+  test("mixCorpora thins each source to its weight with provenance tags") {
+    val a = (1L to 400L).map(i => (i, s"doc a$i")).toDF("doc_id", "text")
+    val b = (1L to 100L).map(i => (i, s"doc b$i")).toDF("doc_id", "text")
+    val mixed = Sampling.mixCorpora(Seq(("a", a, 0.25), ("b", b, 1.0)), "doc_id")
+    val bySource = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource("b") == 100L)
+    assert(math.abs(bySource("a") - 100L) < 30, s"got ${bySource("a")}")
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpora(Seq(("a", a, 3.0)), "doc_id")
+    }
+  }
+
   test("deterministic sampling: partition-independent, fraction-accurate, stratified") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val n = docs.count().toDouble
