@@ -12,10 +12,19 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q02_event_filter", "q13_revenue_by_nation", "q06_dim_join_left")
-    names.foreach { n =>
+    // `-executed` prints the post-run adaptive plan (AQE's final stage
+    // graph, where runtime exchange/stage reuse is visible) instead of
+    // the static initial plan.
+    val (flags, qnames) = names.partition(_.startsWith("-"))
+    val executed = flags.contains("-executed")
+    qnames.foreach { n =>
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
-        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+      if (executed) {
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
+      } else
+        println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

@@ -73,9 +73,13 @@ object Dedup {
         array_distinct(Text.shingles(col(textCol), n)).as("shs"))
       val sh = docs.select($"doc", size($"shs").as("n"), explode($"shs").as("sh"))
       // staged: three consumers below (small filter + both sides of the
-      // skew self-join); without the persist only the shuffle exchange is
-      // reused and the collect_list final aggregation re-runs per
-      // consumer. Repeated calls dedupe via the cache manager.
+      // skew self-join). Exchange/stage reuse does NOT cover this —
+      // collect_list is order-nondeterministic, which defeats sameResult
+      // canonicalization, so without the persist the scan + shingle
+      // explode + shuffle subtree executes three times (verified in the
+      // executed AQE plan: three separate Exchanges, zero ReusedExchange).
+      // The persist's one materialization job is the scale-correct trade.
+      // Repeated calls dedupe via the cache manager.
       val postings = sh.groupBy($"sh")
         .agg(collect_list(struct($"doc", $"n")).as("ds"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -317,6 +321,41 @@ object Dedup {
     val contaminated = corpus
       .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
       .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Bloom-prefiltered decontamination — result-identical to
+    * [[decontaminate]] (bloom filters have no false negatives; false
+    * positives are removed by an exact verify join), but the per-executor
+    * probe structure is a fixed-size bit array instead of a hash set of
+    * shingle strings. That is the 100 TB lever: a benchmark suite with
+    * 10^8 distinct shingles broadcasts as a ~100 MB bloom at 1% fpp where
+    * the exact string set would be several GB, and the corpus-side scan
+    * stays one map-side pass — only the ~fpp fraction of candidate rows
+    * that survive the bloom reach the exact verify join.
+    *
+    * The bloom is built by `stat.bloomFilter` (a distributed aggregation
+    * whose per-partition blooms OR-merge on the driver) at plan-build
+    * time — an index-build action, same posture as IVF training: build
+    * once, probe many. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 8,
+                         expectedShingles: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+      .distinct()
+    val bloom = benchSh.stat.bloomFilter("sh", expectedShingles, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    val candidates = corpus
+      .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+      .where(mightContain($"sh"))
+    // exact verify: candidates are the bloom's ~fpp-sized survivor set, so
+    // AQE picks the join strategy from the actual post-filter sizes
+    val contaminated = candidates
+      .join(benchSh, Seq("sh"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }

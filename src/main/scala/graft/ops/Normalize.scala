@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Group-wise feature normalization — the per-group z-score step of a
+  * feature-engineering pipeline (normalize a metric within its segment
+  * before thresholding/modeling).
+  *
+  * Two-pass shape, not a window: a windowed
+  * `(x - avg(x) over g) / stddev(x) over g` hash-partitions the FULL
+  * fact table by group and materializes every row in the window state;
+  * the aggregate-and-join-back form shuffles only the tiny per-group
+  * stats frame and re-attaches it with a broadcast join, leaving the
+  * fact side un-shuffled — the correct plan when groups are few and rows
+  * are 100 TB.
+  *
+  * The stat components (n, Σx, Σx²) are decimal-exact ([[Exact]]
+  * rationale), so the derived mean/variance — and therefore the z-scores
+  * — are identical doubles on any engine and any partitioning; variance
+  * is the sample variance (n−1).
+  */
+object Normalize {
+  private val D = DecimalType(18, 4)
+
+  /** Appends `<valueCol>_z`. Rows in groups with fewer than 2 rows or
+    * zero variance yield NULL (division by zero stays NULL in SQL
+    * semantics — both engines agree). */
+  def zscore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(x).cast("double").as("__n"),
+      sum(x.cast(D)).cast("double").as("__sx"),
+      sum((x * x).cast(D)).cast("double").as("__sxx"))
+    val mean = $"__sx" / $"__n"
+    val variance = ($"__sxx" - $"__sx" * $"__sx" / $"__n") / ($"__n" - 1.0)
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(s"${valueCol}_z", (x - mean) / sqrt(variance))
+      .drop("__n", "__sx", "__sxx")
+  }
+}

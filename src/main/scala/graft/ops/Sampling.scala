@@ -25,7 +25,7 @@ object Sampling {
     * Resolution is therefore 2⁻⁶⁴ — fractions are quantized to that grid
     * (a double has only 53 mantissa bits anyway, so the threshold is
     * exact for every representable fraction). */
-  private def hexThreshold(fraction: Double): String = {
+  private[graft] def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1] (got $fraction)")
     val scaled = (BigDecimal(fraction) * BigDecimal(BigInt(1) << 64)).toBigInt
     f"${scaled.toString(16)}%16s".replace(' ', '0') + "0" * 16
@@ -54,6 +54,32 @@ object Sampling {
         s"weight for '$name' must be in [0,1] (got $weight); repeat data explicitly to upsample")
       deterministicSample(df, keyCol, weight).withColumn("source", lit(name))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Deterministic train/val/test split assignment: every row labeled with
+    * the split whose cumulative-fraction interval its content hash falls
+    * in. The same md5-as-uniform-draw machinery as the samplers, so the
+    * assignment is a pure function of the key — reproducible across
+    * engines/partitionings, and disjoint-and-covering by construction
+    * (intervals partition [0,1)). Map-side projection, no shuffle.
+    * Fractions must sum to 1 (a silent remainder would dump rows in an
+    * unnamed split). */
+  def splitAssign(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+                  outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "splitAssign needs at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1 (got ${splits.map(_._2).sum})")
+    val key = md5(col(keyCol).cast("string"))
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    // chained ascending-threshold conditionals; the final split is the
+    // unconditional otherwise so hex-threshold truncation can't orphan
+    // the top of the hash range
+    val labeled = splits.init.zip(cums.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = key < lit(hexThreshold(cum))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.get.otherwise(splits.last._1)
+    df.withColumn(outCol, labeled)
   }
 
   /** Stratified deterministic sample: per-stratum fractions (e.g.

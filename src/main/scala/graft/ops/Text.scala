@@ -167,6 +167,34 @@ object Text {
       regexp_replace(acc, pattern, replacement)
     }
 
+  /** Top-N characteristic terms per document by TF-IDF
+    * (tf · ln(N/df)), the classic keyword-extraction / indexing step.
+    * Ranking is by the ROUNDED score (6 dp) with the term as tie-break:
+    * rounding first makes the rank robust to last-ulp `ln` differences
+    * between engines (mathematically equal scores — e.g. tf=1,df=N/4 vs
+    * tf=2,df=N/2 — round identically and fall through to the term).
+    *
+    * Plan shape: explode → (doc,term) count → term-frequency aggregate
+    * joined back on term (AQE picks broadcast when the vocabulary is
+    * small), corpus size N attached as a broadcast 1-row cross join —
+    * no driver collect, no global window; the per-doc top-N runs under
+    * Spark's rank-limit pushdown. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, topN: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("__n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round($"tf" * log($"__n_docs".cast("double") / $"df"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy($"tfidf".desc, $"term")).cast("int"))
+      .where($"rnk" <= topN)
+      .select(col(idCol), $"term", $"tf", $"df", $"tfidf", $"rnk")
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * k-gram, slide a window of `w` hashes, keep each window's minimum.
     * Guarantees any shared run of ≥ w+k-1 tokens yields a shared

@@ -55,4 +55,25 @@ object Windows {
     df.withColumn("rn", row_number().over(
         Window.partitionBy(partCols: _*).orderBy(orderCols: _*)).cast("int"))
       .where(col("rn") <= n)
+
+  /** Trailing rolling-frame stats per entity: decimal-exact moving average
+    * of `valueCol` over the last `frameRows` rows (inclusive) plus the
+    * frame's row count (< frameRows during warm-up at each partition
+    * head). `orderCols` must be a strict per-entity ordering (include a
+    * tie-break id) or the frame contents are nondeterministic.
+    *
+    * One hash-partition by entity + one sort — the scale shape of per-key
+    * feature backfill; no self-join, no state beyond the frame. The frame
+    * sum is decimal-exact ([[Exact]] rationale: double accumulation order
+    * differs between engines, decimal does not). */
+  def rollingAvg(df: DataFrame, entity: String, orderCols: Seq[Column],
+                 valueCol: Column, frameRows: Int,
+                 outCol: String = "rolling_avg"): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(orderCols: _*)
+      .rowsBetween(-(frameRows - 1L), Window.currentRow)
+    df.withColumn(outCol,
+        sum(valueCol.cast(org.apache.spark.sql.types.DecimalType(18, 4))).over(w)
+          .cast("double") / count(valueCol).over(w))
+      .withColumn("n_frame", count(valueCol).over(w))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{AsOf, Exact, Windows}
+import graft.ops.{AsOf, Exact, Normalize, Windows}
 
 /** Advanced relational surface: as-of join, rollup, conditional pivot,
   * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
@@ -136,9 +136,71 @@ object AdvQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Trailing 5-event moving average of value per user — per-key rolling
+    * feature backfill (one hash-partition by user + sort; decimal-exact
+    * frame sum). */
+  private val q53: Q = (s, d) => {
+    import s.implicits._
+    Windows.rollingAvg(
+        Tables.events(s, d).select($"event_id", $"user_id", $"ts", $"value"),
+        "user_id", Seq($"ts", $"event_id"), $"value", frameRows = 5)
+      .select($"event_id", $"user_id",
+        round($"rolling_avg", 6).as("mov_avg_5"), $"n_frame")
+      .orderBy($"event_id")
+  }
+
+  /** Exact grouped percentiles (interpolated, the built-in `percentile`):
+    * the exact counterpart of q38's approx sketch path. Both engines use
+    * the standard p·(n−1) linear-interpolation definition; rounding to
+    * 6 dp absorbs last-ulp interpolation-arithmetic differences. */
+  private val q54: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        round(percentile($"value", lit(0.25)), 6).as("p25"),
+        round(percentile($"value", lit(0.5)), 6).as("p50"),
+        round(percentile($"value", lit(0.9)), 6).as("p90"),
+        count($"value").as("n_values"))
+      .orderBy($"event_type")
+  }
+
+  /** Per-group z-score normalization of event values (aggregate-and-
+    * broadcast-join-back — the fact table is never shuffled; see
+    * [[Normalize.zscore]]). */
+  private val q55: Q = (s, d) => {
+    import s.implicits._
+    Normalize.zscore(
+        Tables.events(s, d).select($"event_id", $"event_type", $"value"),
+        "event_type", "value")
+      .select($"event_id", $"event_type", round($"value_z", 6).as("z_value"))
+      .orderBy($"event_id")
+  }
+
+  /** Token-count decile profile of the corpus (global ntile). NOTE: an
+    * unpartitioned ntile is a single-partition window — fine for a
+    * corpus-profile report; the 100 TB path computes approx decile
+    * boundaries (q38's sketch machinery) and buckets map-side with
+    * width_bucket instead. */
+  private val q56: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", graft.ops.Text.tokenCount($"text").as("n_tokens"))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n_tokens", $"doc_id")).cast("int"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_tokens").as("min_tokens"), max($"n_tokens").as("max_tokens"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_bpeish_tokens"   -> q40,
     "q41_knn_ivf"         -> q41,
+    "q53_rolling_stats"   -> q53,
+    "q54_percentiles"     -> q54,
+    "q55_zscore"          -> q55,
+    "q56_token_deciles"   -> q56,
     "q33_asof_join"       -> q33,
     "q34_rollup"          -> q34,
     "q35_pivot_metrics"   -> q35,
@@ -148,6 +210,42 @@ object AdvQueries {
     "q39_session_window"  -> q39)
 
   val oracle: Map[String, String] = Map(
+    "q53_rolling_stats" ->
+      """SELECT event_id, user_id,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(value) OVER w, 6) AS mov_avg_5,
+        |  count(value) OVER w AS n_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q54_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  count(value) AS n_values
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q55_zscore" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(count(value) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |  round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z_value
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "q56_token_deciles" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT n_tokens,
+        |    CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS decile
+        |  FROM t)
+        |SELECT decile, count(*) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
     "q40_bpeish_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,

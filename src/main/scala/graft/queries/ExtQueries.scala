@@ -294,7 +294,43 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Top-3 TF-IDF terms per document — keyword extraction over the corpus
+    * (rank by rounded score, term tie-break; see [[Text.tfidfTopTerms]]). */
+  private val q57: Q = (s, d) => {
+    import s.implicits._
+    Text.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", topN = 3)
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** Deterministic 80/10/10 train/val/test assignment by content hash,
+    * profiled per (split, lang) — reproducible across engines and
+    * partitionings, which is exactly what the oracle verifies. */
+  private val q58: Q = (s, d) => {
+    import s.implicits._
+    Sampling.splitAssign(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  /** Bloom-prefiltered benchmark decontamination (deterministic benchmark
+    * subset doc_id % 89 == 0) — result-identical to the exact semi-join
+    * guard, which is what the oracle checks; the bloom is the 100 TB
+    * broadcast-size lever (see [[Dedup.decontaminateBloom]]). */
+  private val q59: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminateBloom(docs, docs.where($"doc_id" % 89 === 0),
+        "doc_id", "text", n = 8)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q59_bloom_decontam"    -> q59,
+    "q58_split_assign"      -> q58,
+    "q57_tfidf_terms"       -> q57,
     "q52_decontaminate"     -> q52,
     "q51_chunking"          -> q51,
     "q50_seq_packing"       -> q50,
@@ -326,7 +362,44 @@ object ExtQueries {
   private def langScoreSql(lang: String) =
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
+  // the same cumulative-threshold doubles splitAssign computes (0.8,
+  // 0.8+0.1 — NOT a literal 0.9: the floating-point sum differs in the
+  // last ulp and the hex thresholds must match bit-for-bit)
+  private val splitThresholds: Seq[Double] = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+
   val oracle: Map[String, String] = Map(
+    "q57_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |s AS (SELECT doc_id, term, tf, df, round(tf * ln(nd / df), 6) AS tfidf
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS INTEGER) AS rnk FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q58_split_assign" ->
+      s"""WITH labeled AS (SELECT lang, n_chars,
+         |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${Sampling.hexThreshold(splitThresholds(0))}' THEN 'train'
+         |         WHEN md5(CAST(doc_id AS VARCHAR)) < '${Sampling.hexThreshold(splitThresholds(1))}' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q59_bloom_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w) - 7),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |            || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS sh
+        |      FROM t),
+        |bsh AS (SELECT DISTINCT sh FROM g WHERE doc_id % 89 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM g JOIN bsh USING (sh))
+        |SELECT doc_id, lang, n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q52_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT DISTINCT doc_id,

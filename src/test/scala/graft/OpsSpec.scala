@@ -493,4 +493,76 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(ds - ps) < 1e-2)
     assert(math.abs(da - pa) < 1e-4)
   }
+
+  test("splitAssign partitions every row into a named split at ~fractions") {
+    val docs = Tables.documents(spark, sf)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Sampling.splitAssign(docs, "doc_id", splits)
+    val counts = labeled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = docs.count()
+    assert(counts.values.sum == n) // covering (no unnamed split)
+    assert(counts.keySet.subsetOf(splits.map(_._1).toSet))
+    val trainFrac = counts.getOrElse("train", 0L).toDouble / n
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac")
+    // deterministic: same assignment after a repartition
+    val re = Sampling.splitAssign(docs.repartition(7), "doc_id", splits)
+    assert(labeled.select("doc_id", "split").exceptAll(re.select("doc_id", "split")).isEmpty)
+    assertThrows[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("decontaminateBloom equals exact decontamination") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.where(col("doc_id") % 13 === 0)
+    val exact = Dedup.decontaminate(docs, bench, "doc_id", "text", n = 8)
+    val bloom = Dedup.decontaminateBloom(docs, bench, "doc_id", "text", n = 8)
+    assert(bloom.count() == exact.count())
+    assert(bloom.select("doc_id").exceptAll(exact.select("doc_id")).isEmpty)
+    // a contaminated doc (a benchmark member shares its own shingles) is gone
+    assert(bloom.where(col("doc_id") % 13 === 0 && length(col("text")) > 50).isEmpty)
+  }
+
+  test("rollingAvg: trailing frame warm-up and exact frame mean") {
+    val df = Seq(
+      (1L, "u1", 10.0), (2L, "u1", 20.0), (3L, "u1", 30.0),
+      (4L, "u2", 5.0)).toDF("id", "user", "v")
+    val got = Windows.rollingAvg(df, "user", Seq(col("id")), col("v"), frameRows = 2)
+      .select("id", "rolling_avg", "n_frame")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 10.0, 1L))) // warm-up: frame of one
+    assert(got(1) == ((2L, 15.0, 2L)))
+    assert(got(2) == ((3L, 25.0, 2L))) // row 1 left the trailing frame
+    assert(got(3) == ((4L, 5.0, 1L)))  // partition isolation
+  }
+
+  test("zscore normalizes each group to mean 0, sample stddev 1") {
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"), col("value"))
+    val z = Normalize.zscore(ev, "event_type", "value")
+    val stats = z.groupBy("event_type")
+      .agg(avg(col("value_z")).as("m"), stddev(col("value_z")).as("s"))
+      .as[(String, Double, Double)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (t, m, sd) =>
+      assert(math.abs(m) < 1e-9, s"group $t mean $m")
+      assert(math.abs(sd - 1.0) < 1e-9, s"group $t stddev $sd")
+    }
+  }
+
+  test("tfidfTopTerms ranks rare-but-frequent terms over ubiquitous ones") {
+    val df = Seq(
+      (1L, "apple apple apple common common"),
+      (2L, "banana common common common common"),
+      (3L, "cherry grape common common common")).toDF("doc_id", "text")
+    val top = Text.tfidfTopTerms(df, "doc_id", "text", topN = 2)
+      .select("doc_id", "term", "rnk").as[(Long, String, Int)].collect()
+    assert(top.count(_._1 == 1L) == 2)
+    // 'common' appears in every doc → idf = ln(1) = 0 → never outranks
+    // a distinctive term
+    assert(top.find(t => t._1 == 1L && t._3 == 1).get._2 == "apple")
+    assert(top.find(t => t._1 == 3L && t._3 == 1).get._2 == "cherry") // tie → term asc
+    assert(top.forall(_._3 <= 2))
+  }
 }
