@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{AsOf, Exact, Normalize, Windows}
+import graft.ops.{AsOf, Exact, Normalize, RangeJoin, Windows}
 
 /** Advanced relational surface: as-of join, rollup, conditional pivot,
   * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
@@ -194,9 +194,36 @@ object AdvQueries {
       .orderBy($"decile")
   }
 
+  /** Interval join: each purchase's trailing-30-minute view activity for the
+    * same user (count + decimal-exact value sum). Inner interval join →
+    * per-purchase aggregate → left join back, so zero-activity purchases
+    * keep a 0 row (the left-outer counting shape that keeps the interval
+    * join itself inner and bucket-bounded). */
+  private val q60: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"value".as("view_value"))
+    val matched = RangeJoin.intervalJoin(
+      purchases, views, "user_id", "ts", "view_ts",
+      before = java.time.Duration.ofMinutes(30), after = java.time.Duration.ZERO,
+      payload = Seq("view_value"))
+    val perPurchase = matched.groupBy($"event_id").agg(
+      count(lit(1)).as("n_prior_views"),
+      Exact.dsum($"view_value").as("sum_view_value"))
+    purchases.join(perPurchase, Seq("event_id"), "left")
+      .select($"event_id", $"user_id",
+        coalesce($"n_prior_views", lit(0L)).as("n_prior_views"),
+        coalesce($"sum_view_value", lit(0.0)).as("sum_view_value"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_bpeish_tokens"   -> q40,
     "q41_knn_ivf"         -> q41,
+    "q60_interval_join"   -> q60,
     "q53_rolling_stats"   -> q53,
     "q54_percentiles"     -> q54,
     "q55_zscore"          -> q55,
@@ -210,6 +237,20 @@ object AdvQueries {
     "q39_session_window"  -> q39)
 
   val oracle: Map[String, String] = Map(
+    "q60_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS view_ts, value AS view_value FROM events
+        |      WHERE event_type = 'view'),
+        |m AS (SELECT p.event_id, count(*) AS n_prior_views,
+        |        CAST(sum(CAST(view_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_view_value
+        |      FROM p JOIN v ON p.user_id = v.user_id
+        |        AND v.view_ts >= p.ts - INTERVAL 30 MINUTE AND v.view_ts <= p.ts
+        |      GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id,
+        |  coalesce(m.n_prior_views, 0) AS n_prior_views,
+        |  coalesce(m.sum_view_value, 0.0) AS sum_view_value
+        |FROM p LEFT JOIN m ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "q53_rolling_stats" ->
       """SELECT event_id, user_id,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)

@@ -551,6 +551,31 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("intervalJoin equals the naive range join, boundaries inclusive") {
+    import java.sql.Timestamp
+    def ts(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+    val left = Seq((1L, "u1", ts(30)), (2L, "u1", ts(59)), (3L, "u2", ts(30)))
+      .toDF("id", "k", "lts")
+    val right = Seq(
+      ("u1", ts(0), 1.0),   // exactly at lts-30min for id 1: inclusive
+      ("u1", ts(29), 2.0),  // in window of 1 and 2
+      ("u1", ts(30), 3.0),  // at lts of 1: inclusive; bucket boundary
+      ("u1", ts(31), 4.0),  // after 1, in window of 2
+      ("u2", ts(29), 5.0),  // other key
+      ("u1", ts(0, 1), 6.0) // 1s past the id-2 window start? (29:01 cutoff) -> out for 2, out for 1? 10:00:01 >= 10:00:00 -> IN for 1
+    ).toDF("k", "rts", "v")
+    val got = RangeJoin.intervalJoin(left, right, "k", "lts", "rts",
+        java.time.Duration.ofMinutes(30), java.time.Duration.ZERO, Seq("v"))
+      .select("id", "v").as[(Long, Double)].collect().toSet
+    val naive = left.join(right, Seq("k"))
+      .where(col("rts") >= col("lts") - expr("INTERVAL 30 MINUTES") && col("rts") <= col("lts"))
+      .select("id", "v").as[(Long, Double)].collect().toSet
+    assert(got == naive)
+    assert(got.contains((1L, 1.0)) && got.contains((1L, 3.0))) // both boundaries
+    assert(!got.contains((2L, 1.0))) // outside the trailing window
+    assert(got.contains((3L, 5.0)) && !got.contains((3L, 2.0))) // key isolation
+  }
+
   test("tfidfTopTerms ranks rare-but-frequent terms over ubiquitous ones") {
     val df = Seq(
       (1L, "apple apple apple common common"),
