@@ -167,6 +167,30 @@ object Text {
       regexp_replace(acc, pattern, replacement)
     }
 
+  /** Per-document unigram (token) entropy — the information-density
+    * quality signal: degenerate/boilerplate text scores low, varied text
+    * scores near ln(n_tokens). Pure map-side projection, no shuffle.
+    *
+    * Determinism across engines: the distinct-token list is SORTED before
+    * the fold so both engines sum the per-token terms in the same order
+    * (IEEE addition is order-sensitive in the low bits), and the token
+    * array is projected to an attribute first so the occurrence-count
+    * lambda captures a column read, not a re-evaluated split (the HOF
+    * trap). O(|distinct|·n) per row — fine for documents, use the
+    * explode + groupBy form for book-length texts. */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val p = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val n = size($"__toks").cast("double")
+    val terms = transform(array_sort(array_distinct($"__toks")), t => {
+      val c = size(filter($"__toks", x => x === t)).cast("double")
+      (c / n) * log(c / n)
+    })
+    p.select(col(idCol),
+      size($"__toks").as("n_tokens"),
+      round(-aggregate(terms, lit(0.0), (acc, x) => acc + x), 6).as("token_entropy"))
+  }
+
   /** Top-N characteristic terms per document by TF-IDF
     * (tf · ln(N/df)), the classic keyword-extraction / indexing step.
     * Ranking is by the ROUNDED score (6 dp) with the term as tie-break:

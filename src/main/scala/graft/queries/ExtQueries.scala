@@ -327,7 +327,36 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-document token entropy — the information-density quality signal
+    * (map-side, no shuffle; see [[Text.tokenEntropy]]). */
+  private val q61: Q = (s, d) => {
+    import s.implicits._
+    Text.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** Cross-source contamination matrix: for every source pair, the count
+    * of distinct 8-grams both emitted — the shard-leakage report a
+    * multi-source corpus needs before train/eval splits are drawn along
+    * source lines. Inverted-index shape: (source, shingle) distinct →
+    * self-join on shingle → pair counts; candidate cost is bounded by
+    * sources-per-shingle (≤ |sources|), never doc × doc. */
+  private val q62: Q = (s, d) => {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"source", explode(array_distinct(Text.shingles($"text", 8))).as("sh"))
+      .distinct()
+    sh.select($"sh", $"source".as("source_a"))
+      .join(sh.select($"sh", $"source".as("source_b")), Seq("sh"))
+      .where($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(countDistinct($"sh").as("n_shared_8grams"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q62_source_contam"     -> q62,
+    "q61_token_entropy"     -> q61,
     "q59_bloom_decontam"    -> q59,
     "q58_split_assign"      -> q58,
     "q57_tfidf_terms"       -> q57,
@@ -368,6 +397,27 @@ object ExtQueries {
   private val splitThresholds: Seq[Double] = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
 
   val oracle: Map[String, String] = Map(
+    "q61_token_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (SELECT doc_id, w, list_sort(list_distinct(w)) AS dw,
+        |        CAST(len(w) AS DOUBLE) AS n FROM t)
+        |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |  round(-list_sum(list_transform(dw, t ->
+        |    (CAST(len(list_filter(w, x -> x = t)) AS DOUBLE) / n)
+        |      * ln(CAST(len(list_filter(w, x -> x = t)) AS DOUBLE) / n))), 6)
+        |    AS token_entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q62_source_contam" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |        unnest(list_transform(generate_series(1, len(w) - 7),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |            || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS sh
+        |      FROM t)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(DISTINCT a.sh) AS n_shared_8grams
+        |FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+        |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin,
     "q57_tfidf_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
