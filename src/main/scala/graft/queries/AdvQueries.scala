@@ -220,10 +220,49 @@ object AdvQueries {
       .orderBy($"event_id")
   }
 
+  /** Per-label embedding centroids as flat (label, dim, mean) rows —
+    * the class-prototype computation of semantic search / clustering
+    * pipelines. posexplode → (label, dim) two-phase aggregate: the
+    * shuffle carries per-(label, dim) partial sums, never vectors; the
+    * component mean is decimal-exact (q30's precedent) so the oracle
+    * hash-compares. */
+  private val q63: Q = (s, d) => {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), round(Exact.davg($"v"), 6).as("mean_v"))
+      .orderBy($"label", $"dim")
+  }
+
+  /** Robust outlier audit: IQR fences (Tukey 1.5×) per event type from
+    * exact interpolated quartiles, outliers counted per group. Two-pass
+    * aggregate-and-broadcast-join-back — the fact table is never
+    * shuffled (same rationale as [[Normalize.zscore]]). */
+  private val q64: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"value")
+    val fences = ev.groupBy($"event_type").agg(
+      percentile($"value", lit(0.25)).as("p25"),
+      percentile($"value", lit(0.75)).as("p75"))
+    val iqr = $"p75" - $"p25"
+    ev.join(broadcast(fences), Seq("event_type"))
+      .withColumn("is_outlier",
+        $"value" < $"p25" - iqr * 1.5 || $"value" > $"p75" + iqr * 1.5)
+      .groupBy($"event_type")
+      .agg(count(when($"is_outlier", 1)).as("n_outliers"),
+        count($"value").as("n_values"),
+        round(min($"p25" - iqr * 1.5), 6).as("lo_fence"),
+        round(min($"p75" + iqr * 1.5), 6).as("hi_fence"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_bpeish_tokens"   -> q40,
     "q41_knn_ivf"         -> q41,
     "q60_interval_join"   -> q60,
+    "q63_label_centroids" -> q63,
+    "q64_iqr_outliers"    -> q64,
     "q53_rolling_stats"   -> q53,
     "q54_percentiles"     -> q54,
     "q55_zscore"          -> q55,
@@ -237,6 +276,25 @@ object AdvQueries {
     "q39_session_window"  -> q39)
 
   val oracle: Map[String, String] = Map(
+    "q63_label_centroids" ->
+      """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS INTEGER) AS dim
+        |  FROM embeddings)
+        |SELECT label, dim, count(*) AS n,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(v), 6) AS mean_v
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q64_iqr_outliers" ->
+      """WITH f AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.75) AS p75
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  count(*) FILTER (WHERE value < p25 - 1.5 * (p75 - p25)
+        |    OR value > p75 + 1.5 * (p75 - p25)) AS n_outliers,
+        |  count(value) AS n_values,
+        |  round(min(p25 - 1.5 * (p75 - p25)), 6) AS lo_fence,
+        |  round(min(p75 + 1.5 * (p75 - p25)), 6) AS hi_fence
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
     "q60_interval_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, ts AS view_ts, value AS view_value FROM events
