@@ -57,4 +57,28 @@ object RangeJoin {
       .where($"__rts" >= lt - beforeUs && $"__rts" <= lt + afterUs)
       .drop("__bkt", "__rts")
   }
+
+  /** Streaming interval join — the stream-stream counterpart of
+    * [[intervalJoin]]. No bucketing here: Spark's
+    * StreamingSymmetricHashJoin recognizes the `rightTs BETWEEN leftTs −
+    * before AND leftTs + after` condition and, given watermarks on BOTH
+    * sides, derives each side's state retention from the interval — rows
+    * are evicted once the watermark passes their possible-match range, so
+    * state is bounded by (watermark delay + interval) × arrival rate, not
+    * by stream length. Callers must `withWatermark` both inputs (Spark
+    * rejects the query otherwise in append mode).
+    *
+    * Both timestamp columns must be event-time (TimestampType) columns;
+    * the condition intentionally references them bare — wrapping them in
+    * expressions would defeat Spark's watermark-predicate detection. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String,
+                         before: Duration, after: Duration): DataFrame = {
+    val beforeExpr = expr(s"INTERVAL ${before.toMillis} MILLISECONDS")
+    val afterExpr = expr(s"INTERVAL ${after.toMillis} MILLISECONDS")
+    val cond = col(s"l.$key") === col(s"r.$key") &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") - beforeExpr &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + afterExpr
+    left.alias("l").join(right.alias("r"), cond)
+  }
 }
