@@ -69,9 +69,33 @@ object Dedup {
                         inArrayLimit: Int = 512): DataFrame = maxDf match {
     case Some(cap) => ngramJaccardPairsCapped(df, idCol, textCol, n, threshold, cap)
     case None =>
-      val docs = df.select(col(idCol).as("doc"),
+      // SET-DEDUPLICATED enumeration: documents with identical distinct-
+      // shingle sets have jaccard 1 among themselves and identical scores
+      // against everything else, so the pair machinery runs on ONE
+      // representative per distinct set and expands back afterwards —
+      // within-set pairs at jaccard 1.0, cross-set pairs replicated over
+      // passing representative pairs only. With duplicate multiplicity m
+      // the candidate join would otherwise cost m²× (measured 371 s vs
+      // 27 s on a 10×-duplicated corpus); the expansion is output-bound
+      // (near-dup OUTPUT is inherently quadratic in multiplicity — a
+      // curation caller that only drops doc_b consumes it linearly).
+      // Set identity is md5 of the JSON-encoded sorted shingle array (128-bit; a
+      // collision would need ~2^64 distinct sets).
+      val allDocs = df.select(col(idCol).as("doc"),
         array_distinct(Text.shingles(col(textCol), n)).as("shs"))
-      val sh = docs.select($"doc", size($"shs").as("n"), explode($"shs").as("sh"))
+        // to_json, not a delimiter concat: JSON quoting/escaping makes
+        // the encoding injective regardless of shingle content
+        .withColumn("setfp", md5(to_json(array_sort($"shs"))))
+      // staged: consumed by the representative pipeline, the within-set
+      // self-join (both sides), and the cross-set expansion joins
+      val membership = allDocs.select($"doc", $"setfp", size($"shs").as("n_shs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one row per distinct shingle set; `first` is deterministic here
+      // (all rows in the group carry the identical array)
+      val docs = allDocs.groupBy($"setfp").agg(first($"shs").as("shs"))
+      // the representative pipeline below is keyed by setfp (aliased
+      // `doc` so the shared pair machinery applies unchanged)
+      val sh = docs.select($"setfp".as("doc"), size($"shs").as("n"), explode($"shs").as("sh"))
       // staged: three consumers below (small filter + both sides of the
       // skew self-join). Exchange/stage reuse does NOT cover this —
       // collect_list is order-nondeterministic, which defeats sameResult
@@ -113,7 +137,26 @@ object Dedup {
       val inter = small.unionByName(large)
         .select($"p.doc_a", $"p.doc_b", $"p.n_a".as("n_a"), $"p.n_b".as("n_b"))
         .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b").agg(count(lit(1)).as("inter"))
-      jaccardScore(inter, threshold)
+      val repPairs = jaccardScore(inter, threshold) // (setfp_a, setfp_b, jaccard)
+      // cross-set expansion: every member of set A × every member of set
+      // B, normalized to (min, max) id order; the score is the sets'
+      // score. Joins stream — no in-row m² arrays.
+      val cross = repPairs
+        .join(membership.select($"setfp".as("doc_a"), $"doc".as("id_a")), Seq("doc_a"))
+        .join(membership.select($"setfp".as("doc_b"), $"doc".as("id_b")), Seq("doc_b"))
+        .select(least($"id_a", $"id_b").as("doc_a"),
+          greatest($"id_a", $"id_b").as("doc_b"), $"jaccard")
+      // within-set pairs: identical non-empty sets are jaccard 1.0 (empty
+      // sets share no shingle — the direct join never pairs them, so
+      // neither do we)
+      val nonEmpty = membership.where($"n_shs" > 0)
+      val within = nonEmpty.select($"setfp", $"doc".as("doc_a"))
+        .join(nonEmpty.select($"setfp", $"doc".as("doc_b")), Seq("setfp"))
+        .where($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", lit(1.0).as("jaccard"))
+      val expanded =
+        if (threshold <= 1.0) cross.unionByName(within) else cross
+      expanded
   }
 
   /** Corpus-adaptive exact Jaccard pairs — ONE entry point that picks the

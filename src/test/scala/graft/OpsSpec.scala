@@ -551,6 +551,32 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("set-deduplicated Jaccard equals per-doc enumeration on a duplicate-heavy corpus") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val near = "alpha beta gamma delta epsilon zeta eta iota" // high overlap
+    val other = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),          // multiplicity 3
+      (4L, near),
+      (5L, other), (6L, other),                 // multiplicity 2, disjoint content
+      (7L, "xy"), (8L, "xy")                    // < n tokens: empty shingle sets
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val reference = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == reference)
+    // within-set pairs at exactly 1.0, all orderings normalized
+    assert(got.filter(_._3 == 1.0).map(t => (t._1, t._2)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+    // cross-set near-dups replicate the representative score to every member
+    val nearScores = got.filter(t => t._2 == 4L || t._1 == 4L)
+    assert(nearScores.map(t => (t._1, t._2)) == Set((1L, 4L), (2L, 4L), (3L, 4L)))
+    assert(nearScores.map(_._3).size == 1, "identical sets must carry identical scores")
+    // empty shingle sets never pair (jaccard undefined, direct join emits nothing)
+    assert(!got.exists(t => t._1 == 7L || t._2 == 7L || t._1 == 8L || t._2 == 8L))
+  }
+
   test("intervalJoin equals the naive range join, boundaries inclusive") {
     import java.sql.Timestamp
     def ts(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
