@@ -45,7 +45,14 @@ object Bench {
     // data-cold (cache cleared between queries) while filtering one-sided
     // noise; it is the steady-state cost a resident engine would show.
     val first = sweep(spark, sfDir)
-    val second = sweep(spark, sfDir)
+    // wall-clock guard: when the host is badly contended the first sweep
+    // alone can run minutes over its normal cost; a second sweep would
+    // double that and risk any harness-side time cap. Past the budget we
+    // report the single sweep (the contended numbers are what they are).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "180").toDouble
+    val second =
+      if (first.map(_._2).filter(_ >= 0).sum <= budgetSec) sweep(spark, sfDir)
+      else first
     val results = first.zip(second).map { case ((n1, a), (n2, b)) =>
       require(n1 == n2)
       n1 -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
