@@ -94,7 +94,8 @@ object GraftFunctions {
     "minhash_sigs" -> literalIntBuilder("minhash_sigs", "k")(MinHashSignature.apply),
     "simhash_sig" -> (exprs => SimHashSignature(exprs(0))),
     "array_top_count" -> (exprs => ArrayTopCount(exprs(0))),
-    "winnow_fps" -> literalIntBuilder("winnow_fps", "w")(WinnowFingerprints.apply))
+    "winnow_fps" -> literalIntBuilder("winnow_fps", "w")(WinnowFingerprints.apply),
+    "token_entropy" -> (exprs => TokenEntropy(exprs(0))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
@@ -109,7 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "minhash_sigs" -> classOf[MinHashSignature].getName,
     "simhash_sig" -> classOf[SimHashSignature].getName,
     "array_top_count" -> classOf[ArrayTopCount].getName,
-    "winnow_fps" -> classOf[WinnowFingerprints].getName)
+    "winnow_fps" -> classOf[WinnowFingerprints].getName,
+    "token_entropy" -> classOf[TokenEntropy].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.builders.foreach { case (name, builder) =>

@@ -551,6 +551,26 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("native token_entropy is bit-identical to the HOF fold") {
+    val docs = Tables.documents(spark, sf)
+    val a = Text.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    val b = Text.tokenEntropyHof(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case ((id1, n1, e1), (id2, n2, e2)) =>
+      assert(id1 == id2 && n1 == n2)
+      assert(java.lang.Double.doubleToRawLongBits(e1) ==
+        java.lang.Double.doubleToRawLongBits(e2), s"doc $id1: $e1 vs $e2")
+    }
+    // degenerate repetition scores 0; uniform text scores ln(n)
+    val fix = Seq((1L, "a a a a"), (2L, "w x y z")).toDF("doc_id", "text")
+    val m = Text.tokenEntropy(fix, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(m(1L) == 0.0)
+    assert(math.abs(m(2L) - math.log(4)) < 1e-6)
+  }
+
   test("set-deduplicated Jaccard equals per-doc enumeration on a duplicate-heavy corpus") {
     val dup = "alpha beta gamma delta epsilon zeta eta theta"
     val near = "alpha beta gamma delta epsilon zeta eta iota" // high overlap
