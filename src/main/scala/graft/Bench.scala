@@ -44,18 +44,26 @@ object Bench {
     // at ~52-66s). min-of-two keeps each measurement standalone and
     // data-cold (cache cleared between queries) while filtering one-sided
     // noise; it is the steady-state cost a resident engine would show.
+    val sweepStart = System.nanoTime()
     val first = sweep(spark, sfDir)
+    val firstWallSec = (System.nanoTime() - sweepStart) / 1e9
     // wall-clock guard: when the host is badly contended the first sweep
     // alone can run minutes over its normal cost; a second sweep would
     // double that and risk any harness-side time cap. Past the budget we
     // report the single sweep (the contended numbers are what they are).
+    // Guard on WALL time of the whole sweep, not the sum of successful
+    // durations — failed-but-slow queries and clearCache overhead count.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "180").toDouble
     val second =
-      if (first.map(_._2).filter(_ >= 0).sum <= budgetSec) sweep(spark, sfDir)
+      if (firstWallSec <= budgetSec) sweep(spark, sfDir)
       else first
+    // per-query minimum over the VALID measurements: a transient failure
+    // in one sweep must not erase the other sweep's real number; -1 only
+    // when both sweeps failed
     val results = first.zip(second).map { case ((n1, a), (n2, b)) =>
       require(n1 == n2)
-      n1 -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val valid = Seq(a, b).filter(_ >= 0)
+      n1 -> (if (valid.isEmpty) -1.0 else valid.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -10,18 +10,24 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else Seq(
+    // flags are stripped BEFORE the empty-check so `-executed` alone
+    // still audits the default queries
+    val (flags, given) = args.toSeq.partition(_.startsWith("-"))
+    val qnames = if (given.nonEmpty) given else Seq(
       "q02_event_filter", "q13_revenue_by_nation", "q06_dim_join_left")
     // `-executed` prints the post-run adaptive plan (AQE's final stage
     // graph, where runtime exchange/stage reuse is visible) instead of
     // the static initial plan.
-    val (flags, qnames) = names.partition(_.startsWith("-"))
     val executed = flags.contains("-executed")
     qnames.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
       if (executed) {
-        df.write.format("noop").mode("overwrite").save()
+        // run an action THROUGH this Dataset's own QueryExecution: a
+        // sink write plans a separate QueryExecution, leaving this one's
+        // adaptive plan un-finalized (isFinalPlan=false, no runtime
+        // reuse visible)
+        df.collect()
         println(df.queryExecution.executedPlan.toString)
       } else
         println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -386,9 +386,13 @@ object Dedup {
                          idCol: String, textCol: String, n: Int = 8,
                          expectedShingles: Long = 1L << 20,
                          fpp: Double = 0.01): DataFrame = {
+    // staged: the bloom build (an action, below) materializes this
+    // frame, and the exact verify join reads it again — without the
+    // persist the benchmark scan + shingle explode + distinct runs twice
     val benchSh = benchmark
       .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = benchSh.stat.bloomFilter("sh", expectedShingles, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => bc.value.mightContainString(s))

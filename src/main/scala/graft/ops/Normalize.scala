@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Group-wise feature normalization — the per-group z-score step of a
   * feature-engineering pipeline (normalize a metric within its segment
@@ -22,21 +21,24 @@ import org.apache.spark.sql.types.DecimalType
   * is the sample variance (n−1).
   */
 object Normalize {
-  private val D = DecimalType(18, 4)
 
   /** Appends `<valueCol>_z`. Rows in groups with fewer than 2 rows or
-    * zero variance yield NULL (division by zero stays NULL in SQL
-    * semantics — both engines agree). */
+    * non-positive computed variance yield NULL — the variance guard
+    * matters because the decimal quantization of x² can push an
+    * all-but-constant group's variance slightly NEGATIVE, and
+    * sqrt(negative) is NaN in Spark but an error in DuckDB; the
+    * explicit `> 0` gate gives both engines the same NULL. */
   def zscore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val x = col(valueCol)
     val stats = df.groupBy(col(groupCol)).agg(
       count(x).cast("double").as("__n"),
-      sum(x.cast(D)).cast("double").as("__sx"),
-      sum((x * x).cast(D)).cast("double").as("__sxx"))
+      Exact.dsum(x).as("__sx"),
+      Exact.dsum(x * x).as("__sxx"))
     val mean = $"__sx" / $"__n"
     val variance = ($"__sxx" - $"__sx" * $"__sx" / $"__n") / ($"__n" - 1.0)
     df.join(broadcast(stats), Seq(groupCol))
-      .withColumn(s"${valueCol}_z", (x - mean) / sqrt(variance))
+      .withColumn(s"${valueCol}_z",
+        when(variance > 0, (x - mean) / sqrt(variance)))
       .drop("__n", "__sx", "__sxx")
   }
 }

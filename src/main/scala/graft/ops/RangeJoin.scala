@@ -40,18 +40,21 @@ object RangeJoin {
       s"need non-negative bounds spanning a positive interval " +
         s"(got before=$before, after=$after)")
     val w = beforeUs + afterUs
-    // exact long floor-division (subtract the non-negative pmod remainder,
-    // then divide): plain `/` truncates toward zero, mis-bucketing
-    // pre-1970 (negative-micros) timestamps, and a double `floor` loses
-    // exactness past 2^53 µs
-    def bucket(tsUs: org.apache.spark.sql.Column) =
-      ((tsUs - pmod(tsUs, lit(w))) / w).cast("long")
+    // the join key is the bucket's START in µs (ts minus its non-negative
+    // pmod remainder) — pure long arithmetic, no division: a bucket INDEX
+    // would need floor division, and Spark's `/` on longs is double
+    // division, which rounds past 2^53 µs and would silently mis-bucket
+    // far-future (sentinel-date) timestamps by one. pmod keeps the floor
+    // semantics exact for pre-1970 (negative) timestamps too.
+    def bucketStart(tsUs: org.apache.spark.sql.Column) =
+      tsUs - pmod(tsUs, lit(w))
     val lt = unix_micros(col(leftTs))
     val l = left
       .withColumn("__bkt",
-        explode(sequence(bucket(lt - beforeUs), bucket(lt + afterUs))))
+        explode(sequence(bucketStart(lt - beforeUs), bucketStart(lt + afterUs),
+          lit(w))))
     val r = right.select(
-      (col(key) +: bucket(unix_micros(col(rightTs))).as("__bkt") +:
+      (col(key) +: bucketStart(unix_micros(col(rightTs))).as("__bkt") +:
         unix_micros(col(rightTs)).as("__rts") +: payload.map(col)): _*)
     l.join(r, Seq(key, "__bkt"))
       .where($"__rts" >= lt - beforeUs && $"__rts" <= lt + afterUs)
@@ -74,8 +77,10 @@ object RangeJoin {
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
                          leftTs: String, rightTs: String,
                          before: Duration, after: Duration): DataFrame = {
-    val beforeExpr = expr(s"INTERVAL ${before.toMillis} MILLISECONDS")
-    val afterExpr = expr(s"INTERVAL ${after.toMillis} MILLISECONDS")
+    // microsecond resolution, matching the batch variant's bounds (a
+    // sub-millisecond Duration would truncate to zero under toMillis)
+    val beforeExpr = expr(s"INTERVAL ${before.toNanos / 1000L} MICROSECOND")
+    val afterExpr = expr(s"INTERVAL ${after.toNanos / 1000L} MICROSECOND")
     val cond = col(s"l.$key") === col(s"r.$key") &&
       col(s"r.$rightTs") >= col(s"l.$leftTs") - beforeExpr &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") + afterExpr

@@ -332,7 +332,9 @@ object AdvQueries {
         |    CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type,
-        |  round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z_value
+        |  CASE WHEN (sxx - sx * sx / n) / (n - 1) > 0
+        |    THEN round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+        |  END AS z_value
         |FROM events e JOIN st USING (event_type)
         |ORDER BY event_id""".stripMargin,
     "q56_token_deciles" ->
