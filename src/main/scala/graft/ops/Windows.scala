@@ -56,6 +56,37 @@ object Windows {
         Window.partitionBy(partCols: _*).orderBy(orderCols: _*)).cast("int"))
       .where(col("rn") <= n)
 
+  /** Time-series resampling with forward fill — the gap-filling step of a
+    * sensor/metrics pipeline: project each entity's event stream onto a
+    * regular 1-minute grid spanning its observed range, carrying the last
+    * known per-minute mean across empty minutes (`is_gap` marks filled
+    * rows). The first grid row of every entity is an observed minute by
+    * construction (the grid starts at the entity's min event), so forward
+    * fill never reads before the series starts.
+    *
+    * Shape: per-minute decimal-exact means (two-phase aggregate), a
+    * per-entity bounds aggregate whose `sequence` explode generates the
+    * grid (array length = span/step per ENTITY — bounded by time span,
+    * not data volume; pick a coarser step for multi-year spans), one
+    * left join grid⋈means, one forward-fill window partitioned by
+    * entity. No driver collects, no global windows. */
+  def resampleFfill(df: DataFrame, entity: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val agg = df.groupBy(col(entity), date_trunc("minute", col(tsCol)).as("grid_ts"))
+      .agg(Exact.davg(col(valueCol)).as("__v"))
+    val bounds = df.groupBy(col(entity)).agg(
+      date_trunc("minute", min(col(tsCol))).as("__lo"),
+      date_trunc("minute", max(col(tsCol))).as("__hi"))
+    val grid = bounds.select(col(entity),
+      explode(sequence($"__lo", $"__hi", expr("INTERVAL 1 MINUTE"))).as("grid_ts"))
+    val w = Window.partitionBy(col(entity)).orderBy($"grid_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq(entity, "grid_ts"), "left")
+      .withColumn("value_ffill", last($"__v", ignoreNulls = true).over(w))
+      .withColumn("is_gap", $"__v".isNull)
+      .drop("__v")
+  }
+
   /** Trailing rolling-frame stats per entity: decimal-exact moving average
     * of `valueCol` over the last `frameRows` rows (inclusive) plus the
     * frame's row count (< frameRows during warm-up at each partition

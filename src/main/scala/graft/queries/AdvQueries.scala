@@ -257,12 +257,24 @@ object AdvQueries {
       .orderBy($"event_type")
   }
 
+  /** Minute-grid resampling with forward fill per event type — the
+    * gap-filling view of the event stream (is_gap marks carried-forward
+    * minutes). Grid size is bounded by the time span, not data volume. */
+  private val q65: Q = (s, d) => {
+    import s.implicits._
+    Windows.resampleFfill(Tables.events(s, d), "event_type", "ts", "value")
+      .select($"event_type", $"grid_ts",
+        round($"value_ffill", 6).as("value_ffill"), $"is_gap")
+      .orderBy($"event_type", $"grid_ts")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_bpeish_tokens"   -> q40,
     "q41_knn_ivf"         -> q41,
     "q60_interval_join"   -> q60,
     "q63_label_centroids" -> q63,
     "q64_iqr_outliers"    -> q64,
+    "q65_resample_ffill"  -> q65,
     "q53_rolling_stats"   -> q53,
     "q54_percentiles"     -> q54,
     "q55_zscore"          -> q55,
@@ -276,6 +288,22 @@ object AdvQueries {
     "q39_session_window"  -> q39)
 
   val oracle: Map[String, String] = Map(
+    "q65_resample_ffill" ->
+      """WITH b AS (SELECT event_type, date_trunc('minute', min(ts)) AS lo,
+        |    date_trunc('minute', max(ts)) AS hi
+        |  FROM events GROUP BY event_type),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS grid_ts FROM b),
+        |a AS (SELECT event_type, date_trunc('minute', ts) AS grid_ts,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS v
+        |  FROM events GROUP BY event_type, date_trunc('minute', ts))
+        |SELECT g.event_type, g.grid_ts,
+        |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY g.event_type
+        |    ORDER BY g.grid_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS value_ffill,
+        |  v IS NULL AS is_gap
+        |FROM grid g LEFT JOIN a USING (event_type, grid_ts)
+        |ORDER BY event_type, grid_ts""".stripMargin,
     "q63_label_centroids" ->
       """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
         |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS INTEGER) AS dim

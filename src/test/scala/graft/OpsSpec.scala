@@ -551,6 +551,28 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("resampleFfill fills gaps with the last observed mean, grid bounded per entity") {
+    import java.sql.Timestamp
+    def ts(m: Int, s: Int = 0) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
+    val df = Seq(
+      ("a", ts(0, 10), 10.0), ("a", ts(0, 40), 20.0), // minute 0: mean 15
+      ("a", ts(3), 7.0),                              // minutes 1,2 are gaps
+      ("b", ts(5), 1.0)                               // single-point entity
+    ).toDF("k", "t", "v")
+    val got = Windows.resampleFfill(df, "k", "t", "v")
+      .select("k", "grid_ts", "value_ffill", "is_gap")
+      .as[(String, Timestamp, Double, Boolean)].collect()
+      .sortBy(r => (r._1, r._2.getTime))
+    assert(got.map(r => (r._1, r._2)) ===
+      Array(("a", ts(0)), ("a", ts(1)), ("a", ts(2)), ("a", ts(3)), ("b", ts(5)))
+        .map(t => (t._1, t._2)))
+    assert(got(0) == (("a", ts(0), 15.0, false)))
+    assert(got(1) == (("a", ts(1), 15.0, true)))  // carried forward
+    assert(got(2) == (("a", ts(2), 15.0, true)))
+    assert(got(3) == (("a", ts(3), 7.0, false)))  // new observation resets
+    assert(got(4) == (("b", ts(5), 1.0, false)))  // no cross-entity leakage
+  }
+
   test("native token_entropy is bit-identical to the HOF fold") {
     val docs = Tables.documents(spark, sf)
     val a = Text.tokenEntropy(docs, "doc_id", "text")
