@@ -582,22 +582,41 @@ object Dedup {
       s"simhashPairs needs maxHamming < chunks for complete candidate " +
         s"generation (got maxHamming=$maxHamming, chunks=$chunks)")
     val bitsPerChunk = 64 / chunks
-    val withSig = simhashSignatures(df, idCol, textCol)
+    // SIGNATURE-DEDUPLICATED candidate generation (same reasoning as the
+    // Jaccard set-dedup): documents with identical signatures pair at
+    // Hamming 0 among themselves and behave identically against every
+    // other signature, so the pigeonhole machinery runs on DISTINCT
+    // signatures and expands afterwards. With duplicate multiplicity m
+    // the chunk-bucket self-join would otherwise cost m²× (measured
+    // 41–69 s vs ~4 s on a 10×-duplicated corpus at sf0.1×10).
+    val members = simhashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = members.select($"sig").distinct()
     val chunkStructs = (0 until chunks).map { j =>
       struct(lit(j).as("chunk_id"),
         shiftright($"sig", j * bitsPerChunk)
           .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("chunk_val"))
     }
-    val chunked = withSig.select($"doc", $"sig", explode(array(chunkStructs: _*)).as("c"))
-      .select($"doc", $"sig", $"c.chunk_id", $"c.chunk_val")
-    chunked.select($"doc".as("doc_a"), $"sig".as("sig_a"), $"chunk_id", $"chunk_val")
-      .join(chunked.select($"doc".as("doc_b"), $"sig".as("sig_b"), $"chunk_id", $"chunk_val"),
+    val chunked = sigs.select($"sig", explode(array(chunkStructs: _*)).as("c"))
+      .select($"sig", $"c.chunk_id", $"c.chunk_val")
+    val sigPairs = chunked.select($"sig".as("sig_a"), $"chunk_id", $"chunk_val")
+      .join(chunked.select($"sig".as("sig_b"), $"chunk_id", $"chunk_val"),
         Seq("chunk_id", "chunk_val"))
-      .where($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b")
-      .dropDuplicates("doc_a", "doc_b")
+      .where($"sig_a" < $"sig_b")
+      .select($"sig_a", $"sig_b")
+      .dropDuplicates("sig_a", "sig_b")
       .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
       .where($"hamming" <= maxHamming)
-      .select($"doc_a", $"doc_b", $"hamming")
+    val cross = sigPairs
+      .join(members.select($"sig".as("sig_a"), $"doc".as("id_a")), Seq("sig_a"))
+      .join(members.select($"sig".as("sig_b"), $"doc".as("id_b")), Seq("sig_b"))
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"), $"hamming")
+    // identical signatures: Hamming 0, always within any maxHamming >= 0
+    val within = members.select($"sig", $"doc".as("doc_a"))
+      .join(members.select($"sig", $"doc".as("doc_b")), Seq("sig"))
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 }
