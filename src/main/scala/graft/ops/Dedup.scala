@@ -315,35 +315,50 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
     val r = k / bands
-    // the signature frame is consumed three times (banding + two
-    // candidate re-attach joins): stage it — k longs per doc, orders of
-    // magnitude smaller than the corpus. Repeated invocations dedupe via
-    // the cache manager (same analyzed plan → same InMemoryRelation).
-    val sig = minhashSignatures(df, idCol, textCol, k)
+    // SIGNATURE-DEDUPLICATED banding (same reasoning as the Jaccard
+    // set-dedup and SimHash rewrites): identical signatures share every
+    // band and estimate 1.0 among themselves, so banding and candidate
+    // pairing run on DISTINCT signatures and expand afterwards —
+    // duplicate multiplicity m otherwise costs m²× in every band bucket.
+    // The signature identity `sid` is md5 of the JSON-encoded signature
+    // (orderable, injective up to md5).
+    val members = minhashSignatures(df, idCol, textCol, k)
+      .withColumn("sid", md5(to_json($"sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = members.select($"sid", $"sig").distinct()
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band_id"), xxhash64(slice($"sig", j * r + 1, r)).as("band_hash"))
     }
-    // candidate generation on NARROW rows (doc, band_id, band_hash): the
+    // candidate generation on NARROW rows (sid, band_id, band_hash): the
     // k-long signatures stay out of the band shuffle and the pair rows,
-    // and are re-attached only to the deduplicated candidates (two joins
-    // against the staged per-doc signature frame)
-    val banded = sig.select($"doc", explode(array(bandStructs: _*)).as("band"))
-      .select($"doc", $"band.band_id", $"band.band_hash")
-    val cand = banded.select($"doc".as("doc_a"), $"band_id", $"band_hash")
-      .join(banded.select($"doc".as("doc_b"), $"band_id", $"band_hash"),
+    // and are re-attached only to the deduplicated candidates
+    val banded = sigs.select($"sid", explode(array(bandStructs: _*)).as("band"))
+      .select($"sid", $"band.band_id", $"band.band_hash")
+    val cand = banded.select($"sid".as("sid_a"), $"band_id", $"band_hash")
+      .join(banded.select($"sid".as("sid_b"), $"band_id", $"band_hash"),
         Seq("band_id", "band_hash"))
-      .where($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(sig.select($"doc".as("doc_a"), $"sig".as("sig_a")), Seq("doc_a"))
-      .join(sig.select($"doc".as("doc_b"), $"sig".as("sig_b")), Seq("doc_b"))
+      .where($"sid_a" < $"sid_b")
+      .select($"sid_a", $"sid_b")
+      .dropDuplicates("sid_a", "sid_b")
+    val sigPairs = cand
+      .join(sigs.select($"sid".as("sid_a"), $"sig".as("sig_a")), Seq("sid_a"))
+      .join(sigs.select($"sid".as("sid_b"), $"sig".as("sig_b")), Seq("sid_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (a, x) => a + x) / lit(k.toDouble))
       .where($"est_jaccard" >= minEstJaccard)
-      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .select($"sid_a", $"sid_b", $"est_jaccard")
+    val cross = sigPairs
+      .join(members.select($"sid".as("sid_a"), $"doc".as("id_a")), Seq("sid_a"))
+      .join(members.select($"sid".as("sid_b"), $"doc".as("id_b")), Seq("sid_b"))
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"), $"est_jaccard")
+    // identical signatures agree on all k components: estimate exactly 1.0
+    val within = members.select($"sid", $"doc".as("doc_a"))
+      .join(members.select($"sid", $"doc".as("doc_b")), Seq("sid"))
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", lit(1.0).as("est_jaccard"))
+    cross.unionByName(within)
   }
 
   /** Benchmark decontamination: drop every corpus document that shares at
