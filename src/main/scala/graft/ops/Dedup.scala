@@ -325,7 +325,11 @@ object Dedup {
     val members = minhashSignatures(df, idCol, textCol, k)
       .withColumn("sid", md5(to_json($"sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct signatures are consumed four times (banded self-join both
+    // sides + two re-attach joins); exchange reuse across separate join
+    // subtrees is not guaranteed, so stage the tiny frame
     val sigs = members.select($"sid", $"sig").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band_id"), xxhash64(slice($"sig", j * r + 1, r)).as("band_hash"))
     }
@@ -353,12 +357,14 @@ object Dedup {
       .join(members.select($"sid".as("sid_b"), $"doc".as("id_b")), Seq("sid_b"))
       .select(least($"id_a", $"id_b").as("doc_a"),
         greatest($"id_a", $"id_b").as("doc_b"), $"est_jaccard")
-    // identical signatures agree on all k components: estimate exactly 1.0
+    // identical signatures agree on all k components: estimate exactly
+    // 1.0 — included only while the threshold admits it (a caller using
+    // minEstJaccard > 1 as a disable-all still gets an empty result)
     val within = members.select($"sid", $"doc".as("doc_a"))
       .join(members.select($"sid", $"doc".as("doc_b")), Seq("sid"))
       .where($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b", lit(1.0).as("est_jaccard"))
-    cross.unionByName(within)
+    if (minEstJaccard <= 1.0) cross.unionByName(within) else cross
   }
 
   /** Benchmark decontamination: drop every corpus document that shares at
@@ -593,8 +599,8 @@ object Dedup {
     // pigeonhole completeness: distance <= maxHamming flips at most
     // maxHamming chunks, so some chunk is untouched ONLY if there are
     // strictly more chunks than flips
-    require(maxHamming < chunks,
-      s"simhashPairs needs maxHamming < chunks for complete candidate " +
+    require(maxHamming >= 0 && maxHamming < chunks,
+      s"simhashPairs needs 0 <= maxHamming < chunks for complete candidate " +
         s"generation (got maxHamming=$maxHamming, chunks=$chunks)")
     val bitsPerChunk = 64 / chunks
     // SIGNATURE-DEDUPLICATED candidate generation (same reasoning as the
@@ -606,7 +612,10 @@ object Dedup {
     // 41–69 s vs ~4 s on a 10×-duplicated corpus at sf0.1×10).
     val members = simhashSignatures(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct signatures feed the chunk self-join (both sides); stage
+    // the tiny frame rather than rely on cross-subtree exchange reuse
     val sigs = members.select($"sig").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkStructs = (0 until chunks).map { j =>
       struct(lit(j).as("chunk_id"),
         shiftright($"sig", j * bitsPerChunk)

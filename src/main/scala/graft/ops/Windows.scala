@@ -59,10 +59,12 @@ object Windows {
   /** Time-series resampling with forward fill — the gap-filling step of a
     * sensor/metrics pipeline: project each entity's event stream onto a
     * regular 1-minute grid spanning its observed range, carrying the last
-    * known per-minute mean across empty minutes (`is_gap` marks filled
-    * rows). The first grid row of every entity is an observed minute by
-    * construction (the grid starts at the entity's min event), so forward
-    * fill never reads before the series starts.
+    * known per-minute mean across empty minutes (`is_gap` marks grid
+    * minutes with NO observation; a minute whose values are all NULL
+    * counts as observed). The first grid row of every entity is an
+    * observed minute by construction (the grid starts at the entity's
+    * min event), so forward fill never reads before the series starts —
+    * though its value can be NULL if that minute's values are all NULL.
     *
     * Shape: per-minute decimal-exact means (two-phase aggregate), a
     * per-entity bounds aggregate whose `sequence` explode generates the
@@ -72,19 +74,23 @@ object Windows {
     * entity. No driver collects, no global windows. */
   def resampleFfill(df: DataFrame, entity: String, tsCol: String,
                     valueCol: String): DataFrame = {
+    // the observed-minute marker (not the mean) drives is_gap: a minute
+    // whose values are all NULL is still an OBSERVED minute, not a grid
+    // gap — and its ffilled value legitimately carries the prior mean
     val agg = df.groupBy(col(entity), date_trunc("minute", col(tsCol)).as("grid_ts"))
-      .agg(Exact.davg(col(valueCol)).as("__v"))
-    val bounds = df.groupBy(col(entity)).agg(
-      date_trunc("minute", min(col(tsCol))).as("__lo"),
-      date_trunc("minute", max(col(tsCol))).as("__hi"))
+      .agg(Exact.davg(col(valueCol)).as("__v"), lit(true).as("__obs"))
+    // bounds derive from the per-minute aggregate (date_trunc commutes
+    // with min/max), not a second scan of the raw input
+    val bounds = agg.groupBy(col(entity)).agg(
+      min($"grid_ts").as("__lo"), max($"grid_ts").as("__hi"))
     val grid = bounds.select(col(entity),
       explode(sequence($"__lo", $"__hi", expr("INTERVAL 1 MINUTE"))).as("grid_ts"))
     val w = Window.partitionBy(col(entity)).orderBy($"grid_ts")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(agg, Seq(entity, "grid_ts"), "left")
       .withColumn("value_ffill", last($"__v", ignoreNulls = true).over(w))
-      .withColumn("is_gap", $"__v".isNull)
-      .drop("__v")
+      .withColumn("is_gap", $"__obs".isNull)
+      .drop("__v", "__obs")
   }
 
   /** Trailing rolling-frame stats per entity: decimal-exact moving average

@@ -295,13 +295,14 @@ object AdvQueries {
         |grid AS (SELECT event_type,
         |    unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS grid_ts FROM b),
         |a AS (SELECT event_type, date_trunc('minute', ts) AS grid_ts,
-        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS v
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS v,
+        |    TRUE AS obs
         |  FROM events GROUP BY event_type, date_trunc('minute', ts))
         |SELECT g.event_type, g.grid_ts,
         |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY g.event_type
         |    ORDER BY g.grid_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
         |    AS value_ffill,
-        |  v IS NULL AS is_gap
+        |  obs IS NULL AS is_gap
         |FROM grid g LEFT JOIN a USING (event_type, grid_ts)
         |ORDER BY event_type, grid_ts""".stripMargin,
     "q63_label_centroids" ->
