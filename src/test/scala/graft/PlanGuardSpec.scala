@@ -29,4 +29,15 @@ class PlanGuardSpec extends SparkSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("q02's time bound reaches the parquet scan as a pushed filter") {
+    // the raw-nanos predicate (Tables.eventsFrom) must appear in
+    // PushedFilters — a regression here turns a row-group-pruned read
+    // into a full scan, the difference between a day and 100 TB
+    val plan = SparkEntry.queries("q02_event_filter")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts,.*"),
+      s"expected a pushed ts lower bound, plan:\n${plan.take(2000)}")
+  }
 }
