@@ -95,7 +95,23 @@ object GraftFunctions {
     "simhash_sig" -> (exprs => SimHashSignature(exprs(0))),
     "array_top_count" -> (exprs => ArrayTopCount(exprs(0))),
     "winnow_fps" -> literalIntBuilder("winnow_fps", "w")(WinnowFingerprints.apply),
-    "token_entropy" -> (exprs => TokenEntropy(exprs(0))))
+    "token_entropy" -> (exprs => TokenEntropy(exprs(0))),
+    "topk_freq" -> { exprs =>
+      if (exprs.length != 3)
+        throw new IllegalArgumentException(
+          s"topk_freq expects 3 arguments (string col, capacity literal, k literal), got ${exprs.length}")
+      def intLit(e: Expression, name: String): Int = {
+        if (!e.foldable)
+          throw new IllegalArgumentException(s"topk_freq: $name must be a literal integer")
+        e.eval() match {
+          case n: Number if n.doubleValue() == n.intValue().toDouble => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"topk_freq: $name must be a non-null whole-number literal, got " +
+              (if (other == null) "NULL" else other.toString))
+        }
+      }
+      FrequentItemsSketch(exprs(0), intLit(exprs(1), "capacity"), intLit(exprs(2), "k"))
+    })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
@@ -111,7 +127,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "simhash_sig" -> classOf[SimHashSignature].getName,
     "array_top_count" -> classOf[ArrayTopCount].getName,
     "winnow_fps" -> classOf[WinnowFingerprints].getName,
-    "token_entropy" -> classOf[TokenEntropy].getName)
+    "token_entropy" -> classOf[TokenEntropy].getName,
+    "topk_freq" -> classOf[FrequentItemsSketch].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.builders.foreach { case (name, builder) =>

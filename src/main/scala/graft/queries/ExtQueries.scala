@@ -354,7 +354,29 @@ object ExtQueries {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** Top-5 tokens per language via the mergeable frequent-items sketch
+    * ([[graft.functions.FrequentItemsSketch]], Misra–Gries): per-group
+    * partial states are bounded at `capacity` counters however large the
+    * group — the 100 TB shape for "top domains/tokens per shard". With
+    * capacity ≥ the per-group vocabulary (256 ≥ 31 here) the sketch
+    * degenerates to exact counting, which is what makes this instance
+    * deterministic and oracle-checkable; the eviction path is
+    * guarantee-tested in OpsSpec with a tiny capacity. */
+  private val q66: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select($"lang", explode(Text.tokens($"text")).as("token"))
+      .groupBy($"lang")
+      .agg(call_function("topk_freq", $"token", lit(256), lit(5)).as("top"))
+      .select($"lang", posexplode($"top").as(Seq("rnk0", "t")))
+      .select($"lang", ($"rnk0" + 1).cast("int").as("rnk"),
+        $"t.item".as("token"), $"t.cnt".as("cnt"))
+      .orderBy($"lang", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_top_tokens"        -> q66,
     "q62_source_contam"     -> q62,
     "q61_token_entropy"     -> q61,
     "q59_bloom_decontam"    -> q59,
@@ -397,6 +419,13 @@ object ExtQueries {
   private val splitThresholds: Seq[Double] = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
 
   val oracle: Map[String, String] = Map(
+    "q66_top_tokens" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY lang, token),
+        |r AS (SELECT lang, token, cnt, CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY cnt DESC, token) AS INTEGER) AS rnk FROM c)
+        |SELECT lang, rnk, token, cnt FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
     "q61_token_entropy" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |d AS (SELECT doc_id, w, list_sort(list_distinct(w)) AS dw,

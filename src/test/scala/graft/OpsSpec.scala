@@ -551,6 +551,33 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("frequent-items sketch: exact when capacity covers vocab, MG guarantee under eviction") {
+    graft.functions.GraftFunctions.register(spark)
+    // exact regime: capacity >= distinct items -> true counts, stable order
+    val docs = Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++
+      Seq.fill(10)("gamma") ++ Seq.fill(5)("delta")
+    val df = docs.toDF("w").repartition(7) // partitioning must not matter here
+    val exact = df.agg(call_function("topk_freq", col("w"), lit(16), lit(3)).as("top"))
+      .select(explode(col("top")).as("t")).select("t.item", "t.cnt")
+      .as[(String, Long)].collect()
+    assert(exact.toSeq == Seq(("alpha", 30L), ("beta", 20L), ("gamma", 10L)))
+    // eviction regime (capacity 2 over 4 distinct): the MG guarantee is
+    // that any item with freq > n/(capacity+1) (= 65/3 ≈ 21.7) survives —
+    // 'alpha' (30) must be reported; counts are lower bounds
+    val sketched = df.agg(call_function("topk_freq", col("w"), lit(2), lit(2)).as("top"))
+      .select(explode(col("top")).as("t")).select("t.item", "t.cnt")
+      .as[(String, Long)].collect().toMap
+    assert(sketched.contains("alpha"))
+    assert(sketched("alpha") <= 30L)
+    // grouped usage: per-group states are independent
+    val grouped = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z"))
+      .toDF("g", "w")
+      .groupBy("g").agg(call_function("topk_freq", col("w"), lit(8), lit(1)).as("top"))
+      .select(col("g"), explode(col("top")).as("t")).select("g", "t.item")
+      .as[(String, String)].collect().toMap
+    assert(grouped == Map("g1" -> "x", "g2" -> "z"))
+  }
+
   test("resampleFfill fills gaps with the last observed mean, grid bounded per entity") {
     import java.sql.Timestamp
     def ts(m: Int, s: Int = 0) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
