@@ -72,21 +72,23 @@ object GraftFunctions {
     * errors on the spark.sql surface: arity, then foldability, then a
     * whole-number check (a fractional literal would otherwise silently
     * truncate), instead of raw IndexOutOfBounds/ClassCast errors. */
+  private def evalIntLiteral(fn: String, argName: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$fn: $argName must be a literal integer")
+    e.eval() match {
+      case n: Number if n.doubleValue() == n.intValue().toDouble => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be a non-null whole-number literal, got " +
+          (if (other == null) "NULL" else other.toString))
+    }
+  }
+
   private def literalIntBuilder(fn: String, argName: String)(
       ctor: (Expression, Int) => Expression): Seq[Expression] => Expression = { exprs =>
     if (exprs.length != 2)
       throw new IllegalArgumentException(
         s"$fn expects 2 arguments (array<string>, $argName literal), got ${exprs.length}")
-    if (!exprs(1).foldable)
-      throw new IllegalArgumentException(
-        s"$fn: $argName (2nd argument) must be a literal integer")
-    exprs(1).eval() match {
-      case n: Number if n.doubleValue() == n.intValue().toDouble =>
-        ctor(exprs(0), n.intValue())
-      case other => throw new IllegalArgumentException(
-        s"$fn: $argName must be a non-null whole-number literal, got " +
-          (if (other == null) "NULL" else other.toString))
-    }
+    ctor(exprs(0), evalIntLiteral(fn, argName, exprs(1)))
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -100,17 +102,9 @@ object GraftFunctions {
       if (exprs.length != 3)
         throw new IllegalArgumentException(
           s"topk_freq expects 3 arguments (string col, capacity literal, k literal), got ${exprs.length}")
-      def intLit(e: Expression, name: String): Int = {
-        if (!e.foldable)
-          throw new IllegalArgumentException(s"topk_freq: $name must be a literal integer")
-        e.eval() match {
-          case n: Number if n.doubleValue() == n.intValue().toDouble => n.intValue()
-          case other => throw new IllegalArgumentException(
-            s"topk_freq: $name must be a non-null whole-number literal, got " +
-              (if (other == null) "NULL" else other.toString))
-        }
-      }
-      FrequentItemsSketch(exprs(0), intLit(exprs(1), "capacity"), intLit(exprs(2), "k"))
+      FrequentItemsSketch(exprs(0),
+        evalIntLiteral("topk_freq", "capacity", exprs(1)),
+        evalIntLiteral("topk_freq", "k", exprs(2)))
     })
 
   def register(spark: SparkSession): Unit =

@@ -25,8 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * > n/ (capacity+1) is present in the final state, and each reported
   * count is a lower bound within n/(capacity+1) of the true count.
   * Counts depend on partition/merge order within those bounds (inherent
-  * to the sketch — use the exact formulation when bit-determinism
-  * matters; this is why the operator is spec-gated, not oracle-gated).
+  * to the sketch). With capacity >= the group's distinct-item count no
+  * eviction ever fires and the sketch degenerates to exact counting —
+  * deterministic, which is the regime q66 oracle-gates; the eviction
+  * regime's guarantee is spec-gated instead (OpsSpec).
   *
   * eval returns the `k` most frequent tracked items as
   * array<struct<item string, cnt long>>, ordered (cnt desc, item asc).

@@ -364,7 +364,6 @@ object ExtQueries {
     * guarantee-tested in OpsSpec with a tiny capacity. */
   private val q66: Q = (s, d) => {
     import s.implicits._
-    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select($"lang", explode(Text.tokens($"text")).as("token"))
       .groupBy($"lang")
