@@ -6,33 +6,39 @@ import org.apache.spark.sql.functions._
 /** One media record: an opaque binary payload plus typed metadata. */
 case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
 
-/** Decoded/extracted features for a media record. Width/height/frames come
-  * from the (stubbed) decoder; byte_len/checksum from the raw payload. */
+/** Decoded features for a media record. byte_len/checksum come from the raw
+  * payload; width/height/n_frames/channels from the REAL decode
+  * ([[Codecs]]) — all four are NULL when the payload doesn't decode (the
+  * quarantine signal; see [[Multimodal.extractFeatures]]). For audio,
+  * width/height are 0 and n_frames is the PCM frame count. */
 case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Int,
-                         checksum: Long, width: Int, height: Int, n_frames: Int)
+                         checksum: Long, width: Option[Int], height: Option[Int],
+                         n_frames: Option[Int], channels: Option[Int])
 
-/** Multimodal-column plumbing: image/audio/video carried as opaque
-  * `binary` columns with typed metadata, decoded partition-wise.
+/** Multimodal-column processing: image/audio/video carried as opaque
+  * `binary` columns with typed metadata, decoded partition-wise with real
+  * JVM codecs (`javax.imageio` for images and video frames,
+  * `javax.sound.sampled` for audio — see [[Codecs]]).
   *
-  * The Spark-side architecture is real and tested — schema, partitioning,
-  * iterator-batched per-partition processing (the Scala analog of
-  * `mapInPandas`: one decoder instantiation per partition, streaming
-  * through rows without materializing the partition). The *decoder itself*
-  * is a clearly-marked STUB (`decodeStub`): this container has no image /
-  * audio codecs, so it derives deterministic fake dimensions from the
-  * payload bytes. Swapping in a real codec changes only that function.
+  * The reference has no multimodal surface (north-star extension; cf.
+  * `/root/reference/README.md` data model — scalar sensor values only).
   *
-  * Scale posture: binary payloads never enter a shuffle — features are
-  * extracted map-side and only the (small) typed metadata flows
-  * downstream. `withBinaryBudget` sizes the partition count from the
-  * total payload volume so the EXPECTED per-task payload is ~budget
-  * bytes (hash distribution; not a hard per-task cap under size skew).
+  * Scale posture: binary payloads never enter a shuffle — decode happens
+  * map-side inside `mapPartitions` (the Scala analog of `mapInPandas`: one
+  * codec context per partition, streaming through rows without
+  * materializing the partition) and only the small typed metadata flows
+  * downstream. Undecodable payloads produce NULL metadata rather than a
+  * task failure, so one corrupt file in a 100 TB corpus quarantines one
+  * row, not a stage. `withBinaryBudget` sizes the partition count from the
+  * total payload volume so the EXPECTED per-task payload is ~budget bytes
+  * (hash distribution; not a hard per-task cap under size skew).
   */
 object Multimodal {
 
   /** Attach a fake binary payload to the documents table (UTF-8 bytes of
-    * the text) so the pipeline shape is exercised end-to-end without real
-    * media files. */
+    * the text) so byte-level plumbing (length/checksum routing) is
+    * exercised without encoding cost. Payloads are NOT decodable media —
+    * see [[attachMedia]] for real encoded payloads. */
   def attachBinary(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol).cast("long").as("doc_id"),
@@ -41,19 +47,49 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       col(textCol).cast("binary").as("content"))
 
-  /** STUB decoder — deterministic fake. A real deployment replaces this
-    * with an actual codec call (e.g. javax.imageio / ffmpeg bindings);
-    * everything around it (batching, schema, partitioning) is production
-    * shape. */
-  private[ops] def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
-    // ??? <- real codec goes here; deterministic fake below keeps tests runnable
-    val n = bytes.length
-    mediaType match {
-      case "image" => (64 + n % 512, 64 + (n / 7) % 512, 1)
-      case "audio" => (0, 0, n / 100 + 1)
-      case _       => (320, 240, n / 50 + 1)
-    }
+  /** Synthesize REAL encoded media payloads deterministically from
+    * `(doc_id, n_chars)` — this container ships no media files, so the
+    * corpus is generated, but every payload is a genuine PNG / WAV / GVC1
+    * stream that external tools decode. The generation formulas are
+    * SQL-expressible, which is what makes the decode round-trip
+    * oracle-checkable (q67): the DuckDB side recomputes the formula, the
+    * Spark side reports what the codec actually decoded.
+    *
+    *   - image (doc_id%3==0): PNG, (8 + doc_id%24) × (8 + n_chars%24), 3 bands
+    *   - audio (doc_id%3==1): WAV PCM16, 1 + doc_id%2 channels, 8 kHz,
+    *     64 + n_chars%256 frames
+    *   - video (doc_id%3==2): GVC1, 1 + doc_id%7 frames of 16×12 PNG
+    *
+    * Encoding is map-side (`mapPartitions`), payloads stay in the partition
+    * that produced them. */
+  def attachMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          (id % 3) match {
+            case 0 => MediaRecord(id, "image",
+              Codecs.encodePng((8 + id % 24).toInt, (8 + nChars % 24).toInt, seed = id))
+            case 1 => MediaRecord(id, "audio",
+              Codecs.encodeWav((1 + id % 2).toInt, 8000, (64 + nChars % 256).toInt, seed = id))
+            case _ => MediaRecord(id, "video",
+              Codecs.encodeVideo(16, 12, (1 + id % 7).toInt, seed = id))
+          }
+        }
+      }
   }
+
+  /** Real decode of one payload → (width, height, n_frames, channels), or
+    * `None` for an undecodable payload. Audio reports (0, 0, pcmFrames,
+    * channels); video reports frame-0 dimensions + container frame count. */
+  private[ops] def decode(mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    mediaType match {
+      case "image" => Codecs.decodeImage(bytes).map(m => (m.width, m.height, 1, m.channels))
+      case "audio" => Codecs.decodeWav(bytes).map(m => (0, 0, m.nSamples, m.channels))
+      case "video" => Codecs.decodeVideoMeta(bytes).map(m => (m.width, m.height, m.nFrames, m.channels))
+      case _       => None
+    }
 
   private def crc64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L // FNV-1a
@@ -63,65 +99,58 @@ object Multimodal {
   }
 
   /** Partition-wise feature extraction (the mapInPandas analog): the
-    * iterator is consumed lazily, one decoder context per partition. */
+    * iterator is consumed lazily, one codec context per partition. Decode
+    * failures yield NULL metadata (filter `width IS NULL` downstream for
+    * the quarantine audit) — byte_len/checksum are still populated so the
+    * corrupt payload remains identifiable. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder init would happen here (once, not per row)
       it.map { r =>
-        val (w, h, frames) = decodeStub(r.media_type, r.content)
-        MediaFeatures(r.doc_id, r.media_type, r.content.length, crc64(r.content), w, h, frames)
+        val meta = decode(r.media_type, r.content)
+        MediaFeatures(r.doc_id, r.media_type, r.content.length, crc64(r.content),
+          meta.map(_._1), meta.map(_._2), meta.map(_._3), meta.map(_._4))
       }
     }
   }
 
-  /** One sampled video frame: parent doc, frame index, fake frame bytes. */
+  /** One sampled video frame: parent doc, frame index, real PNG bytes. */
   case class FrameSample(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB resize — a real deployment calls an image library; the fake is
-    * deterministic in (payload, target dims) so tests can pin it. The
-    * plumbing (typed Dataset in/out, partition-wise batching, binary
-    * stays map-side) is the production shape. */
-  private[ops] def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    // ??? <- real codec goes here; deterministic fake: header + truncated payload
-    val header = s"resized:${w}x$h:".getBytes("UTF-8")
-    header ++ bytes.take(math.max(0, w * h / 64))
-  }
-
-  /** Partition-wise resize of image records (non-images pass through
-    * unchanged): one decoder/scaler context per partition, lazy iterator,
-    * binary never shuffles. */
+  /** Partition-wise resize of image records through the real codec
+    * (decode → bilinear scale → PNG re-encode; [[Codecs.resizeImage]]).
+    * Non-images pass through unchanged; an image that fails to decode also
+    * passes through unchanged (quarantine-by-inspection downstream) —
+    * resize never drops rows. One scaler context per partition, lazy
+    * iterator, binary never shuffles. */
   def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition scaler init would happen here (once, not per row)
       it.map { r =>
-        if (r.media_type == "image") r.copy(content = resizeStub(r.content, w, h))
+        if (r.media_type == "image")
+          Codecs.resizeImage(r.content, w, h).map(b => r.copy(content = b)).getOrElse(r)
         else r
       }
     }
   }
 
   /** Partition-wise frame sampling of video records: every `everyN`-th
-    * frame (index 0, everyN, 2·everyN, …) of each video becomes one
-    * output row. The fan-out happens inside the partition iterator
-    * (`flatMap`) — frames of one video never need co-location, so no
-    * shuffle is introduced; downstream feature extraction sees frame rows
-    * exactly like any other binary record. Frame *decode* is the same
-    * honest stub as [[decodeStub]] (no codecs in this container): fake
-    * frame bytes are a deterministic function of (payload, frame index).
-    */
+    * frame (index 0, everyN, 2·everyN, …) of each video becomes one output
+    * row carrying that frame's real PNG bytes, sliced straight out of the
+    * GVC1 container ([[Codecs.videoFrames]]). The fan-out happens inside
+    * the partition iterator (`flatMap`) — frames of one video never need
+    * co-location, so no shuffle is introduced; downstream feature
+    * extraction decodes frame rows exactly like any other image payload.
+    * Non-videos and malformed containers contribute no frames. */
   def sampleFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[FrameSample] = {
     require(everyN >= 1, s"everyN must be >= 1 (got $everyN)")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.filter(_.media_type == "video").flatMap { r =>
-        val (_, _, nFrames) = decodeStub(r.media_type, r.content)
-        (0 until nFrames by everyN).iterator.map { f =>
-          // ??? <- real frame grab goes here; deterministic fake below
-          val fake = s"frame:$f:".getBytes("UTF-8") ++
-            r.content.slice(f % math.max(1, r.content.length), math.min(r.content.length, f % math.max(1, r.content.length) + 16))
-          FrameSample(r.doc_id, f, fake)
+        Codecs.videoFrames(r.content) match {
+          case Some(frames) =>
+            frames.collect { case (i, png) if i % everyN == 0 => FrameSample(r.doc_id, i, png) }
+          case None => Iterator.empty
         }
       }
     }
@@ -139,9 +168,8 @@ object Multimodal {
     media.repartition(parts, col("doc_id"))
   }
 
-  /** End-to-end: documents → binary records → partition-wise features. */
-  def featuresOf(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    extractFeatures(attachBinary(docs).as[MediaRecord])
-  }
+  /** End-to-end: documents → real encoded media → partition-wise decoded
+    * features. */
+  def featuresOf(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] =
+    extractFeatures(attachMedia(docs))
 }

@@ -130,6 +130,19 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Real-codec decode round-trip: synthesize genuine PNG / WAV / GVC1
+    * payloads from (doc_id, n_chars) ([[Multimodal.attachMedia]]), decode
+    * them with the real JVM codecs (ImageIO / AudioSystem — [[graft.ops.Codecs]]),
+    * and report the DECODED metadata. The oracle recomputes the generation
+    * formulas in SQL, so a codec that mis-decodes dimensions, channel
+    * counts, or frame counts reds this row. */
+  private val q67: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.featuresOf(s, Tables.documents(s, d)).toDF()
+      .select($"doc_id", $"media_type", $"width", $"height", $"n_frames", $"channels")
+      .orderBy($"doc_id")
+  }
+
   /** Embedding cosine near-dup pairs via LSH buckets + exact re-rank
     * (threshold tuned to the synthetic corpus's cosine range; no oracle). */
   private val q32: Q = (s, d) => {
@@ -404,7 +417,8 @@ object ExtQueries {
     "q29_winnow_fp"         -> q29,
     "q30_embedding_stats"   -> q30,
     "q31_binary_meta"       -> q31,
-    "q32_embed_neardup"     -> q32)
+    "q32_embed_neardup"     -> q32,
+    "q67_media_decode"      -> q67)
 
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private def markerList(lang: String) =
@@ -684,5 +698,22 @@ object ExtQueries {
         |       ELSE 'video' END AS media_type,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q67_media_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 24
+        |            WHEN doc_id % 3 = 1 THEN 0
+        |            ELSE 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + n_chars % 24
+        |            WHEN doc_id % 3 = 1 THEN 0
+        |            ELSE 12 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |            WHEN doc_id % 3 = 1 THEN 64 + n_chars % 256
+        |            ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+        |            ELSE 3 END AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

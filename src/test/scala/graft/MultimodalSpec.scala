@@ -1,14 +1,83 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Multimodal
+import graft.ops.{Codecs, Multimodal}
 
-/** The multimodal plumbing is real (schema, binary columns, partition-wise
-  * extraction); only the codec is stubbed. These tests pin the plumbing. */
+/** Real-codec multimodal coverage: decode/resize/frame-grab go through the
+  * actual JVM codecs (ImageIO, AudioSystem), exercised both on payloads our
+  * encoders produce (round-trips) and on externally-authored fixture bytes
+  * written out literally in this file (BMP/WAV headers hand-assembled, so a
+  * decode success cannot be an artifact of our own encoder). */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------- codecs
+
+  /** Hand-assembled 24-bit 2×2 BMP (bottom-up rows, 4-byte row padding) —
+    * authored byte-by-byte, NOT produced by Codecs.encodePng. */
+  private def handMadeBmp: Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(70).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54) // file header
+    b.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)         // DIB: 2x2, 24bpp
+      .putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // two bottom-up rows: 2 BGR pixels + 2 pad bytes each
+    b.put(Array[Byte](0, 0, -1, 0, -1, 0, 0, 0))  // red, green
+    b.put(Array[Byte](-1, 0, 0, -1, -1, -1, 0, 0)) // blue, white
+    b.array()
+  }
+
+  /** Hand-assembled RIFF/WAVE: PCM16 mono 4 kHz, 3 frames of silence. */
+  private def handMadeWav: Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(50).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(42).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(4000).putInt(8000).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(6).putShort(0).putShort(0).putShort(0)
+    b.array()
+  }
+
+  test("decodeImage reads externally-authored BMP bytes") {
+    assert(Codecs.decodeImage(handMadeBmp) == Some(Codecs.ImageMeta(2, 2, 3)))
+  }
+
+  test("decodeWav reads externally-authored RIFF bytes") {
+    assert(Codecs.decodeWav(handMadeWav) == Some(Codecs.AudioMeta(1, 4000, 3)))
+  }
+
+  test("png/wav/video round-trips through the real codecs") {
+    assert(Codecs.decodeImage(Codecs.encodePng(17, 9, seed = 7L)) ==
+      Some(Codecs.ImageMeta(17, 9, 3)))
+    assert(Codecs.decodeWav(Codecs.encodeWav(2, 8000, 123, seed = 7L)) ==
+      Some(Codecs.AudioMeta(2, 8000, 123)))
+    assert(Codecs.decodeVideoMeta(Codecs.encodeVideo(16, 12, 5, seed = 7L)) ==
+      Some(Codecs.VideoMeta(16, 12, 5, 3)))
+    // every container frame is itself a decodable PNG
+    val frames = Codecs.videoFrames(Codecs.encodeVideo(16, 12, 5, seed = 7L)).get.toSeq
+    assert(frames.map(_._1) == (0 until 5))
+    assert(frames.forall { case (_, png) =>
+      Codecs.decodeImage(png).contains(Codecs.ImageMeta(16, 12, 3)) })
+  }
+
+  test("decoders return None on garbage, truncation, and wrong-type payloads") {
+    val garbage = "not media at all".getBytes("UTF-8")
+    assert(Codecs.decodeImage(garbage).isEmpty)
+    assert(Codecs.decodeWav(garbage).isEmpty)
+    assert(Codecs.decodeVideoMeta(garbage).isEmpty)
+    val png = Codecs.encodePng(17, 9, seed = 7L)
+    assert(Codecs.decodeWav(png).isEmpty)
+    val vid = Codecs.encodeVideo(16, 12, 3, seed = 7L)
+    // truncated container: short iterator, no exception
+    assert(Codecs.videoFrames(vid.take(vid.length / 2)).get.size < 3)
+  }
+
+  test("resizeImage really rescales: decoded dims match the target") {
+    val resized = Codecs.resizeImage(Codecs.encodePng(40, 30, seed = 1L), 8, 6).get
+    assert(Codecs.decodeImage(resized) == Some(Codecs.ImageMeta(8, 6, 3)))
+  }
+
+  // ---------------------------------------------------------- Spark side
 
   test("attachBinary produces typed binary records with media routing") {
     val m = Multimodal.attachBinary(Tables.documents(spark, sf))
@@ -18,58 +87,72 @@ class MultimodalSpec extends SparkSuite {
     assert(types == Set("image", "audio", "video"))
   }
 
-  test("partition-wise feature extraction is deterministic and complete") {
+  test("attachMedia payloads are real media; decoded metadata matches the formulas") {
     val docs = Tables.documents(spark, sf)
     val feats = Multimodal.featuresOf(spark, docs).cache()
     assert(feats.count() == docs.count())
-    // payload is the utf-8 text; corpus is ascii so byte_len == n_chars
-    val joined = feats.toDF().join(docs, "doc_id")
-      .where(col("byte_len") =!= col("n_chars"))
-    assert(joined.count() == 0)
+    // nothing failed to decode
+    assert(feats.where(col("width").isNull || col("n_frames").isNull ||
+      col("channels").isNull).count() == 0)
+    // decoded values equal the generation formulas (the q67 oracle shape)
+    val bad = feats.toDF().join(docs, "doc_id").where(
+      (col("doc_id") % 3 === 0 && (col("width") =!= lit(8) + col("doc_id") % 24 ||
+        col("height") =!= lit(8) + col("n_chars") % 24 ||
+        col("n_frames") =!= 1 || col("channels") =!= 3)) ||
+      (col("doc_id") % 3 === 1 && (col("width") =!= 0 || col("height") =!= 0 ||
+        col("n_frames") =!= lit(64) + col("n_chars") % 256 ||
+        col("channels") =!= lit(1) + col("doc_id") % 2)) ||
+      (col("doc_id") % 3 === 2 && (col("width") =!= 16 || col("height") =!= 12 ||
+        col("n_frames") =!= lit(1) + col("doc_id") % 7 || col("channels") =!= 3)))
+    assert(bad.count() == 0)
     // determinism: same checksums on recompute
     val a = feats.select("doc_id", "checksum").as[(Long, Long)].collect().toMap
     val b = Multimodal.featuresOf(spark, docs)
       .select("doc_id", "checksum").as[(Long, Long)].collect().toMap
     assert(a == b)
-    // stub decoder fills plausible per-type metadata
-    assert(feats.where(col("media_type") === "audio" && col("n_frames") <= 0).count() == 0)
-    assert(feats.where(col("media_type") === "image" && (col("width") < 64 || col("height") < 64)).count() == 0)
     feats.unpersist()
   }
 
-  test("resizeImages rewrites image payloads only, deterministically") {
-    val media = Multimodal.attachBinary(Tables.documents(spark, sf)).as[graft.ops.MediaRecord]
-    val resized = Multimodal.resizeImages(media, 32, 32).cache()
+  test("extractFeatures quarantines undecodable payloads as NULL metadata") {
+    val media = Multimodal.attachBinary(Tables.documents(spark, sf).limit(9))
+      .as[graft.ops.MediaRecord] // text bytes — not decodable media
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.width.isEmpty && f.height.isEmpty &&
+      f.n_frames.isEmpty && f.channels.isEmpty))
+    assert(feats.forall(_.byte_len > 0)) // raw-payload fields still populated
+  }
+
+  test("resizeImages rewrites image payloads through the real scaler") {
+    val media = Multimodal.attachMedia(Tables.documents(spark, sf))
+    val resized = Multimodal.resizeImages(media, 8, 6).cache()
     assert(resized.count() == media.count())
     val byType = resized.collect().groupBy(_.media_type)
-    assert(byType("image").forall(r => new String(r.content.take(11), "UTF-8") == "resized:32x"))
+    assert(byType("image").forall(r =>
+      Codecs.decodeImage(r.content).contains(Codecs.ImageMeta(8, 6, 3))))
     // non-images untouched (byte-equal to the original payloads)
     val orig = media.collect().map(r => r.doc_id -> r.content).toMap
     assert(byType("audio").forall(r => r.content.sameElements(orig(r.doc_id))))
     assert(byType("video").forall(r => r.content.sameElements(orig(r.doc_id))))
-    // deterministic on recompute
-    val again = Multimodal.resizeImages(media, 32, 32).collect()
-      .map(r => r.doc_id -> r.content.toSeq).toMap
-    assert(resized.collect().forall(r => again(r.doc_id) == r.content.toSeq))
     resized.unpersist()
   }
 
-  test("sampleFrames emits every Nth frame of videos only, no shuffle") {
-    val media = Multimodal.attachBinary(Tables.documents(spark, sf)).as[graft.ops.MediaRecord]
-    val frames = Multimodal.sampleFrames(media, everyN = 5).cache()
+  test("sampleFrames emits every Nth real PNG frame of videos only, no shuffle") {
+    val media = Multimodal.attachMedia(Tables.documents(spark, sf))
+    val frames = Multimodal.sampleFrames(media, everyN = 3).cache()
     val videos = media.filter(_.media_type == "video").collect()
-    // expected count: ceil(n_frames / 5) per video, from the stub decoder
+    // expected count: ceil(n_frames / 3) per video, from the container header
     val expected = videos.map { r =>
-      val n = r.content.length / 50 + 1
-      (n + 4) / 5
+      val n = Codecs.decodeVideoMeta(r.content).get.nFrames
+      (n + 2) / 3
     }.sum
     assert(frames.count() == expected)
-    // frame indices are 0, 5, 10, ... and unique per video
-    val byDoc = frames.collect().groupBy(_.doc_id)
-    assert(byDoc.values.forall(fs => fs.map(_.frame_idx).sorted.sameElements(
-      (0 until fs.length).map(_ * 5))))
+    // frame indices are 0, 3, 6, ... and every frame decodes as 16x12 PNG
+    val rows = frames.collect()
+    assert(rows.forall(_.frame_idx % 3 == 0))
+    assert(rows.forall(f => Codecs.decodeImage(f.frame).contains(Codecs.ImageMeta(16, 12, 3))))
     // the sampling plan introduces no exchange (map-side fan-out)
-    val plan = Multimodal.sampleFrames(media, 5).queryExecution.executedPlan.toString
+    val plan = Multimodal.sampleFrames(media, 3).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     frames.unpersist()
   }
