@@ -105,7 +105,14 @@ object GraftFunctions {
       FrequentItemsSketch(exprs(0),
         evalIntLiteral("topk_freq", "capacity", exprs(1)),
         evalIntLiteral("topk_freq", "k", exprs(2)))
-    })
+    },
+    // Spark's own runtime-filter probe expression (codegen-resident,
+    // deserializes the sketch once per codegen instance), surfaced as a
+    // callable function: Spark 4.1 keeps BloomFilterMightContain internal
+    // (only the aggregate side, bloom_filter_agg, is in the registry).
+    // Value side must be xxhash64(col) — the sketch stores longs.
+    "bloom_might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
@@ -122,7 +129,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "array_top_count" -> classOf[ArrayTopCount].getName,
     "winnow_fps" -> classOf[WinnowFingerprints].getName,
     "token_entropy" -> classOf[TokenEntropy].getName,
-    "topk_freq" -> classOf[FrequentItemsSketch].getName)
+    "topk_freq" -> classOf[FrequentItemsSketch].getName,
+    "bloom_might_contain" ->
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.builders.foreach { case (name, builder) =>

@@ -402,11 +402,21 @@ object Dedup {
     * The bloom is built by `stat.bloomFilter` (a distributed aggregation
     * whose per-partition blooms OR-merge on the driver) at plan-build
     * time — an index-build action, same posture as IVF training: build
-    * once, probe many. */
+    * once, probe many. The probe is Spark's own native
+    * `BloomFilterMightContain` expression (the runtime-filter probe,
+    * registered as `bloom_might_contain`) over the serialized sketch as a
+    * plan literal: it stays inside whole-stage codegen and deserializes
+    * the sketch once per codegen instance — no Scala UDF serialization
+    * boundary, no Java-object broadcast. The sketch stores longs, so both
+    * sides hash through `xxhash64(sh)` (build: putLong via the hashed
+    * column; probe: mightContainLong) — membership is consistent by
+    * construction, and the exact verify join removes bloom false
+    * positives either way. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int = 8,
                          expectedShingles: Long = 1L << 20,
                          fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // staged: the bloom build (an action, below) materializes this
     // frame, and the exact verify join reads it again — without the
     // persist the benchmark scan + shingle explode + distinct runs twice
@@ -414,12 +424,16 @@ object Dedup {
       .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom = benchSh.stat.bloomFilter("sh", expectedShingles, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    val bloom = benchSh.select(xxhash64($"sh").as("h"))
+      .stat.bloomFilter("h", expectedShingles, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
     val candidates = corpus
       .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
-      .where(mightContain($"sh"))
+      .where(call_function("bloom_might_contain", lit(bloomBytes), xxhash64($"sh")))
     // exact verify: candidates are the bloom's ~fpp-sized survivor set, so
     // AQE picks the join strategy from the actual post-filter sizes
     val contaminated = candidates

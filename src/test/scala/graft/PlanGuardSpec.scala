@@ -5,8 +5,17 @@ package graft
   * CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside the
   * explicit whitelist below, means a candidate-generation rewrite
   * regressed to all-pairs — the one plan family that cannot survive a
-  * 100 TB input no matter how the cluster is sized. */
+  * 100 TB input no matter how the cluster is sized.
+  *
+  * NOTE: building every plan executes the index-build actions embedded in
+  * a few queries (q59's bloom build, q41's IVF training, q42/q43's staged
+  * persists) — this "plan-only" gate runs real (small) jobs.
+  */
 class PlanGuardSpec extends SparkSuite {
+
+  // same resolution as the rest of the harness: driver-provided dir,
+  // falling back to the smallest local fixture
+  private val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
   /** Queries whose BroadcastNestedLoopJoin is intentional and bounded:
     * a deliberately-broadcast small side (query vectors in brute-force
@@ -17,14 +26,19 @@ class PlanGuardSpec extends SparkSuite {
     "q27_knn_cosine",   // candidates × broadcast(query vectors), k queries
     "q57_tfidf_terms")  // term frame × broadcast(1-row corpus count)
 
-  test("no query plans a CartesianProduct; BNLJ only where whitelisted") {
-    val sf = "/root/testdata/sf0.001"
+  test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.sparkPlan.toString
       val cart = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !allowBnlj(name)
-      if (cart || bnlj)
-        Some(s"$name: ${if (cart) "CartesianProduct" else "unexpected BroadcastNestedLoopJoin"}")
+      // a ScalaUDF node is a per-row serialization boundary opaque to
+      // codegen — the whole surface is built from native expressions
+      val sudf = plan.contains("ScalaUDF")
+      if (cart || bnlj || sudf)
+        Some(s"$name: ${Seq(
+          if (cart) Some("CartesianProduct") else None,
+          if (bnlj) Some("unexpected BroadcastNestedLoopJoin") else None,
+          if (sudf) Some("ScalaUDF") else None).flatten.mkString(", ")}")
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
@@ -34,7 +48,7 @@ class PlanGuardSpec extends SparkSuite {
     // the raw-nanos predicate (Tables.eventsFrom) must appear in
     // PushedFilters — a regression here turns a row-group-pruned read
     // into a full scan, the difference between a day and 100 TB
-    val plan = SparkEntry.queries("q02_event_filter")(spark, "/root/testdata/sf0.001")
+    val plan = SparkEntry.queries("q02_event_filter")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [") &&
       plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts,.*"),
