@@ -96,6 +96,59 @@ class OpsSpec extends SparkSuite {
     assert(native.nonEmpty && native == windowed)
   }
 
+  test("winnowing invariants hold against the paper definition (q29)") {
+    // implementation-independent properties from Schleimer et al. §3 —
+    // checked against a straight re-derivation of the k-gram hash
+    // sequence, NOT against either winnowing implementation:
+    //  (1) soundness: every fingerprint is the xxhash64 of one of the
+    //      document's own k-grams;
+    //  (2) coverage: every window of w consecutive k-gram hashes has its
+    //      minimum in the fingerprint set (so any match of length
+    //      ≥ w+k−1 is guaranteed detected);
+    //  (3) short docs (< w k-grams) contribute exactly the global min.
+    val docs = Tables.documents(spark, sf)
+    val fps = Text.winnowFingerprintRows(docs, "doc_id", "text")
+    val hashes = docs.select(col("doc_id"),
+        posexplode(Text.shingles(col("text"), 3)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("fp"))
+    assert(fps.join(hashes, Seq("doc_id", "fp"), "left_anti").count() == 0) // (1)
+    val fpByDoc = fps.as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val seqByDoc = hashes.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("fp")))).as("ph"))
+      .as[(Long, Seq[(Int, Long)])].collect()
+    assert(seqByDoc.nonEmpty)
+    val w = 4
+    seqByDoc.foreach { case (doc, ph) =>
+      val hs = ph.map(_._2)
+      val sel = fpByDoc(doc)
+      if (hs.length < w) assert(sel == Set(hs.min), s"doc $doc short-doc rule") // (3)
+      else hs.sliding(w).zipWithIndex.foreach { case (win, i) =>                 // (2)
+        assert(sel.contains(win.min), s"doc $doc window $i uncovered")
+      }
+    }
+    // docs with no k-grams contribute no fingerprints
+    assert(fpByDoc.keySet.subsetOf(seqByDoc.map(_._1).toSet))
+  }
+
+  test("q47 sketch-rollup estimates sit within published HLL error of exact") {
+    // hll_sketch_agg default lgConfigK=12 → RSE ≈ 1.04/√4096 ≈ 1.63%;
+    // assert 3σ (±5%, floor of 3 for tiny groups) against exact distincts
+    // computed in-test. This pins "right", not just "unchanged" (the
+    // golden file pins the latter).
+    val out = SparkEntry.queries("q47_sketch_rollup")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = ev.select(countDistinct("user_id")).as[Long].head()
+    def within(est: Long, ref: Long): Boolean =
+      math.abs(est - ref.toDouble) <= math.max(3.0, ref * 0.05)
+    exact.foreach { case (t, n) => assert(within(out(t), n), s"$t: ${out(t)} vs $n") }
+    assert(within(out("ALL"), exactAll), s"ALL: ${out("ALL")} vs $exactAll")
+    assert(out.size == exact.size + 1)
+  }
+
   test("native signature expressions match the exploded formulations bit-for-bit") {
     val docs = Tables.documents(spark, sf)
     val mNative = Dedup.minhashSignatures(docs, "doc_id", "text", 64)
