@@ -242,7 +242,10 @@ object ArrayTopCount {
   * dispatches per row (2.2 s at sf0.1); this is one pass + one sort of
   * the distinct terms. Empty arrays yield −0.0 — the negation of the
   * empty fold, bit-matching the HOF form (tokens of any non-null text
-  * are never empty, so this is unreachable in practice). */
+  * are never empty, so this is unreachable in practice). NULL elements
+  * are skipped (entropy of the present tokens): unreachable from
+  * `Text.tokens`, but the function is on the SQL surface and
+  * `token_entropy(array('a', NULL))` must not throw. */
 case class TokenEntropy(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -270,8 +273,15 @@ object TokenEntropy {
     val n = arr.numElements()
     val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](n * 2 + 1)
     var j = 0
+    var present = 0
     while (j < n) {
-      counts.merge(arr.getUTF8String(j), 1, (x: Integer, y: Integer) => x + y)
+      // skip NULL elements: Arrays.sort's natural-order comparator (and
+      // the p computation) would NPE on a null key
+      val t = arr.getUTF8String(j)
+      if (t != null) {
+        counts.merge(t, 1, (x: Integer, y: Integer) => x + y)
+        present += 1
+      }
       j += 1
     }
     // sorted-term fold: UTF8String's binary comparator is exactly the
@@ -280,7 +290,7 @@ object TokenEntropy {
     val terms = counts.keySet().toArray(new Array[org.apache.spark.unsafe.types.UTF8String](0))
     java.util.Arrays.sort(terms,
       java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]())
-    val dn = n.toDouble
+    val dn = present.toDouble
     var acc = 0.0
     var i = 0
     while (i < terms.length) {

@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
 object Normalize {
 
   /** Appends `<valueCol>_z`. Rows in groups with fewer than 2 rows or
-    * non-positive computed variance yield NULL — the variance guard
-    * matters because the decimal quantization of x² can push an
-    * all-but-constant group's variance slightly NEGATIVE, and
-    * sqrt(negative) is NaN in Spark but an error in DuckDB; the
-    * explicit `> 0` gate gives both engines the same NULL. */
+    * non-positive computed variance yield NULL. Both halves of the gate
+    * are load-bearing: without the explicit `__n >= 2`, an n=1 group
+    * divides by (n−1)=0 — double division gives ±Infinity, and a positive
+    * decimal-quantization residual in Σx²−(Σx)²/n then makes
+    * variance=+Infinity, so `variance > 0` alone would PASS and emit 0.0
+    * instead of NULL; and the `> 0` half matters because decimal
+    * quantization of x² can push an all-but-constant group's variance
+    * slightly NEGATIVE, where sqrt is NaN in Spark but an error in
+    * DuckDB. Rows whose group key is NULL are preserved (left join) with
+    * a NULL z-score — there is no group to normalize within. */
   def zscore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val x = col(valueCol)
     val stats = df.groupBy(col(groupCol)).agg(
@@ -36,9 +41,9 @@ object Normalize {
       Exact.dsum(x * x).as("__sxx"))
     val mean = $"__sx" / $"__n"
     val variance = ($"__sxx" - $"__sx" * $"__sx" / $"__n") / ($"__n" - 1.0)
-    df.join(broadcast(stats), Seq(groupCol))
+    df.join(broadcast(stats), Seq(groupCol), "left")
       .withColumn(s"${valueCol}_z",
-        when(variance > 0, (x - mean) / sqrt(variance)))
+        when($"__n" >= 2 && variance > 0, (x - mean) / sqrt(variance)))
       .drop("__n", "__sx", "__sxx")
   }
 }

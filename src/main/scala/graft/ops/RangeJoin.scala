@@ -23,12 +23,19 @@ import org.apache.spark.sql.functions._
   * 100 TB because the shuffle is (key, bucket)-partitioned and candidate
   * generation never leaves the bucket.
   *
-  * Returns the left row plus `payload` columns from the right (caller
-  * renames collisions beforehand, as with [[AsOf.join]]). Inner semantics:
+  * Returns the left row plus `payload` columns from the right. Column
+  * hygiene (enforced with loud `require`s, matching the [[AsOf.join]]
+  * caveat style): `__graft_bkt`/`__graft_rts` are reserved temp names,
+  * and no payload column may collide with a left-side column — the range
+  * predicate re-references `leftTs` after the join, so a payload column
+  * of the same name would make it silently ambiguous. Inner semantics:
   * one row per matching (left, right) pair; left rows with no match emit
   * nothing (aggregate-and-rejoin for left-outer counting — see q60).
   */
 object RangeJoin {
+
+  private val BktCol = "__graft_bkt"
+  private val RtsCol = "__graft_rts"
 
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
@@ -39,6 +46,15 @@ object RangeJoin {
     require(beforeUs >= 0 && afterUs >= 0 && beforeUs + afterUs > 0,
       s"need non-negative bounds spanning a positive interval " +
         s"(got before=$before, after=$after)")
+    val reserved = Seq(BktCol, RtsCol)
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved temp columns of intervalJoin; " +
+        "rename them on the inputs first")
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns ${collisions.mkString(", ")} collide with left-side " +
+        "columns (the post-join range predicate would be ambiguous); rename " +
+        "them on the right side first")
     val w = beforeUs + afterUs
     // the join key is the bucket's START in µs (ts minus its non-negative
     // pmod remainder) — pure long arithmetic, no division: a bucket INDEX
@@ -50,15 +66,15 @@ object RangeJoin {
       tsUs - pmod(tsUs, lit(w))
     val lt = unix_micros(col(leftTs))
     val l = left
-      .withColumn("__bkt",
+      .withColumn(BktCol,
         explode(sequence(bucketStart(lt - beforeUs), bucketStart(lt + afterUs),
           lit(w))))
     val r = right.select(
-      (col(key) +: bucketStart(unix_micros(col(rightTs))).as("__bkt") +:
-        unix_micros(col(rightTs)).as("__rts") +: payload.map(col)): _*)
-    l.join(r, Seq(key, "__bkt"))
-      .where($"__rts" >= lt - beforeUs && $"__rts" <= lt + afterUs)
-      .drop("__bkt", "__rts")
+      (col(key) +: bucketStart(unix_micros(col(rightTs))).as(BktCol) +:
+        unix_micros(col(rightTs)).as(RtsCol) +: payload.map(col)): _*)
+    l.join(r, Seq(key, BktCol))
+      .where(col(RtsCol) >= lt - beforeUs && col(RtsCol) <= lt + afterUs)
+      .drop(BktCol, RtsCol)
   }
 
   /** Streaming interval join — the stream-stream counterpart of

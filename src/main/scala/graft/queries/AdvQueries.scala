@@ -361,10 +361,10 @@ object AdvQueries {
         |    CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type,
-        |  CASE WHEN (sxx - sx * sx / n) / (n - 1) > 0
+        |  CASE WHEN n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0
         |    THEN round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6)
         |  END AS z_value
-        |FROM events e JOIN st USING (event_type)
+        |FROM events e LEFT JOIN st USING (event_type)
         |ORDER BY event_id""".stripMargin,
     "q56_token_deciles" ->
       """WITH t AS (SELECT doc_id,

@@ -566,6 +566,46 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("zscore gates on group size: n=1 and NULL-key rows get NULL, never ±Inf/0.0") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), // real group
+      ("b", 5.0),                          // n=1: (n-1)=0 denominator
+      (null.asInstanceOf[String], 9.0))    // NULL group key
+      .toDF("g", "v")
+    val z = Normalize.zscore(df, "g", "v").collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(z.size == 5, "NULL-key row must be preserved (left join)")
+    assert(z.collect { case (Some("b"), _, zv) => zv } == Set(None))
+    assert(z.collect { case (None, _, zv) => zv } == Set(None))
+    val a = z.collect { case (Some("a"), v, zv) => (v, zv) }
+    assert(a.forall(_._2.isDefined) && a.collect { case (2.0, Some(zv)) => zv } == Set(0.0))
+  }
+
+  test("token_entropy skips NULL elements instead of throwing") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT token_entropy(array('a', 'b', NULL, 'a'))").as[Double].head()
+    val p1 = 2.0 / 3.0; val p2 = 1.0 / 3.0
+    val want = -(p1 * math.log(p1) + p2 * math.log(p2))
+    assert(math.abs(got - want) < 1e-12, s"$got vs $want")
+  }
+
+  test("intervalJoin rejects reserved temp columns and payload collisions loudly") {
+    val l = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "ts", "x")
+    val r = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0))
+      .toDF("k", "rts", "x")
+    val d = java.time.Duration.ofMinutes(5)
+    assertThrows[IllegalArgumentException] { // payload "x" collides with left
+      RangeJoin.intervalJoin(l, r, "k", "ts", "rts", d, d, Seq("x"))
+    }
+    assertThrows[IllegalArgumentException] { // reserved temp name on an input
+      RangeJoin.intervalJoin(l.withColumnRenamed("x", "__graft_bkt"), r,
+        "k", "ts", "rts", d, d, Seq.empty)
+    }
+  }
+
   test("decontaminateBloom equals exact decontamination") {
     val docs = Tables.documents(spark, sf)
     val bench = docs.where(col("doc_id") % 13 === 0)
