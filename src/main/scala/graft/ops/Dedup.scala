@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup by content hash: one row per distinct content with the
     * survivor id (min) and the duplicate count. Grouping by md5 rather
     * than the text itself keeps the shuffle narrow (32 hex chars vs
@@ -463,9 +465,22 @@ object Dedup {
     *    neighbors' labels (one equi-join + groupBy-min per round),
     *    converging in O(diameter) rounds; near-dup graphs have tiny
     *    diameters (dup clusters are dense). Labels persist per round, the
-    *    previous round unpersists, so peak storage is 2|V| label rows. */
+    *    previous round unpersists, so peak storage is 2|V| label rows.
+    *
+    * Pathological-diameter bound: from round `jumpFrom` (3) on, each
+    * round also pointer-jumps — every node shortcuts its label to its
+    * label's label (the star-contraction idea from Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"), so a depth-d label
+    * chain halves per round and convergence is O(log d) rounds instead
+    * of O(d). The first rounds stay single-join (the dense-cluster
+    * common case converges there and never pays the second shuffle).
+    *
+    * The chosen path and edge count are logged at INFO — a silent
+    * multi-MB driver collect on a production cluster is a debugging
+    * trap. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           driverLimit: Long = 1L << 20): DataFrame = {
+    val jumpFrom = 3
     val aCol = pairs.columns(0)
     val bCol = pairs.columns(1)
     // integral ids are normalized to long so the driver union-find and
@@ -485,19 +500,29 @@ object Dedup {
       else pairs.select(ca.as("src"), cb.as("dst"))
     }
     val edges = side(aCol, bCol).union(side(bCol, aCol)).persist()
-    if (idIsIntegral && edges.count() <= 2 * driverLimit) {
+    val edgeRows = edges.count()
+    if (idIsIntegral && edgeRows <= 2 * driverLimit) {
+      log.info(s"connectedComponents: driver union-find path " +
+        s"(edge rows=$edgeRows <= ${2 * driverLimit})")
       val result = connectedComponentsDriver(
         edges.select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1))),
         pairs.sparkSession)
       edges.unpersist()
       return result
     }
-    // `persisted` tracks the exact cached frame (unpersist is plan-keyed;
-    // calling it on a projection of the cached plan would be a no-op and
-    // leak one cache entry per round)
-    var persisted = edges.select($"src".as("node")).distinct()
-      .withColumn("label", $"node").persist()
-    var labels = persisted
+    log.info(s"connectedComponents: distributed min-label path " +
+      s"(edge rows=$edgeRows${if (idIsIntegral) s" > ${2 * driverLimit}" else ", non-integral ids"})")
+    // each round ends in an EAGER localCheckpoint, not a persist():
+    // persist caches data but leaves the logical plan intact, and this
+    // loop's plan GROWS GEOMETRICALLY — `labels` appears twice per round
+    // (self-union + neighbor join) and the pointer-jump self-join doubles
+    // it again, so by round ~15 the un-truncated tree has millions of
+    // nodes and analysis alone overwhelms the driver. localCheckpoint
+    // rebases the frame on the materialized RDD (constant-size plan per
+    // round); dropped rounds are freed by the ContextCleaner once
+    // unreferenced.
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("label", $"node").localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -508,15 +533,25 @@ object Dedup {
       // self-rows) so convergence is a scan of the aggregated frame, not
       // an extra per-round join: labels only ever decrease, so the round
       // changed nothing iff no node has new < prev
-      val next = labels.select($"node", $"label", lit(true).as("self"))
+      val minned = labels.select($"node", $"label", lit(true).as("self"))
         .union(viaNeighbors.select($"node", $"label", lit(false).as("self")))
         .groupBy($"node")
         .agg(min($"label").as("label"),
           min(when($"self", $"label")).as("prev"))
-        .persist()
+      // pointer-jump from round `jumpFrom`: every label value is itself a
+      // node of the same component (min over self+neighbors), so
+      // label(label(v)) is valid and ≤ label(v) — the inner self-join
+      // halves label-chain depth each round, bounding convergence at
+      // O(log diameter) rounds instead of O(diameter). The first rounds
+      // stay single-join: the dense-cluster common case converges there
+      // and never pays the second shuffle. `prev` still tracks the
+      // pre-round label, so the convergence scan is unchanged.
+      val next = (if (i < jumpFrom) minned
+        else minned.join(
+            minned.select($"node".as("label"), $"label".as("__jump")), Seq("label"))
+          .select($"node", least($"label", $"__jump").as("label"), $"prev"))
+        .localCheckpoint()
       converged = next.where($"label" < $"prev").isEmpty
-      persisted.unpersist()
-      persisted = next
       labels = next.select($"node", $"label")
       i += 1
     }
@@ -525,14 +560,12 @@ object Dedup {
     // bug this operator exists to prevent; a diameter > maxIter graph is
     // pathological for near-dup data, so fail loudly instead
     if (!converged) {
-      persisted.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds " +
           s"(graph diameter exceeds maxIter); raise maxIter")
     }
-    // NOTE: the returned frame reads the final round's persisted labels;
-    // long-lived callers can release it with spark.catalog.clearCache or
-    // by unpersisting after materializing the result
+    log.info(s"connectedComponents: converged in $i rounds")
+    // the returned frame reads the final round's checkpointed labels
     labels.select($"node".as("doc_id"), $"label".as("component_id"))
   }
 

@@ -417,6 +417,31 @@ class OpsSpec extends SparkSuite {
     assert(small(100L) == 1L && small(70L) == 50L)
   }
 
+  test("connectedComponents path choice: driver under the limit, distributed above") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // driver union-find materializes to a local relation — no distributed ops
+    val driverPlan = Dedup.connectedComponents(pairs)
+      .queryExecution.optimizedPlan.toString
+    assert(driverPlan.contains("LocalRelation") && !driverPlan.contains("Join"),
+      driverPlan)
+    // driverLimit = 0 forces the distributed fixpoint, whose result is
+    // rebased on the final round's checkpointed RDD (never a LocalRelation)
+    val distPlan = Dedup.connectedComponents(pairs, driverLimit = 0L)
+      .queryExecution.optimizedPlan.toString
+    assert(distPlan.contains("LogicalRDD") && !distPlan.contains("LocalRelation"),
+      distPlan)
+  }
+
+  test("connectedComponents converges on a diameter-50 chain without raising maxIter") {
+    // pure min-label propagation needs 50 rounds here; the pointer-jump
+    // rounds (from round 3) halve label-chain depth per round, so the
+    // default maxIter = 20 must suffice on the distributed path
+    val chain = (0L until 50L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, driverLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 51 && got.values.forall(_ == 0L), got.toSeq.sorted.take(5).toString)
+  }
+
   test("AsOf.join preserves a NULL payload value on the matched row") {
     // the matched right row (00:05) carries v = NULL; true as-of returns
     // NULL, not the older row's 1.0
