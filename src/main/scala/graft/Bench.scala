@@ -65,10 +65,24 @@ object Bench {
       val valid = Seq(a, b).filter(_ >= 0)
       n1 -> (if (valid.isEmpty) -1.0 else valid.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalCold = first.map(_._2).filter(_ >= 0).sum
+    // headline value/queries stay the per-query minimum (the steady-state
+    // cost); queries_cold/total_cold carry sweep 1 verbatim so cold-vs-min
+    // comparisons against single-sweep baselines are like-for-like from
+    // the artifact alone
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
+        s""""total_cold":$totalCold,"queries_cold":${toJson(first)},"sf":"$sfDir"}"""
+    println(line)
+    // also a file artifact: the driver captures a log tail, which has
+    // truncated the head of this (long) line before — BENCH_r03 lost
+    // q01-q05 and the parsed total that way
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     spark.stop()
   }
 }
