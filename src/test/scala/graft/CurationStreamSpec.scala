@@ -56,4 +56,52 @@ class CurationStreamSpec extends SparkSuite {
       assert(cleanIds == Set(1L, 5L), s"got $cleanIds")
     } finally q2.stop()
   }
+
+  test("near-dup stage: cross-batch near-duplicate hits the audit sink, restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val clean = tmpDir("nd-clean")
+    val audit = tmpDir("nd-audit")
+    val store = tmpDir("nd-store")
+    val cp = tmpDir("nd-cp")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val cfg = CurationStream.NearDupConfig()
+    val base = "the quick brown fox jumps over the lazy dog while rain falls " +
+      "softly on ancient rooftops and children play games under bright summer " +
+      "skies every single afternoon without any worry at all"
+    val other = "completely different content about spark execution engines and " +
+      "distributed shuffle management across very large analytics clusters " +
+      "running continuously in several regions with careful cost controls"
+    // batch 1: two unrelated docs — both admitted, both enter the store
+    input.addData((1L, base), (2L, other))
+    val q = CurationStream.startNearDup(spark, df, cfg, clean, audit, store, cp)
+    try q.awaitTermination() finally q.stop()
+    assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+    assert(spark.read.schema(schema).parquet(audit).count() == 0)
+    val store1 = spark.read.parquet(store)
+    assert(store1.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
+    assert(store1.count() == 2 * cfg.bands) // `bands` bucket rows per admitted doc
+
+    // batch 2 on a RESTARTED query (same checkpoint): doc 3 is a near-dup
+    // of doc 1 (one word changed), doc 4 is fresh — the store probe spans
+    // the restart because the signature store, not streaming state,
+    // carries the dedup horizon
+    input.addData(
+      (3L, base.replace("afternoon", "morning")),
+      (4L, "another entirely fresh document mentioning gardens telescopes and " +
+        "the gentle art of repairing old wooden furniture on quiet weekends"))
+    val q2 = CurationStream.startNearDup(spark, df, cfg, clean, audit, store, cp)
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 4L), "near-dup must not reach clean; batch 1 not reprocessed")
+    assert(spark.read.schema(schema).parquet(audit).select("doc_id").as[Long]
+      .collect().toSeq == Seq(3L))
+    // audited docs never enter the store
+    assert(spark.read.parquet(store).select("doc_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
 }
