@@ -8,8 +8,10 @@ object Bench {
     * between queries (outside the timer) so staged persists never
     * accumulate: every query measures standalone. A failed query records
     * -1, never a plausible partial duration. */
-  private def sweep(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+  private def sweep(spark: SparkSession, sfDir: String,
+                    names: Seq[String] = SparkEntry.queries.keys.toSeq.sorted): Seq[(String, Double)] =
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -19,6 +21,55 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       name -> (if (ok) dt else -1.0)
+    }
+
+  /** Partial second sweep for a contended host: re-measure queries
+    * cheapest-first (by their sweep-1 cost) until the projected wall time
+    * would exceed `capSec`. Cheapest-first maximizes how many queries get
+    * a min-of-two correction out of a fixed time box — and the cheap
+    * queries are exactly the ones contention distorts the most in relative
+    * terms (a 0.3 s query stalled to 7 s is a 23x lie; a 7 s query stalled
+    * to 14 s is 2x). Sweep-1 failures re-run last (projected at the mean
+    * cost) so a transiently failed query still gets a second chance. */
+  private def partialSweep(spark: SparkSession, sfDir: String,
+                           first: Seq[(String, Double)], capSec: Double): Seq[(String, Double)] =
+    runUntilDeadline(cheapestFirst(first), capSec,
+      name => sweep(spark, sfDir, Seq(name)).head._2)
+
+  /** Sweep-1 names ordered by measured cost ascending; failures (-1) sort
+    * at the mean cost so a transiently failed query still gets a second
+    * chance without jumping the whole queue. Exposed for BenchSpec. */
+  private[graft] def cheapestFirst(first: Seq[(String, Double)]): Seq[String] = {
+    val okCosts  = first.collect { case (_, d) if d >= 0 => d }
+    val meanCost = if (okCosts.isEmpty) 1.0 else okCosts.sum / okCosts.size
+    first.sortBy { case (_, d) => if (d >= 0) d else meanCost }.map(_._1)
+  }
+
+  /** Run queries in order until the wall-clock cap is hit; each query
+    * started before the deadline runs to completion (no mid-query abort —
+    * a partially executed measurement is worthless). Exposed for
+    * BenchSpec, which drives it with a fake runner. */
+  private[graft] def runUntilDeadline(order: Seq[String], capSec: Double,
+                                      run: String => Double): Seq[(String, Double)] = {
+    val done = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    val deadline = System.nanoTime() + (capSec * 1e9).toLong
+    val it = order.iterator
+    while (it.hasNext && System.nanoTime() < deadline) {
+      val name = it.next()
+      done += (name -> run(name))
+    }
+    done.toList
+  }
+
+  /** Per-query minimum over the VALID measurements of both sweeps;
+    * queries the (partial) second sweep didn't reach keep their sweep-1
+    * number; -1 only when every measurement failed. Exposed for
+    * BenchSpec. */
+  private[graft] def mergeMin(first: Seq[(String, Double)],
+                              second: Map[String, Double]): Seq[(String, Double)] =
+    first.map { case (name, a) =>
+      val valid = (Seq(a) ++ second.get(name)).filter(_ >= 0)
+      name -> (if (valid.isEmpty) -1.0 else valid.min)
     }
 
   def main(args: Array[String]): Unit = {
@@ -48,23 +99,24 @@ object Bench {
     val first = sweep(spark, sfDir)
     val firstWallSec = (System.nanoTime() - sweepStart) / 1e9
     // wall-clock guard: when the host is badly contended the first sweep
-    // alone can run minutes over its normal cost; a second sweep would
-    // double that and risk any harness-side time cap. Past the budget we
-    // report the single sweep (the contended numbers are what they are).
+    // alone can run minutes over its normal cost; a full second sweep
+    // would double that and risk any harness-side time cap. But skipping
+    // the second sweep ENTIRELY disables the min-of-two noise filter
+    // exactly when noise struck (that is what produced the misleading
+    // BENCH_r04 artifact: 264.9 s of pure host contention, re-measured at
+    // 58.9 s) — so past the budget we still run a PARTIAL second sweep,
+    // cheapest-first under a hard cap, and flag the artifact
+    // `"contended": true` so a polluted recording is self-diagnosing.
     // Guard on WALL time of the whole sweep, not the sum of successful
     // durations — failed-but-slow queries and clearCache overhead count.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "180").toDouble
-    val second =
-      if (firstWallSec <= budgetSec) sweep(spark, sfDir)
-      else first
-    // per-query minimum over the VALID measurements: a transient failure
-    // in one sweep must not erase the other sweep's real number; -1 only
-    // when both sweeps failed
-    val results = first.zip(second).map { case ((n1, a), (n2, b)) =>
-      require(n1 == n2)
-      val valid = Seq(a, b).filter(_ >= 0)
-      n1 -> (if (valid.isEmpty) -1.0 else valid.min)
-    }
+    val contended = firstWallSec > budgetSec
+    val sweep2Start = System.nanoTime()
+    val second: Map[String, Double] =
+      (if (!contended) sweep(spark, sfDir)
+       else partialSweep(spark, sfDir, first, capSec = budgetSec / 2)).toMap
+    val secondWallSec = (System.nanoTime() - sweep2Start) / 1e9
+    val results = mergeMin(first, second)
     def toJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -75,7 +127,10 @@ object Bench {
     // the artifact alone
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
-        s""""total_cold":$totalCold,"queries_cold":${toJson(first)},"sf":"$sfDir"}"""
+        s""""total_cold":$totalCold,"queries_cold":${toJson(first)},""" +
+        s""""contended":$contended,"sweep1_wall_sec":$firstWallSec,""" +
+        s""""sweep2_wall_sec":$secondWallSec,"sweep2_queries":${second.size},""" +
+        s""""sf":"$sfDir"}"""
     println(line)
     // also a file artifact: the driver captures a log tail, which has
     // truncated the head of this (long) line before — BENCH_r03 lost

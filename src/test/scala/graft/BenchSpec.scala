@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for Bench's contention handling — the pure pieces of the
+  * partial-second-sweep path, driven with fake runners (no SparkSession:
+  * the point is the scheduling/merge logic, not query execution).
+  *
+  * Scenario being guarded: a contended host blows the sweep-1 wall budget
+  * (BENCH_r04's 264.9 s artifact, re-measured clean at 58.9 s). The bench
+  * must still re-measure as many queries as a bounded time box allows —
+  * cheapest-first, where relative contention distortion is largest — and
+  * the merged headline must take the min, so the recovered numbers
+  * survive into the artifact instead of the all-cold lie.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("cheapestFirst orders by sweep-1 cost, failures slot at mean cost") {
+    val first = Seq("slow" -> 10.0, "fast" -> 0.1, "failed" -> -1.0, "mid" -> 2.0)
+    // mean of valid costs = (10 + 0.1 + 2) / 3 ≈ 4.03 → failed sorts
+    // between mid and slow: gets a retry without jumping the queue
+    assert(Bench.cheapestFirst(first) == Seq("fast", "mid", "failed", "slow"))
+  }
+
+  test("cheapestFirst with all-failed sweep keeps input order") {
+    val first = Seq("a" -> -1.0, "b" -> -1.0)
+    assert(Bench.cheapestFirst(first) == Seq("a", "b"))
+  }
+
+  test("runUntilDeadline stops starting queries once the cap elapses") {
+    // each fake query burns ~60 ms; a 0.15 s cap admits 2-3 starts, never
+    // all 10 — and every started query completes (no partial timings)
+    var ran = Vector.empty[String]
+    val out = Bench.runUntilDeadline((1 to 10).map(i => s"q$i"), capSec = 0.15, { name =>
+      ran :+= name; Thread.sleep(60); 0.06
+    })
+    assert(out.map(_._1) == ran)
+    assert(ran.nonEmpty && ran.size < 10)
+    assert(ran == (1 to ran.size).map(i => s"q$i"))
+  }
+
+  test("runUntilDeadline with a generous cap runs everything in order") {
+    val out = Bench.runUntilDeadline(Seq("a", "b", "c"), capSec = 60.0, _ => 0.01)
+    assert(out.map(_._1) == Seq("a", "b", "c"))
+  }
+
+  test("mergeMin takes per-query min; unreached queries keep sweep-1; -1 only when all failed") {
+    val first = Seq(
+      "recovered" -> 7.0,  // contended cold, partial sweep re-measured 0.3
+      "unreached" -> 3.0,  // partial sweep never got to it
+      "regressed" -> 0.2,  // second measurement slower — min keeps 0.2
+      "flaky"     -> -1.0, // failed cold, succeeded on retry
+      "dead"      -> -1.0) // failed both times
+    val second = Map("recovered" -> 0.3, "regressed" -> 0.5, "flaky" -> 0.4, "dead" -> -1.0)
+    assert(Bench.mergeMin(first, second) == Seq(
+      "recovered" -> 0.3, "unreached" -> 3.0, "regressed" -> 0.2,
+      "flaky" -> 0.4, "dead" -> -1.0))
+  }
+}
