@@ -10,10 +10,10 @@ import graft.ops.{Derive, Quality}
   * independent streaming queries that each rescan the source
   * (`bronze_ingest.py:64-103` — 4 queries per layer); at 100 TB that is 2×
   * the I/O. Inside `foreachBatch` we cache the batch once and write both
-  * sides. Trade-off: `foreachBatch` parquet appends are at-least-once on
-  * failure-replay (the offset log still gives a deterministic batch, so a
-  * replay rewrites the same rows; downstream exact dedup or an
-  * ACID table format restores exactly-once where it matters).
+  * sides through [[IdempotentSink]], whose stage → publish → mark protocol
+  * makes each sink exactly-once under failure-replay — a crash between the
+  * clean and rejected writes replays into the same final file set instead
+  * of double-appending.
   */
 private[pipeline] object PipelineFs {
   /** Create a stream-source dir if missing: a file-stream source refuses
@@ -30,17 +30,15 @@ private[pipeline] object PipelineFs {
 
 private[pipeline] object DualSink {
   def write(batch: DataFrame, valid: Column, validPath: String,
-            rejectedPath: String, partitionCols: Seq[String],
+            rejectedPath: String, partitionCols: Seq[String], batchId: Long,
             transformValid: DataFrame => DataFrame = identity): Unit = {
     val cached = batch.persist()
     try {
       // Quality.split owns the 3VL routing rule (NULL predicate →
       // quarantine) so batch and streaming paths cannot drift
       val (ok, bad) = Quality.split(cached, valid)
-      val okWriter = transformValid(ok).write.mode("append")
-      (if (partitionCols.nonEmpty) okWriter.partitionBy(partitionCols: _*) else okWriter)
-        .parquet(validPath)
-      bad.write.mode("append").parquet(rejectedPath)
+      IdempotentSink.write(transformValid(ok), validPath, batchId, partitionCols)
+      IdempotentSink.write(bad, rejectedPath, batchId)
     } finally { cached.unpersist(); () }
   }
 }
@@ -87,9 +85,9 @@ object Bronze {
           .dropDuplicatesWithinWatermark("bridge_id", "sensor_type", "event_time")
           .drop("wm_ts")
       else derived
-    val fn: (Dataset[Row], Long) => Unit = (batch, _) =>
+    val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>
       DualSink.write(batch.toDF(), Quality.bronzeValid(),
-        cfg.bronzeDir(sensor), cfg.bronzeRejectedDir(sensor), Seq("partition_date"))
+        cfg.bronzeDir(sensor), cfg.bronzeRejectedDir(sensor), Seq("partition_date"), batchId)
     deduped.writeStream
       .queryName(s"bronze_$sensor")
       .option("checkpointLocation", cfg.checkpoint(s"bronze_$sensor"))

@@ -3,7 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types._
 import graft.ops.{Dedup, Text}
 
 /** Streaming corpus curation — the training-data analog of the medallion
@@ -56,9 +55,9 @@ object CurationStream {
   def start(spark: SparkSession, input: DataFrame, cfg: CurationConfig,
             cleanPath: String, rejectedPath: String, checkpoint: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val fn: (Dataset[Row], Long) => Unit = (batch, _) =>
+    val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>
       DualSink.write(batch.toDF(), col("quality") >= cfg.minQuality,
-        cleanPath, rejectedPath, partitionCols = Nil)
+        cleanPath, rejectedPath, partitionCols = Nil, batchId)
     curated(input, cfg).writeStream
       .queryName("curation_stream")
       .option("checkpointLocation", checkpoint)
@@ -73,13 +72,6 @@ object CurationStream {
   case class NearDupConfig(k: Int = 64, bands: Int = 16,
                            minEstJaccard: Double = 0.5)
 
-  private def storeSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("sig", ArrayType(LongType, containsNull = false)),
-    StructField("band_id", IntegerType),
-    StructField("band_hash", LongType),
-    StructField("batch", LongType)))
-
   /** Streaming MinHash near-dup curation — the continuous counterpart of
     * the batch near-dup pass (q25/q42), composed AFTER the exact stage
     * ([[start]]). Each micro-batch:
@@ -87,35 +79,38 @@ object CurationStream {
     *   1. computes the batch documents' MinHash signatures with the SAME
     *      native expression the batch path uses
     *      ([[graft.ops.Dedup.minhashSignatures]]) and bands them;
-    *   2. probes an accumulating parquet signature store of everything
-    *      previously admitted — the probe is a (band_id, band_hash)
-    *      equi-join, partition-PRUNED to `batch < currentBatchId` so a
-    *      replayed batch never matches its own earlier attempt — plus an
-    *      intra-batch self-probe (smaller doc_id wins, matching the batch
-    *      operator's survivor rule);
+    *   2. probes the accumulating [[SignatureStore]] of everything
+    *      previously admitted — a (band_id, band_hash) equi-join with the
+    *      BATCH side broadcast, so the store is scanned once and never
+    *      shuffled, and (once a compacted generation exists) pruned to the
+    *      batch's candidate bucket dirs. Guarded to `batch < currentBatchId`
+    *      so a replayed batch never matches its own earlier attempt — plus
+    *      an intra-batch self-probe (smaller doc_id wins, matching the
+    *      batch operator's survivor rule);
     *   3. routes near-duplicates (estimated Jaccard ≥ threshold against
     *      any admitted doc) to the audit sink, admits the rest to the
-    *      clean sink, and appends the survivors' bucket rows to the store
-    *      as `batch=<id>/` — written with overwrite so a batch replay is
-    *      idempotent on the store (the sinks themselves are append, the
-    *      same at-least-once posture as every other foreachBatch sink
-    *      here).
+    *      clean sink — both through [[IdempotentSink]], exactly-once under
+    *      replay — and appends the survivors' bucket rows to the store's
+    *      delta dir (overwrite per batch id, replay-idempotent).
     *
     * Scale posture: signatures/banding are map-side; the store carries
-    * `bands` narrow rows per admitted distinct-signature document and the
-    * probe join is hash-partitioned on (band_id, band_hash) — at
-    * production scale the store is periodically compacted (and optionally
-    * bucketed on the join key) by a maintenance job; state never lives in
-    * the streaming checkpoint, so restarts are cheap and the horizon is
-    * the whole corpus, not a watermark. Documents too short to shingle
-    * have no signature: they are admitted (near-dup undefined) and do not
-    * enter the store. */
+    * `bands` narrow rows per admitted distinct-signature document; probe
+    * cost tracks the CANDIDATE buckets (a broadcast-hash join over the
+    * pruned store scan), not accumulated stream length. Run
+    * [[SignatureStore.compact]] periodically (and [[SignatureStore.vacuum]]
+    * after a grace period) to fold per-batch delta dirs into a bucketed
+    * generation — between compactions the probe unions the deltas in, so
+    * the maintenance cadence is a cost knob, not a correctness one. State
+    * never lives in the streaming checkpoint, so restarts are cheap and
+    * the horizon is the whole corpus, not a watermark. Documents too short
+    * to shingle have no signature: they are admitted (near-dup undefined)
+    * and do not enter the store. */
   def startNearDup(spark: SparkSession, input: DataFrame, cfg: NearDupConfig,
                    cleanPath: String, nearDupPath: String, storePath: String,
                    checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(cfg.k % cfg.bands == 0, s"bands must divide k (got ${cfg.k}/${cfg.bands})")
-    PipelineFs.ensureDir(spark, storePath)
+    SignatureStore.ensure(spark, storePath)
     val r = cfg.k / cfg.bands
     val fn: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
@@ -131,17 +126,24 @@ object CurationStream {
             explode(array(bandStructs: _*)).as("band"))
           .select($"doc_id", $"sig", $"band.band_id", $"band.band_hash")
           .persist()
-        // reference side: everything admitted in PRIOR batches (partition
-        // filter prunes to batch=* < batchId, so a replay can't see its own
-        // earlier attempt), plus smaller-id docs of THIS batch
-        val prior = s.read.schema(storeSchema).parquet(storePath)
-          .where($"batch" < batchId)
+        // candidate bucket dirs of the compacted generation: a bounded
+        // driver-side collect (≤ the generation's bucket count, a small
+        // constant) that buys static partition pruning on the store scan
+        val candBuckets = SignatureStore.currentPointer(s, storePath).map { p =>
+          buckets.select(SignatureStore.bucketOf($"band_id", $"band_hash", p.buckets).as("b"))
+            .distinct().as[Int].collect().toSet
+        }
+        // reference side: everything admitted in PRIOR batches (replay
+        // guard: batch < batchId), plus smaller-id docs of THIS batch
+        val prior = SignatureStore.refs(s, storePath, batchId, candBuckets)
           .select($"doc_id".as("ref_id"), $"sig".as("ref_sig"),
             $"band_id", $"band_hash", lit(true).as("is_prior"))
         val intra = buckets
           .select($"doc_id".as("ref_id"), $"sig".as("ref_sig"),
             $"band_id", $"band_hash", lit(false).as("is_prior"))
-        val nearIds = buckets
+        // the micro-batch is the small side — broadcast it so the store
+        // scan streams through a broadcast-hash join with no shuffle
+        val nearIds = broadcast(buckets)
           .join(prior.unionByName(intra), Seq("band_id", "band_hash"))
           .where($"is_prior" || $"ref_id" < $"doc_id")
           .dropDuplicates("doc_id", "ref_id")
@@ -151,14 +153,15 @@ object CurationStream {
               lit(0), (a, x) => a + x) / lit(cfg.k.toDouble))
           .where($"est_jaccard" >= cfg.minEstJaccard)
           .select($"doc_id").distinct()
-        val admitted = docs.join(nearIds, Seq("doc_id"), "left_anti")
-        admitted.write.mode("append").parquet(cleanPath)
-        docs.join(nearIds, Seq("doc_id"), "left_semi")
-          .write.mode("append").parquet(nearDupPath)
-        buckets.join(nearIds, Seq("doc_id"), "left_anti")
-          .select($"doc_id", $"sig", $"band_id", $"band_hash")
-          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
-        buckets.unpersist(); ()
+          .persist() // three consumers below — probe runs once, not thrice
+        try {
+          IdempotentSink.write(docs.join(nearIds, Seq("doc_id"), "left_anti"),
+            cleanPath, batchId)
+          IdempotentSink.write(docs.join(nearIds, Seq("doc_id"), "left_semi"),
+            nearDupPath, batchId)
+          SignatureStore.appendBatch(
+            buckets.join(nearIds, Seq("doc_id"), "left_anti"), storePath, batchId)
+        } finally { nearIds.unpersist(); buckets.unpersist(); () }
       } finally { docs.unpersist(); () }
     }
     input.writeStream

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+
+/** Exactly-once parquet append for `foreachBatch` sinks.
+  *
+  * Plain `mode("append")` inside `foreachBatch` is at-least-once: a crash
+  * after the clean write but before the rejected write (or before the
+  * checkpoint commit) makes the replayed batch append its rows a second
+  * time. This writer closes that window with the stage → publish → mark
+  * protocol that log-structured table formats use, built only on the
+  * Hadoop FS API:
+  *
+  *   1. '''stage''': write the batch to `<sink>/.staging/<batchId>/` with
+  *      overwrite — a replay rewrites the same staging dir, never the sink;
+  *   2. '''publish''': move each staged file into the sink under a
+  *      DETERMINISTIC name, `b<batchId>-part-<index><ext>` (partition
+  *      subdirs preserved; the write job's random UUID is dropped from
+  *      the name). Streaming replay re-executes the same plan over the
+  *      same offsets, so a replayed batch re-creates the same partition
+  *      indices with the same contents; publishing overwrites those
+  *      exact names instead of adding new ones;
+  *   3. '''mark''': create `<sink>/_commits/<batchId>`. A replay that
+  *      finds the marker skips the batch entirely.
+  *
+  * Crash anywhere between 1 and 3 and the replay converges to the same
+  * final file set — no duplicate rows, no torn batch (readers never see a
+  * half-published batch as committed; parquet readers also ignore the
+  * dot/underscore staging and marker paths). The staging dir lives inside
+  * the sink so publish is a same-filesystem rename (metadata-only on
+  * HDFS; on object stores use a real table format instead — this class
+  * documents the boundary rather than pretending S3 rename is atomic).
+  */
+private[pipeline] object IdempotentSink {
+
+  private def fs(batch: DataFrame, dir: String) =
+    new Path(dir).getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+
+  def committed(batch: DataFrame, sinkDir: String, batchId: Long): Boolean = {
+    val f = fs(batch, sinkDir)
+    f.exists(new Path(s"$sinkDir/_commits/$batchId"))
+  }
+
+  /** Stage, publish, mark. `partitionCols` are passed through to the
+    * staged write so the sink keeps its Hive layout. */
+  def write(batch: DataFrame, sinkDir: String, batchId: Long,
+            partitionCols: Seq[String] = Nil): Unit = {
+    if (committed(batch, sinkDir, batchId)) return
+    val f = fs(batch, sinkDir)
+    val staging = s"$sinkDir/.staging/$batchId"
+    val writer = batch.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging)
+    // publish: every data file under staging moves to the sink at a name
+    // derived only from (batchId, partition dir, partition index) —
+    // `part-00003-<uuid>-c000.snappy.parquet` publishes as
+    // `b7-part-00003.snappy.parquet`, so a replay (same offsets → same
+    // plan → same partition indices and contents) lands on identical
+    // names. The one nondeterminism caveat: a Spark upgrade changing AQE
+    // coalescing MID-REPLAY could alter the index set; the commit marker
+    // makes that window one unfinished batch wide, not the whole sink.
+    val partName = "^part-(\\d+)-.*?(\\..+)$".r
+    // qualify so relativize against the (always-qualified) listed file
+    // URIs yields clean relative paths
+    val stagingPath = f.makeQualified(new Path(staging))
+    val it = f.listFiles(stagingPath, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      partName.findFirstMatchIn(name).foreach { m =>
+        val rel = stagingPath.toUri.relativize(s.getPath.toUri).getPath
+        val relDir = rel.stripSuffix(name).stripSuffix("/")
+        val destDir = if (relDir.isEmpty) new Path(sinkDir) else new Path(s"$sinkDir/$relDir")
+        f.mkdirs(destDir)
+        val dest = new Path(destDir, s"b$batchId-part-${m.group(1)}${m.group(2)}")
+        if (f.exists(dest)) f.delete(dest, false) // replay of a partial publish
+        if (!f.rename(s.getPath, dest))
+          throw new java.io.IOException(s"could not publish $rel into $sinkDir")
+      }
+    }
+    f.delete(stagingPath, true)
+    f.mkdirs(new Path(s"$sinkDir/_commits"))
+    val marker = f.create(new Path(s"$sinkDir/_commits/$batchId"), true)
+    marker.close()
+  }
+}

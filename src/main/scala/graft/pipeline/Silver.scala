@@ -26,9 +26,9 @@ object Silver {
       .parquet(cfg.bronzeDir(sensor))
     // J1: 5-row dimension — broadcast, so the fact stream never shuffles
     val dim = broadcast(bridges(spark, cfg))
-    val fn: (Dataset[Row], Long) => Unit = (batch, _) =>
+    val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>
       DualSink.write(batch.toDF(), rule(sensor),
-        cfg.silverDir(sensor), cfg.silverRejectedDir(sensor), Seq("partition_date"),
+        cfg.silverDir(sensor), cfg.silverRejectedDir(sensor), Seq("partition_date"), batchId,
         transformValid = _.join(dim, Seq("bridge_id"), "left"))
     bronzeStream.writeStream
       .queryName(s"silver_$sensor")

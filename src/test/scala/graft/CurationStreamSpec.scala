@@ -82,7 +82,7 @@ class CurationStreamSpec extends SparkSuite {
     assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().toSet
       == Set(1L, 2L))
     assert(spark.read.schema(schema).parquet(audit).count() == 0)
-    val store1 = spark.read.parquet(store)
+    val store1 = spark.read.parquet(s"$store/delta")
     assert(store1.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
     assert(store1.count() == 2 * cfg.bands) // `bands` bucket rows per admitted doc
 
@@ -101,7 +101,7 @@ class CurationStreamSpec extends SparkSuite {
     assert(spark.read.schema(schema).parquet(audit).select("doc_id").as[Long]
       .collect().toSeq == Seq(3L))
     // audited docs never enter the store
-    assert(spark.read.parquet(store).select("doc_id").distinct()
+    assert(spark.read.parquet(s"$store/delta").select("doc_id").distinct()
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 }

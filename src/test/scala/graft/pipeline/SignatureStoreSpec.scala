@@ -1,0 +1,199 @@
+package graft.pipeline
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The near-dup signature store's maintenance path (compact/vacuum), the
+  * bucket-pruned probe, and the exactly-once foreachBatch sink protocol.
+  * Lives in graft.pipeline because it exercises `private[pipeline]`
+  * surface. */
+class SignatureStoreSpec extends graft.SparkSuite {
+  import spark.implicits._
+
+  // -- IdempotentSink ------------------------------------------------------
+
+  test("IdempotentSink: replay at every crash point converges, no duplicate rows") {
+    val sink = tmpDir("idem-sink")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    IdempotentSink.write(batch, sink, batchId = 0)
+    assert(spark.read.parquet(sink).count() == 2)
+
+    // crash AFTER publish, BEFORE marker: simulate by deleting the marker
+    // and replaying — deterministic names must overwrite, not append
+    val marker = new java.io.File(s"$sink/_commits/0")
+    assert(marker.exists()); marker.delete()
+    IdempotentSink.write(batch, sink, batchId = 0)
+    assert(spark.read.parquet(sink).count() == 2, "partial-publish replay double-appended")
+
+    // crash AFTER marker: replay is a no-op even with different data
+    IdempotentSink.write(Seq((9L, "x")).toDF("id", "v"), sink, batchId = 0)
+    assert(spark.read.parquet(sink).count() == 2, "committed batch re-wrote")
+
+    // a NEW batch appends
+    IdempotentSink.write(Seq((3L, "c")).toDF("id", "v"), sink, batchId = 1)
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("IdempotentSink keeps the Hive layout for partitioned sinks") {
+    val sink = tmpDir("idem-part")
+    val batch = Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-02")).toDF("id", "v", "d")
+    IdempotentSink.write(batch, sink, batchId = 5, partitionCols = Seq("d"))
+    assert(new java.io.File(s"$sink/d=2024-01-01").isDirectory)
+    val back = spark.read.parquet(sink)
+    assert(back.count() == 2 && back.columns.contains("d"))
+    // and replay of the partitioned batch still converges
+    val m = new java.io.File(s"$sink/_commits/5"); assert(m.exists()); m.delete()
+    IdempotentSink.write(batch, sink, batchId = 5, partitionCols = Seq("d"))
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+
+  test("exact-stage kill-and-restart: replayed batch does not double-append (DualSink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clean = tmpDir("eo-clean"); val rejected = tmpDir("eo-rej"); val cp = tmpDir("eo-cp")
+    val goodText = ("the quick brown fox jumps over lazy dogs near riverbank " * 8).trim
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    input.addData(
+      (1L, goodText, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, "too short", java.sql.Timestamp.valueOf("2024-01-01 00:00:02")))
+    val cfg = CurationStream.CurationConfig(minQuality = 0.6)
+    val q = CurationStream.start(spark, df, cfg, clean, rejected, cp)
+    try q.awaitTermination() finally q.stop()
+    assert(spark.read.parquet(clean).count() == 1)
+    assert(spark.read.parquet(rejected).count() == 1)
+
+    // kill-and-restart: erase the checkpoint commit so Spark replays
+    // batch 0 from its offset log — the crash-before-commit scenario
+    assert(new java.io.File(s"$cp/commits/0").delete())
+    val q2 = CurationStream.start(spark, df, cfg, clean, rejected, cp)
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.parquet(clean).count() == 1, "replay double-appended clean sink")
+    assert(spark.read.parquet(rejected).count() == 1, "replay double-appended rejected sink")
+  }
+
+  // -- SignatureStore maintenance ------------------------------------------
+
+  private val base = "the quick brown fox jumps over the lazy dog while rain falls " +
+    "softly on ancient rooftops and children play games under bright summer " +
+    "skies every single afternoon without any worry at all"
+  private val other = "completely different content about spark execution engines and " +
+    "distributed shuffle management across very large analytics clusters " +
+    "running continuously in several regions with careful cost controls"
+
+  test("compact mid-stream: probes still hit, store files shrink, replay guard survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val clean = tmpDir("cpt-clean"); val audit = tmpDir("cpt-audit")
+    val store = tmpDir("cpt-store"); val cp = tmpDir("cpt-cp")
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val cfg = CurationStream.NearDupConfig()
+
+    // two micro-batches of admitted docs (restart per batch: AvailableNow
+    // snapshots offsets at start)
+    input.addData((1L, base))
+    val q1 = CurationStream.startNearDup(spark, df, cfg, clean, audit, store, cp)
+    try q1.awaitTermination() finally q1.stop()
+    input.addData((2L, other))
+    val q2 = CurationStream.startNearDup(spark, df, cfg, clean, audit, store, cp)
+    try q2.awaitTermination() finally q2.stop()
+
+    def deltaDirs = Option(new java.io.File(s"$store/delta").list()).get
+      .count(_.startsWith("batch="))
+    assert(deltaDirs == 2)
+
+    // maintenance: fold both deltas into gen-0, then vacuum them away
+    val ptr = SignatureStore.compact(spark, store, buckets = 8)
+    assert(ptr.exists(p => p.gen == 0 && p.maxBatch == 1 && p.buckets == 8))
+    SignatureStore.vacuum(spark, store)
+    assert(deltaDirs == 0, "vacuum must drop absorbed deltas")
+    assert(new java.io.File(s"$store/gen-0").isDirectory)
+
+    // compacted rows keep doc/batch fidelity
+    val gen = SignatureStore.refs(spark, store, beforeBatch = Long.MaxValue)
+    assert(gen.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
+    assert(gen.count() == 2 * cfg.bands)
+
+    // batch 2 AFTER compaction: near-dup of the compacted doc 1 is still
+    // caught; the fresh doc is admitted and lands in a NEW delta
+    input.addData((3L, base.replace("afternoon", "morning")), (4L, other.replace("cost", "risk")))
+    val q3 = CurationStream.startNearDup(spark, df, cfg, clean, audit, store, cp)
+    try q3.awaitTermination() finally q3.stop()
+    val auditSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    assert(spark.read.schema(auditSchema).parquet(audit).select("doc_id").as[Long]
+      .collect().toSet == Set(3L, 4L))
+    assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+    assert(deltaDirs == 1, "post-compaction batch writes a fresh delta")
+
+    // second compaction absorbs the new delta into gen-1 and the old
+    // generation vacuums away
+    val ptr2 = SignatureStore.compact(spark, store, buckets = 8)
+    assert(ptr2.exists(p => p.gen == 1 && p.maxBatch == 2))
+    SignatureStore.vacuum(spark, store)
+    assert(!new java.io.File(s"$store/gen-0").exists())
+    assert(SignatureStore.refs(spark, store, Long.MaxValue)
+      .select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("probe prunes to candidate buckets and never shuffles the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val clean = tmpDir("pr-clean"); val audit = tmpDir("pr-audit")
+    val store = tmpDir("pr-store"); val cp = tmpDir("pr-cp")
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val cfg = CurationStream.NearDupConfig()
+    input.addData((1L, base), (2L, other))
+    val q = CurationStream.startNearDup(spark, df, cfg, clean, audit, store, cp)
+    try q.awaitTermination() finally q.stop()
+    val nBuckets = 16
+    SignatureStore.compact(spark, store, buckets = nBuckets)
+
+    // executed-plan walker that sees through AQE wrappers and stages
+    // (DataFrame.inputFiles can't show pruning — it lists the FileIndex
+    // before partition filters apply, so assert on scan METRICS instead)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case q: QueryStageExec        => p +: nodes(q.plan)
+      case _ => (p +: p.children.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      nodes(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+
+    val all = SignatureStore.refs(spark, store, Long.MaxValue, candidateBuckets = None)
+    val allFiles = filesRead(all)
+    assert(allFiles > 1, "compacted store should span multiple bucket dirs")
+
+    // static partition pruning: a candidate-bucket subset reads a strict
+    // subset of the bucket dirs
+    val someBuckets = all
+      .select(SignatureStore.bucketOf(col("band_id"), col("band_hash"), nBuckets).as("b"))
+      .distinct().as[Int].collect().toSet.take(1)
+    val pruned = SignatureStore.refs(spark, store, Long.MaxValue, Some(someBuckets))
+    assert(filesRead(pruned) < allFiles,
+      s"pruned probe read ${filesRead(pruned)} of $allFiles files")
+    assert(SignatureStore.refs(spark, store, Long.MaxValue, Some(Set.empty[Int])).count() == 0)
+
+    // probe join shape: batch side broadcast, store side streamed — the
+    // executed plan must contain a broadcast hash join and NO shuffle
+    // (the store is scanned exactly once, never exchanged)
+    val batchSide = Seq((10L, Array.fill(64)(7L), 0, 123L))
+      .toDF("doc_id", "sig", "band_id", "band_hash")
+    val probe = broadcast(batchSide)
+      .join(SignatureStore.refs(spark, store, Long.MaxValue, Some(someBuckets)),
+        Seq("band_id", "band_hash"))
+    probe.collect()
+    val flat = nodes(probe.queryExecution.executedPlan)
+    assert(flat.exists(_.isInstanceOf[BroadcastHashJoinExec]), s"no BHJ in probe plan")
+    assert(!flat.exists(_.isInstanceOf[ShuffleExchangeLike]), s"store probe shuffled")
+  }
+}
