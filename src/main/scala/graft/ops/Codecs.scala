@@ -150,17 +150,37 @@ object Codecs {
     buf.array()
   }
 
-  /** Container-level metadata + a real decode of frame 0 for dimensions. */
+  /** Container-level metadata + a real decode of frame 0 for dimensions.
+    * `nFrames` is the count of frames actually present and extractable
+    * (min of the header claim and a bounds-checked offset walk), so a
+    * truncated container's metadata agrees with what [[videoFrames]] /
+    * frame sampling will actually emit rather than overstating it. */
   def decodeVideoMeta(bytes: Array[Byte]): Option[VideoMeta] =
     videoFrames(bytes) match {
       case Some(it) if it.hasNext =>
         val (_, first) = it.next()
-        decodeImage(first).map(m => VideoMeta(m.width, m.height, frameCount(bytes), m.channels))
+        decodeImage(first).map(m => VideoMeta(m.width, m.height, actualFrameCount(bytes), m.channels))
       case _ => None
     }
 
   private def frameCount(bytes: Array[Byte]): Int =
     ByteBuffer.wrap(bytes, 4, 4).getInt
+
+  /** Frames physically present: walks the length-prefix chain without
+    * copying any frame payloads, stopping at the header count or the first
+    * out-of-bounds slice, whichever comes first. */
+  private def actualFrameCount(bytes: Array[Byte]): Int = {
+    val claimed = frameCount(bytes)
+    var n = 0
+    var off = 8
+    while (n < claimed && off + 4 <= bytes.length) {
+      val len = ByteBuffer.wrap(bytes, off, 4).getInt
+      if (len < 0 || off + 4 + len > bytes.length) return n
+      off += 4 + len
+      n += 1
+    }
+    n
+  }
 
   /** Lazily slice out `(frameIdx, pngBytes)` pairs; `None` when the payload
     * is not a well-formed `GVC1` container. Bounds-checked so a truncated

@@ -477,10 +477,29 @@ object Dedup {
     *
     * The chosen path and edge count are logged at INFO — a silent
     * multi-MB driver collect on a production cluster is a debugging
-    * trap. */
+    * trap.
+    *
+    * Fault-tolerance caveat: the distributed path truncates lineage with
+    * `localCheckpoint`, whose blocks live only in executor storage — NOT
+    * recoverable. Losing any executor mid-loop (task failure storm,
+    * dynamic-allocation decommission, spot preemption) fails the job,
+    * which must then be rerun from the pair frame. On local[*] and on
+    * static clusters with `spark.decommission.enabled=false` this is
+    * moot; for long cluster runs under dynamic allocation pass
+    * `reliableCheckpoints = true` (after `sc.setCheckpointDir`) to use
+    * HDFS/object-store-backed `checkpoint()` instead — each round then
+    * survives executor loss at the cost of a write per round. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          driverLimit: Long = 1L << 20): DataFrame = {
+                          driverLimit: Long = 1L << 20,
+                          reliableCheckpoints: Boolean = false): DataFrame = {
     val jumpFrom = 3
+    if (reliableCheckpoints)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoints=true requires sc.setCheckpointDir(...) first")
+    // both variants are EAGER: the plan-truncation reasoning below needs
+    // the frame rebased on materialized blocks before the next round
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
     val aCol = pairs.columns(0)
     val bCol = pairs.columns(1)
     // integral ids are normalized to long so the driver union-find and
@@ -512,7 +531,7 @@ object Dedup {
     }
     log.info(s"connectedComponents: distributed min-label path " +
       s"(edge rows=$edgeRows${if (idIsIntegral) s" > ${2 * driverLimit}" else ", non-integral ids"})")
-    // each round ends in an EAGER localCheckpoint, not a persist():
+    // each round ends in an EAGER (local)checkpoint, not a persist():
     // persist caches data but leaves the logical plan intact, and this
     // loop's plan GROWS GEOMETRICALLY — `labels` appears twice per round
     // (self-union + neighbor join) and the pointer-jump self-join doubles
@@ -521,8 +540,8 @@ object Dedup {
     // rebases the frame on the materialized RDD (constant-size plan per
     // round); dropped rounds are freed by the ContextCleaner once
     // unreferenced.
-    var labels = edges.select($"src".as("node")).distinct()
-      .withColumn("label", $"node").localCheckpoint()
+    var labels = ckpt(edges.select($"src".as("node")).distinct()
+      .withColumn("label", $"node"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -546,11 +565,10 @@ object Dedup {
       // stay single-join: the dense-cluster common case converges there
       // and never pays the second shuffle. `prev` still tracks the
       // pre-round label, so the convergence scan is unchanged.
-      val next = (if (i < jumpFrom) minned
+      val next = ckpt(if (i < jumpFrom) minned
         else minned.join(
             minned.select($"node".as("label"), $"label".as("__jump")), Seq("label"))
           .select($"node", least($"label", $"__jump").as("label"), $"prev"))
-        .localCheckpoint()
       converged = next.where($"label" < $"prev").isEmpty
       labels = next.select($"node", $"label")
       i += 1

@@ -60,21 +60,29 @@ object Multimodal {
     *     64 + n_chars%256 frames
     *   - video (doc_id%3==2): GVC1, 1 + doc_id%7 frames of 16×12 PNG
     *
+    * All `%` above are `floorMod`, so an unexpected negative id still maps
+    * to positive dimensions/frame counts instead of killing the task with a
+    * `require` failure (matching the decode side's quarantine-not-crash
+    * posture). The q67 oracle's SQL `%` agrees for the non-negative ids the
+    * corpus actually contains; negative ids are out of oracle scope by
+    * construction.
+    *
     * Encoding is map-side (`mapPartitions`), payloads stay in the partition
     * that produced them. */
   def attachMedia(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
+    import java.lang.Math.floorMod
     docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, nChars) =>
-          (id % 3) match {
-            case 0 => MediaRecord(id, "image",
-              Codecs.encodePng((8 + id % 24).toInt, (8 + nChars % 24).toInt, seed = id))
-            case 1 => MediaRecord(id, "audio",
-              Codecs.encodeWav((1 + id % 2).toInt, 8000, (64 + nChars % 256).toInt, seed = id))
-            case _ => MediaRecord(id, "video",
-              Codecs.encodeVideo(16, 12, (1 + id % 7).toInt, seed = id))
+          floorMod(id, 3L) match {
+            case 0L => MediaRecord(id, "image",
+              Codecs.encodePng(8 + floorMod(id, 24L).toInt, 8 + floorMod(nChars, 24L).toInt, seed = id))
+            case 1L => MediaRecord(id, "audio",
+              Codecs.encodeWav(1 + floorMod(id, 2L).toInt, 8000, 64 + floorMod(nChars, 256L).toInt, seed = id))
+            case _  => MediaRecord(id, "video",
+              Codecs.encodeVideo(16, 12, 1 + floorMod(id, 7L).toInt, seed = id))
           }
         }
       }

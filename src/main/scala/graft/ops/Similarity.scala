@@ -208,27 +208,64 @@ object Similarity {
   }
 
   /** Train-once memo: fitted centroids per (canonicalized candidate plan,
-    * nCells, sampleCap) — repeated queries over the same candidate set
-    * reuse the index instead of re-running the sample job.
+    * underlying file listing, nCells, sampleCap) — repeated queries over
+    * the same candidate set reuse the index instead of re-running the
+    * sample job.
     *
-    * Two documented limits of plan-keyed memoization: (1) if the FILES
-    * behind an identical plan change, the cached index is stale — rebuild
-    * explicitly with [[buildIvfIndex]] (training is one cheap bounded
-    * job); (2) entries are never individually evicted, so the map is
-    * cleared wholesale past a small bound to keep long-lived drivers from
-    * accumulating plan trees. */
+    * The file-listing component closes the stale-index trap a pure
+    * plan key has: two reads of the same path are plan-identical even
+    * after the parquet files underneath were rewritten. The fingerprint
+    * hashes (path, length, mtime) of every file each scan in the plan
+    * covers, pulled from the relation's ALREADY-MATERIALIZED FileIndex —
+    * the listing the scan itself will read, so no extra filesystem RPCs
+    * at any scale and perfect agreement with what the sample job would
+    * see. Non-file relations (in-memory test frames) contribute nothing
+    * and fall back to plan-only keying.
+    *
+    * Entries are never individually evicted; the map is cleared wholesale
+    * past a small bound to keep long-lived drivers from accumulating
+    * plan trees. */
   private val IvfCacheMax = 64
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Int), IvfIndex]()
+
+  /** (path, len, mtime)-hash over every file-backed scan in the plan. */
+  private def fileFingerprint(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
+    val perScan = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case p: PartitioningAwareFileIndex =>
+            scala.util.hashing.MurmurHash3.orderedHash(
+              p.allFiles().sortBy(_.getPath.toString)
+                .map(f => (f.getPath.toString, f.getLen, f.getModificationTime)))
+          // exotic FileIndex impls expose only paths — still catches
+          // listing-membership changes, not same-name rewrites
+          case other => scala.util.hashing.MurmurHash3.orderedHash(
+            other.inputFiles.sorted.toSeq)
+        }
+        case _ => 0
+      }
+    }
+    scala.util.hashing.MurmurHash3.orderedHash(perScan).toLong
+  }
+
+  /** Observable training count — lets specs assert cache hits/misses. */
+  private[graft] val ivfTrainCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** IVF approximate kNN: convenience wrapper = cached [[buildIvfIndex]]
     * + [[probeIvf]]. Search cost drops from O(|candidates|) to
     * O(nProbe/nCells · |candidates|) per query; fully deterministic. */
   def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val key = (candidates.queryExecution.analyzed.canonicalized, nCells, 4096)
+    val key = (candidates.queryExecution.analyzed.canonicalized,
+      fileFingerprint(candidates), nCells, 4096)
     if (ivfCache.size() > IvfCacheMax) ivfCache.clear()
-    val index = ivfCache.computeIfAbsent(key, _ => buildIvfIndex(candidates, nCells))
+    val index = ivfCache.computeIfAbsent(key, _ => {
+      ivfTrainCount.incrementAndGet()
+      buildIvfIndex(candidates, nCells)
+    })
     probeIvf(index, queries, candidates, k, nProbe)
   }
 

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge-order-independent approximate quantiles — the DDSketch
+  * construction (Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable
+  * quantile sketch with relative-error guarantees", VLDB 2019), expressed
+  * as plain relational operators instead of an opaque aggregation buffer.
+  *
+  * Why not `percentile_approx`: Spark's built-in quantile sketch
+  * (Greenwald–Khanna derived) is INSERTION-ORDER-sensitive — the same
+  * data under a different partitioning or merge order yields a slightly
+  * different estimate, which makes the output untestable by golden file
+  * and non-reproducible run-to-run at cluster scale. DDSketch's state is
+  * just (log-bucket → count): inserts are commutative, merges are counter
+  * addition, so the estimate is a pure function of the multiset — fully
+  * deterministic under any partitioning, with a γ-relative error
+  * guarantee (|est − true| ≤ α·|true| for any rank-q value).
+  *
+  * Relational form (no custom aggregate needed — Catalyst sees through
+  * the whole thing): bucket id is a map-side projection, the sketch "add"
+  * is a groupBy count (partial-aggregated map-side, so the shuffle
+  * carries ≤ |groups|·|buckets| narrow rows — bucket count is bounded by
+  * ~⌈ln(max/min)/ln γ⌉, a few hundred for α=1% over any realistic value
+  * range), and the quantile probe is a cumulative-count window over the
+  * bucket order. At 100 TB the events scan dominates; the sketch plumbing
+  * is a rounding error.
+  *
+  * Bucketing (paper §2.1, extended for sign as real implementations do):
+  * v>0 → (sign=+1, j=⌈ln v / ln γ⌉), v<0 mirrored on a negative store,
+  * v=0 → its own bucket; estimate for bucket j is 2γʲ/(γ+1) (the
+  * γ-relative midpoint of (γ^(j−1), γ^j]), negated on the negative store.
+  * Bucket order (ascending value) is (sign, sign·j). The rank rule is the
+  * paper's: the q-quantile is the first bucket whose cumulative count
+  * exceeds q·(n−1).
+  */
+object Sketches {
+
+  /** γ for a target relative accuracy α. */
+  def gammaFor(alpha: Double): Double = (1 + alpha) / (1 - alpha)
+
+  /** (sign, j) log-bucket of `v` — deterministic map-side projection.
+    * NULLs must be filtered by the caller (a NULL value has no bucket). */
+  private def bucketCols(v: Column, gamma: Double): (Column, Column) = {
+    val sign = when(v > 0, 1).when(v < 0, -1).otherwise(0)
+    val j = when(v === 0, 0L)
+      .otherwise(ceil(log(abs(v)) / lit(math.log(gamma))))
+    (sign, j)
+  }
+
+  /** Per-group DDSketch quantiles: one output row per (group, q) with the
+    * γ-relative estimate and the group's non-null value count. Output:
+    * (groupCol, quantile, est, n_values), ordered by (groupCol, quantile).
+    *
+    * `qs` ∈ [0, 1]; α is the relative-error target (default 1%). */
+  def ddQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                  qs: Seq[Double], alpha: Double = 0.01): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles $qs")
+    val gamma = gammaFor(alpha)
+    val (sgn, j) = bucketCols(col(valueCol), gamma)
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol), sgn.as("sgn"), j.as("j"))
+      .groupBy(col(groupCol), col("sgn"), col("j"))
+      .agg(count(lit(1)).as("cnt"))
+    // ascending-value bucket order; cumulative count probes the rank
+    val ord = col("sgn") * col("j")
+    val cum = sum(col("cnt")).over(
+      Window.partitionBy(col(groupCol)).orderBy(col("sgn"), ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val total = sum(col("cnt")).over(Window.partitionBy(col(groupCol)))
+    val est = when(col("sgn") === 0, 0.0)
+      .otherwise(col("sgn") * lit(2.0) * pow(lit(gamma), col("j")) / lit(gamma + 1))
+    // windows FIRST, explode in a separate select after them: in one
+    // combined Select the Generate would run below the Window and the
+    // cumulative/total counts would be computed over the fanned-out rows
+    val cumulated = counts
+      .select(col(groupCol), col("sgn"), col("j"), cum.as("cum"),
+        total.as("n_values"), est.as("bucket_est"))
+    // explode is a Generate (per-row fan-out of the |qs| probes), not a join
+    val probed = cumulated
+      .select(col("*"), explode(array(qs.map(lit): _*)).as("quantile"))
+      .where(col("cum") > col("quantile") * (col("n_values") - 1))
+    probed
+      .groupBy(col(groupCol), col("quantile"))
+      .agg(
+        min_by(col("bucket_est"), struct(col("sgn"), col("sgn") * col("j"))).as("est"),
+        // every surviving bucket row carries the same group total
+        max(col("n_values")).as("n_values"))
+      .orderBy(col(groupCol), col("quantile"))
+  }
+}

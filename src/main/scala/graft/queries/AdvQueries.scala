@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{AsOf, Exact, Normalize, RangeJoin, Windows}
+import graft.ops.{AsOf, Exact, Normalize, RangeJoin, Sketches, Windows}
 
 /** Advanced relational surface: as-of join, rollup, conditional pivot,
   * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
@@ -93,19 +93,38 @@ object AdvQueries {
       .orderBy($"event_type")
   }
 
-  /** Approximate sketches (HLL++ distinct, approx percentile) — the scale
-    * path for cardinality/quantiles; engine-specific sketch internals, so
-    * rows-only checked here with error bounds asserted in OpsSpec against
-    * the exact q36 counterparts. */
+  /** Approximate sketches (HLL++ distinct, DDSketch median) — the scale
+    * path for cardinality/quantiles. Both sketches are merge-order-
+    * independent (HLL merges register-wise max; DDSketch merges bucket
+    * counts), so unlike the `percentile_approx` this query used through
+    * round 4 the output is a pure function of the data multiset —
+    * deterministic under any partitioning, hence golden-pinned. HLL
+    * internals are engine-specific (no SQL oracle); the DDSketch half has
+    * a full DuckDB oracle as q68. Error bounds vs the exact q36/q54
+    * counterparts are asserted in OpsSpec. */
   private val q38: Q = (s, d) => {
     import s.implicits._
-    Tables.events(s, d)
-      .groupBy($"event_type")
-      .agg(
-        approx_count_distinct($"user_id").as("approx_users"),
-        percentile_approx($"value", lit(0.5), lit(10000)).as("approx_median_value"),
+    val ev = Tables.events(s, d)
+    val hll = ev.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"),
         count(lit(1)).as("n"))
+    val med = Sketches.ddQuantiles(ev, "event_type", "value", Seq(0.5))
+      .select($"event_type", round($"est", 6).as("approx_median_value"))
+    hll.join(med, Seq("event_type"), "left")
+      .select($"event_type", $"approx_users", $"approx_median_value", $"n")
       .orderBy($"event_type")
+  }
+
+  /** DDSketch grouped quantiles (p50/p95/p99) with the full relative-error
+    * machinery SQL-visible — the deterministic-sketch counterpart of q54's
+    * exact percentiles, oracle-checked end to end (the DuckDB side runs
+    * the identical bucket/cumulate/probe construction). */
+  private val q68: Q = (s, d) => {
+    import s.implicits._
+    Sketches.ddQuantiles(Tables.events(s, d), "event_type", "value",
+        Seq(0.5, 0.95, 0.99))
+      .select($"event_type", $"quantile", round($"est", 6).as("est"), $"n_values")
+      .orderBy($"event_type", $"quantile")
   }
 
   /** Native session windows (streaming-capable session_window; merge while
@@ -285,9 +304,39 @@ object AdvQueries {
     "q36_distinct_counts" -> q36,
     "q37_corr_exact"      -> q37,
     "q38_approx_sketches" -> q38,
-    "q39_session_window"  -> q39)
+    "q39_session_window"  -> q39,
+    "q68_dd_quantiles"    -> q68)
+
+  // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
+  // ln γ literals are printed from the exact Scala doubles so both engines
+  // bucket with bit-identical constants
+  private val ddGamma: Double = Sketches.gammaFor(0.01)
+  private val ddLnGamma: Double = math.log(ddGamma)
 
   val oracle: Map[String, String] = Map(
+    "q68_dd_quantiles" ->
+      s"""WITH b AS (
+        |  SELECT event_type,
+        |    CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS sgn,
+        |    CASE WHEN value = 0 THEN 0
+        |         ELSE CAST(ceil(ln(abs(value)) / $ddLnGamma) AS BIGINT) END AS j
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, sgn, j, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |w AS (SELECT event_type, sgn, j, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY sgn, sgn * j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_values
+        |  FROM c),
+        |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+        |    CAST(0.99 AS DOUBLE)]) AS quantile),
+        |p AS (SELECT event_type, quantile, n_values, sgn, j,
+        |    CASE WHEN sgn = 0 THEN 0.0
+        |         ELSE sgn * 2.0 * power($ddGamma, j) / ($ddGamma + 1) END AS bucket_est,
+        |    row_number() OVER (PARTITION BY event_type, quantile
+        |      ORDER BY sgn, sgn * j) AS rn
+        |  FROM w CROSS JOIN q WHERE cum > quantile * (n_values - 1))
+        |SELECT event_type, quantile, round(bucket_est, 6) AS est, n_values
+        |FROM p WHERE rn = 1 ORDER BY event_type, quantile""".stripMargin,
     "q65_resample_ffill" ->
       """WITH b AS (SELECT event_type, date_trunc('minute', min(ts)) AS lo,
         |    date_trunc('minute', max(ts)) AS hi

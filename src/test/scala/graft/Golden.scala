@@ -9,18 +9,20 @@ import org.apache.spark.sql.DataFrame
   * BY), so their sf0.01 outputs are committed verbatim and any hash-level
   * regression breaks `sbt test` — not just the driver's rows-only check.
   *
-  * q38 (approx sketches) is deliberately NOT golden-checked: its
-  * percentile_approx merge is insertion-order-sensitive, so the output is
-  * only stable for a fixed partitioning; it keeps its error-bound spec in
-  * OpsSpec instead.
+  * q38 (approx sketches) joined the golden set in round 5: its quantile
+  * side moved from insertion-order-sensitive `percentile_approx` to the
+  * merge-order-independent DDSketch (ops.Sketches), and its HLL side
+  * merges register-wise max — both pure functions of the data multiset,
+  * so the output is stable under any partitioning. The error-bound spec
+  * in OpsSpec still covers accuracy.
   */
 object Golden {
   /** no-oracle queries with deterministic output, checked against
     * committed sf0.01 golden files. */
   val queries: Seq[String] = Seq(
     "q25_minhash_pairs", "q26_simhash_pairs", "q28_knn_lsh",
-    "q29_winnow_fp", "q32_embed_neardup", "q41_knn_ivf",
-    "q45_embed_clusters", "q47_sketch_rollup")
+    "q29_winnow_fp", "q32_embed_neardup", "q38_approx_sketches",
+    "q41_knn_ivf", "q45_embed_clusters", "q47_sketch_rollup")
 
   val sfDir = "/root/testdata/sf0.01"
 

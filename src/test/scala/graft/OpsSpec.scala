@@ -486,6 +486,30 @@ class OpsSpec extends SparkSuite {
       s"recall ${(exact intersect ivf).size}/${exact.size}")
   }
 
+  test("IVF cache retrains when the files behind an identical plan change") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stale").toString
+    def writeCorpus(shift: Double): Unit =
+      Tables.embeddings(spark, sf)
+        .withColumn("embedding",
+          transform(col("embedding"), (x: org.apache.spark.sql.Column) => x + lit(shift)))
+        .write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    def run(): Long = {
+      val e = Similarity.prepared(
+        spark.read.parquet(s"$dir/emb.parquet"), "vec_id", "embedding")
+      Similarity.knnIvf(e.where(col("id") < 5), e, k = 3, nCells = 4, nProbe = 2).count()
+    }
+    writeCorpus(0.0)
+    val t0 = Similarity.ivfTrainCount.get(); run()
+    assert(Similarity.ivfTrainCount.get() == t0 + 1, "first run must train")
+    run()
+    assert(Similarity.ivfTrainCount.get() == t0 + 1,
+      "unchanged files + identical plan must hit the cache")
+    writeCorpus(1.0) // same path, same schema, same plan — different files
+    run()
+    assert(Similarity.ivfTrainCount.get() == t0 + 2,
+      "rewritten files behind an identical plan must retrain, not reuse a stale index")
+  }
+
   test("LSH buckets use all embedding components (non-64-dim fixture)") {
     // two 128-dim vectors identical in the first 64 dims, opposed in the
     // upper 64: a truncated-to-64 bucketer can never separate them
@@ -548,17 +572,45 @@ class OpsSpec extends SparkSuite {
 
   test("approximate sketches stay within error bounds of exact answers") {
     val ev = Tables.events(spark, sf)
-    val got = ev.groupBy("event_type")
+    val hll = ev.groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("approx"),
-        countDistinct(col("user_id")).as("exact"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
-        expr("percentile(value, 0.5)").as("p50_exact"))
+        countDistinct(col("user_id")).as("exact"))
       .collect()
-    got.foreach { r =>
+    hll.foreach { r =>
       val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
       assert(math.abs(a - e) / e < 0.05, s"approx distinct off: $a vs $e")
-      val (pa, pe) = (r.getAs[Double]("p50_approx"), r.getAs[Double]("p50_exact"))
-      assert(math.abs(pa - pe) / math.max(pe, 1.0) < 0.1, s"p50 off: $pa vs $pe")
+    }
+    // DDSketch carries a hard γ-relative guarantee: |est − true| ≤ α·|true|
+    // for the value at the probed rank (α = 1%); the exact interpolated
+    // percentile can sit between two data values, so allow 2α slack
+    val dd = ops.Sketches.ddQuantiles(ev, "event_type", "value", Seq(0.5))
+      .withColumnRenamed("est", "p50_dd")
+      .join(ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.5)").as("p50_exact")), Seq("event_type"))
+      .collect()
+    assert(dd.nonEmpty)
+    dd.foreach { r =>
+      val (pa, pe) = (r.getAs[Double]("p50_dd"), r.getAs[Double]("p50_exact"))
+      assert(math.abs(pa - pe) <= 0.02 * math.abs(pe) + 1e-9, s"dd p50 off: $pa vs $pe")
+    }
+  }
+
+  test("ddQuantiles is partitioning-invariant (merge-order independence)") {
+    val ev = Tables.events(spark, sf)
+    val base = ops.Sketches.ddQuantiles(ev, "event_type", "value", Seq(0.5, 0.95, 0.99))
+    val shuffled = ops.Sketches.ddQuantiles(
+      ev.repartition(17, col("user_id")), "event_type", "value", Seq(0.5, 0.95, 0.99))
+    assert(base.exceptAll(shuffled).isEmpty && shuffled.exceptAll(base).isEmpty)
+    // signs: the zero and negative stores work too
+    val mixed = ev.withColumn("value", col("value") - lit(100.0))
+    val m = ops.Sketches.ddQuantiles(mixed, "event_type", "value", Seq(0.5))
+      .join(mixed.groupBy("event_type").agg(
+        expr("percentile(value, 0.5)").as("p50_exact")), Seq("event_type"))
+      .collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (pa, pe) = (r.getAs[Double]("est"), r.getAs[Double]("p50_exact"))
+      assert(math.abs(pa - pe) <= 0.02 * math.abs(pe) + 0.05, s"mixed-sign p50 off: $pa vs $pe")
     }
   }
 
