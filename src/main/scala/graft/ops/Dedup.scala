@@ -513,12 +513,20 @@ object Dedup {
         case _ => false
       }
     }
-    def side(a: String, b: String) = {
-      val (ca, cb) = (col(a), col(b))
-      if (idIsIntegral) pairs.select(ca.cast("long").as("src"), cb.cast("long").as("dst"))
-      else pairs.select(ca.as("src"), cb.as("dst"))
-    }
-    val edges = side(aCol, bCol).union(side(bCol, aCol)).persist()
+    // symmetrize via ONE scan + explode, not union(select, select): the
+    // union form references the pair subtree twice, and when `pairs` is an
+    // expensive unstaged frame (the Jaccard pair machinery here) the whole
+    // upstream computation runs twice before the persist materializes
+    // (the real-sf1 sweep caught q43 paying the pair pass twice)
+    val casted =
+      if (idIsIntegral) pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      else pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val edges = casted
+      .select(explode(array(
+        struct($"a".as("src"), $"b".as("dst")),
+        struct($"b".as("src"), $"a".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
+      .persist()
     val edgeRows = edges.count()
     if (idIsIntegral && edgeRows <= 2 * driverLimit) {
       log.info(s"connectedComponents: driver union-find path " +
