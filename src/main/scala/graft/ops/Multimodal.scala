@@ -164,6 +164,25 @@ object Multimodal {
     }
   }
 
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Option[Int],
+                           height: Option[Int], channels: Option[Int])
+
+  /** Sampled video frames decoded like any other image payload
+    * ([[sampleFrames]] → real PNG decode per frame): one row per sampled
+    * frame with its decoded dimensions, NULLs for an undecodable frame.
+    * Same partition-wise posture as [[extractFeatures]] — the fan-out and
+    * the decode happen inside one partition iterator, binary never
+    * shuffles. */
+  def frameFeatures(media: Dataset[MediaRecord], everyN: Int): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    sampleFrames(media, everyN).mapPartitions { it =>
+      it.map { f =>
+        val m = Codecs.decodeImage(f.frame)
+        FrameFeatures(f.doc_id, f.frame_idx, m.map(_.width), m.map(_.height), m.map(_.channels))
+      }
+    }
+  }
+
   /** Re-partition so each task holds roughly `budgetBytes` of payload in
     * EXPECTATION: the partition count is total/budget and records
     * hash-spread by doc_id, so the average task carries ~budget bytes.

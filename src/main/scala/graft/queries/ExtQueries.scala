@@ -143,6 +143,30 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Media TRANSFORM pipeline (q67 checks decode; this checks the
+    * transforms): images are resized 10×10 through the real codec
+    * (decode → bilinear scale → PNG re-encode → re-decode), videos are
+    * frame-sampled every 3rd frame with each sampled frame sliced out and
+    * decoded as its own PNG. One row per media item plus one per sampled
+    * frame; the oracle recomputes target dims and the frame-index
+    * arithmetic in SQL, so a resize that mis-scales or a sampler that
+    * drops/duplicates frames reds this row. The attached-media frame is
+    * staged (two consumers: resize branch + frame branch). */
+  private val q69: Q = (s, d) => {
+    import s.implicits._
+    val media = Multimodal.attachMedia(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = Multimodal.extractFeatures(Multimodal.resizeImages(media, 10, 10)).toDF()
+      .select($"doc_id", $"media_type", lit(0).as("item_idx"),
+        $"width", $"height", $"n_frames", $"channels")
+    val frames = Multimodal.frameFeatures(media, everyN = 3).toDF()
+      .select($"doc_id", lit("video_frame").as("media_type"),
+        $"frame_idx".as("item_idx"), $"width", $"height",
+        lit(1).as("n_frames"), $"channels")
+    base.unionByName(frames)
+      .orderBy($"doc_id", $"media_type", $"item_idx")
+  }
+
   /** Embedding cosine near-dup pairs via LSH buckets + exact re-rank
     * (threshold tuned to the synthetic corpus's cosine range; no oracle). */
   private val q32: Q = (s, d) => {
@@ -418,7 +442,8 @@ object ExtQueries {
     "q30_embedding_stats"   -> q30,
     "q31_binary_meta"       -> q31,
     "q32_embed_neardup"     -> q32,
-    "q67_media_decode"      -> q67)
+    "q67_media_decode"      -> q67,
+    "q69_media_pipeline"    -> q69)
 
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private def markerList(lang: String) =
@@ -715,5 +740,33 @@ object ExtQueries {
         |            ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
         |            ELSE 3 END AS INTEGER) AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q69_media_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    0 AS item_idx,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 10
+        |              WHEN doc_id % 3 = 1 THEN 0
+        |              ELSE 16 END AS INTEGER) AS width,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 10
+        |              WHEN doc_id % 3 = 1 THEN 0
+        |              ELSE 12 END AS INTEGER) AS height,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |              WHEN doc_id % 3 = 1 THEN 64 + n_chars % 256
+        |              ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames,
+        |    CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+        |              ELSE 3 END AS INTEGER) AS channels
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, 'video_frame' AS media_type,
+        |    CAST(f AS INTEGER) AS item_idx,
+        |    CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+        |    CAST(1 AS INTEGER) AS n_frames, CAST(3 AS INTEGER) AS channels
+        |  FROM documents, UNNEST(generate_series(0, CAST(doc_id % 7 AS BIGINT), 3)) AS t(f)
+        |  WHERE doc_id % 3 = 2)
+        |SELECT * FROM base UNION ALL SELECT * FROM frames
+        |ORDER BY doc_id, media_type, item_idx""".stripMargin)
 }

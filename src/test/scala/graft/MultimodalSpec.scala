@@ -156,4 +156,30 @@ class MultimodalSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
     frames.unpersist()
   }
+
+  test("truncated video: metadata frame count agrees with extractable frames") {
+    val full = Codecs.encodeVideo(16, 12, nFrames = 5, seed = 7L)
+    // cut mid-way through frame 3's payload: 3 complete frames remain
+    val it = Codecs.videoFrames(full).get
+    it.next(); it.next(); it.next()
+    // offsets: 8-byte header + 3 * (4 + frameLen); recompute by walking
+    var off = 8
+    for (_ <- 0 until 3) {
+      off += 4 + java.nio.ByteBuffer.wrap(full, off, 4).getInt
+    }
+    val truncated = java.util.Arrays.copyOfRange(full, 0, off + 10)
+    val meta = Codecs.decodeVideoMeta(truncated).get
+    val extractable = Codecs.videoFrames(truncated).get.size
+    assert(extractable == 3)
+    assert(meta.nFrames == extractable,
+      s"meta claims ${meta.nFrames} frames but only $extractable decode")
+  }
+
+  test("frameFeatures decodes every sampled frame's dimensions") {
+    val media = Multimodal.attachMedia(Tables.documents(spark, sf))
+    val ff = Multimodal.frameFeatures(media, everyN = 3).collect()
+    assert(ff.nonEmpty)
+    assert(ff.forall(f => f.width.contains(16) && f.height.contains(12) && f.channels.contains(3)))
+    assert(ff.forall(_.frame_idx % 3 == 0))
+  }
 }
