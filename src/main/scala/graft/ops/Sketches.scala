@@ -43,11 +43,60 @@ object Sketches {
 
   /** (sign, j) log-bucket of `v` — deterministic map-side projection.
     * NULLs must be filtered by the caller (a NULL value has no bucket). */
-  private def bucketCols(v: Column, gamma: Double): (Column, Column) = {
+  private[graft] def bucketCols(v: Column, gamma: Double): (Column, Column) = {
     val sign = when(v > 0, 1).when(v < 0, -1).otherwise(0)
     val j = when(v === 0, 0L)
       .otherwise(ceil(log(abs(v)) / lit(math.log(gamma))))
     (sign, j)
+  }
+
+  /** The sketch "add": per-group (sgn, j, cnt) bucket counts. This IS the
+    * DDSketch state in relational form — additive, so it composes with any
+    * further groupBy-sum (mergeable rollups) AND with watermarked streaming
+    * aggregation (see [[graft.pipeline.QuantileMonitor]]): counts from
+    * different partitions, micro-batches, or store generations just sum. */
+  def bucketCounts(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   alpha: Double = 0.01): DataFrame = {
+    val (sgn, j) = bucketCols(col(valueCol), gammaFor(alpha))
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ sgn.as("sgn") :+ j.as("j"): _*)
+      .groupBy((groupCols :+ "sgn" :+ "j").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The quantile probe over an additive bucket-count frame (columns:
+    * groupCols..., sgn, j, cnt — e.g. [[bucketCounts]] output, or any
+    * sum-merge of such frames). One output row per (group, q). */
+  def quantilesFromCounts(counts: DataFrame, groupCols: Seq[String],
+                          qs: Seq[Double], alpha: Double = 0.01): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles $qs")
+    val gamma = gammaFor(alpha)
+    val gcols = groupCols.map(col)
+    // ascending-value bucket order; cumulative count probes the rank
+    val ord = col("sgn") * col("j")
+    val cum = sum(col("cnt")).over(
+      Window.partitionBy(gcols: _*).orderBy(col("sgn"), ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val total = sum(col("cnt")).over(Window.partitionBy(gcols: _*))
+    val est = when(col("sgn") === 0, 0.0)
+      .otherwise(col("sgn") * lit(2.0) * pow(lit(gamma), col("j")) / lit(gamma + 1))
+    // windows FIRST, explode in a separate select after them: in one
+    // combined Select the Generate would run below the Window and the
+    // cumulative/total counts would be computed over the fanned-out rows
+    val cumulated = counts
+      .select(gcols :+ col("sgn") :+ col("j") :+ cum.as("cum") :+
+        total.as("n_values") :+ est.as("bucket_est"): _*)
+    // explode is a Generate (per-row fan-out of the |qs| probes), not a join
+    val probed = cumulated
+      .select(col("*"), explode(array(qs.map(lit): _*)).as("quantile"))
+      .where(col("cum") > col("quantile") * (col("n_values") - 1))
+    probed
+      .groupBy(gcols :+ col("quantile"): _*)
+      .agg(
+        min_by(col("bucket_est"), struct(col("sgn"), col("sgn") * col("j"))).as("est"),
+        // every surviving bucket row carries the same group total
+        max(col("n_values")).as("n_values"))
+      .orderBy(gcols :+ col("quantile"): _*)
   }
 
   /** Per-group DDSketch quantiles: one output row per (group, q) with the
@@ -56,39 +105,7 @@ object Sketches {
     *
     * `qs` ∈ [0, 1]; α is the relative-error target (default 1%). */
   def ddQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                  qs: Seq[Double], alpha: Double = 0.01): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles $qs")
-    val gamma = gammaFor(alpha)
-    val (sgn, j) = bucketCols(col(valueCol), gamma)
-    val counts = df
-      .where(col(valueCol).isNotNull)
-      .select(col(groupCol), sgn.as("sgn"), j.as("j"))
-      .groupBy(col(groupCol), col("sgn"), col("j"))
-      .agg(count(lit(1)).as("cnt"))
-    // ascending-value bucket order; cumulative count probes the rank
-    val ord = col("sgn") * col("j")
-    val cum = sum(col("cnt")).over(
-      Window.partitionBy(col(groupCol)).orderBy(col("sgn"), ord)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val total = sum(col("cnt")).over(Window.partitionBy(col(groupCol)))
-    val est = when(col("sgn") === 0, 0.0)
-      .otherwise(col("sgn") * lit(2.0) * pow(lit(gamma), col("j")) / lit(gamma + 1))
-    // windows FIRST, explode in a separate select after them: in one
-    // combined Select the Generate would run below the Window and the
-    // cumulative/total counts would be computed over the fanned-out rows
-    val cumulated = counts
-      .select(col(groupCol), col("sgn"), col("j"), cum.as("cum"),
-        total.as("n_values"), est.as("bucket_est"))
-    // explode is a Generate (per-row fan-out of the |qs| probes), not a join
-    val probed = cumulated
-      .select(col("*"), explode(array(qs.map(lit): _*)).as("quantile"))
-      .where(col("cum") > col("quantile") * (col("n_values") - 1))
-    probed
-      .groupBy(col(groupCol), col("quantile"))
-      .agg(
-        min_by(col("bucket_est"), struct(col("sgn"), col("sgn") * col("j"))).as("est"),
-        // every surviving bucket row carries the same group total
-        max(col("n_values")).as("n_values"))
-      .orderBy(col(groupCol), col("quantile"))
-  }
+                  qs: Seq[Double], alpha: Double = 0.01): DataFrame =
+    quantilesFromCounts(bucketCounts(df, Seq(groupCol), valueCol, alpha),
+      Seq(groupCol), qs, alpha)
 }
