@@ -127,6 +127,32 @@ object AdvQueries {
       .orderBy($"event_type", $"quantile")
   }
 
+  /** DDSketch ROLLUP: per-(type, day) sketches answer the per-type
+    * question by summing bucket counts — no re-scan of events, the
+    * additivity that makes sketch stores queryable at any later
+    * granularity (the same identity QuantileMonitor's sink relies on).
+    * Day-level quantile rows plus rolled-up whole-corpus rows (day NULL);
+    * the oracle recomputes both levels from the SAME fine-count CTE, so a
+    * rollup that double-counts or drops a bucket reds the hash. */
+  private val q70: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).withColumn("day", to_date($"ts"))
+    val fine = Sketches.bucketCounts(ev, Seq("event_type", "day"), "value")
+      .persist() // two consumers: day-level probe + rollup re-aggregation
+    val daily = Sketches.quantilesFromCounts(fine, Seq("event_type", "day"),
+        Seq(0.5, 0.9))
+      .select($"event_type", $"day", $"quantile",
+        round($"est", 6).as("est"), $"n_values")
+    val coarse = fine.groupBy($"event_type", $"sgn", $"j")
+      .agg(sum($"cnt").as("cnt"))
+    val overall = Sketches.quantilesFromCounts(coarse, Seq("event_type"),
+        Seq(0.5, 0.9))
+      .select($"event_type", lit(null).cast("date").as("day"), $"quantile",
+        round($"est", 6).as("est"), $"n_values")
+    daily.unionByName(overall)
+      .orderBy($"event_type", $"day".asc_nulls_first, $"quantile")
+  }
+
   /** Native session windows (streaming-capable session_window; merge while
     * gap < 30 min, end = last event + gap). */
   private val q39: Q = (s, d) => {
@@ -305,7 +331,8 @@ object AdvQueries {
     "q37_corr_exact"      -> q37,
     "q38_approx_sketches" -> q38,
     "q39_session_window"  -> q39,
-    "q68_dd_quantiles"    -> q68)
+    "q68_dd_quantiles"    -> q68,
+    "q70_sketch_day_rollup" -> q70)
 
   // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
   // ln γ literals are printed from the exact Scala doubles so both engines
@@ -314,6 +341,46 @@ object AdvQueries {
   private val ddLnGamma: Double = math.log(ddGamma)
 
   val oracle: Map[String, String] = Map(
+    "q70_sketch_day_rollup" ->
+      s"""WITH b AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS sgn,
+        |    CASE WHEN value = 0 THEN 0
+        |         ELSE CAST(ceil(ln(abs(value)) / $ddLnGamma) AS BIGINT) END AS j
+        |  FROM events WHERE value IS NOT NULL),
+        |fine AS (SELECT event_type, day, sgn, j, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3, 4),
+        |coarse AS (SELECT event_type, sgn, j, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM fine GROUP BY 1, 2, 3),
+        |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS quantile),
+        |dw AS (SELECT event_type, day, sgn, j,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day ORDER BY sgn, sgn * j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day) AS BIGINT) AS n_values
+        |  FROM fine),
+        |dp AS (SELECT event_type, day, quantile, n_values,
+        |    CASE WHEN sgn = 0 THEN 0.0
+        |         ELSE sgn * 2.0 * power($ddGamma, j) / ($ddGamma + 1) END AS bucket_est,
+        |    row_number() OVER (PARTITION BY event_type, day, quantile
+        |      ORDER BY sgn, sgn * j) AS rn
+        |  FROM dw CROSS JOIN q WHERE cum > quantile * (n_values - 1)),
+        |cw AS (SELECT event_type, sgn, j,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY sgn, sgn * j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_values
+        |  FROM coarse),
+        |cp AS (SELECT event_type, CAST(NULL AS DATE) AS day, quantile, n_values,
+        |    CASE WHEN sgn = 0 THEN 0.0
+        |         ELSE sgn * 2.0 * power($ddGamma, j) / ($ddGamma + 1) END AS bucket_est,
+        |    row_number() OVER (PARTITION BY event_type, quantile
+        |      ORDER BY sgn, sgn * j) AS rn
+        |  FROM cw CROSS JOIN q WHERE cum > quantile * (n_values - 1))
+        |SELECT event_type, day, quantile, round(bucket_est, 6) AS est, n_values
+        |FROM dp WHERE rn = 1
+        |UNION ALL
+        |SELECT event_type, day, quantile, round(bucket_est, 6) AS est, n_values
+        |FROM cp WHERE rn = 1
+        |ORDER BY event_type, day NULLS FIRST, quantile""".stripMargin,
     "q68_dd_quantiles" ->
       s"""WITH b AS (
         |  SELECT event_type,
