@@ -234,6 +234,35 @@ object Text {
       .select(col(idCol), $"term", $"tf", $"df", $"tfidf", $"rnk")
   }
 
+  /** Corpus-unigram log-probability quality score — the language-model
+    * filter of CCNet-style curation (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020)
+    * with the LM reduced to the corpus's own unigram distribution: each
+    * document scores mean ln p(token), p(token) = corpus frequency.
+    * Gibberish / rare-token-heavy documents score low; no OOV smoothing
+    * is needed because the vocabulary IS the corpus's.
+    *
+    * Plan shape (same as [[tfidfTopTerms]]): explode → token-frequency
+    * aggregate joined back (broadcast when the vocabulary is small),
+    * corpus token count N attached as a broadcast 1-row cross join, one
+    * per-doc aggregation. Cross-engine determinism: each per-token ln is
+    * rounded to 9 dp and summed as DECIMAL(18,9) — the sum is then
+    * order-independent, so the DuckDB oracle hash-matches regardless of
+    * either engine's reduction order. */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy($"tok").agg(count(lit(1)).as("n_t"))
+    val total = freq.agg(sum($"n_t").as("__n_total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(log($"n_t" / $"__n_total".cast("double")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"lp").cast("double") / count(lit(1)), 6).as("logprob"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * k-gram, slide a window of `w` hashes, keep each window's minimum.
     * Guarantees any shared run of ≥ w+k-1 tokens yields a shared

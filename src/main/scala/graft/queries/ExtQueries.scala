@@ -372,6 +372,15 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-unigram log-probability quality score (the CCNet-style LM
+    * filter with the corpus's own unigram model; see
+    * [[Text.unigramLogProb]] for the determinism construction). */
+  private val q71: Q = (s, d) => {
+    import s.implicits._
+    Text.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   /** Cross-source contamination matrix: for every source pair, the count
     * of distinct 8-grams both emitted — the shard-leakage report a
     * multi-source corpus needs before train/eval splits are drawn along
@@ -415,6 +424,7 @@ object ExtQueries {
     "q66_top_tokens"        -> q66,
     "q62_source_contam"     -> q62,
     "q61_token_entropy"     -> q61,
+    "q71_unigram_logprob"   -> q71,
     "q59_bloom_decontam"    -> q59,
     "q58_split_assign"      -> q58,
     "q57_tfidf_terms"       -> q57,
@@ -464,6 +474,17 @@ object ExtQueries {
         |        ORDER BY cnt DESC, token) AS INTEGER) AS rnk FROM c)
         |SELECT lang, rnk, token, cnt FROM r WHERE rnk <= 5
         |ORDER BY lang, rnk""".stripMargin,
+    "q71_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS n_t FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n_t) AS DOUBLE) AS n FROM f),
+        |s AS (SELECT doc_id,
+        |    CAST(round(ln(n_t / n), 9) AS DECIMAL(18,9)) AS lp
+        |  FROM t JOIN f USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q61_token_entropy" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |d AS (SELECT doc_id, w, list_sort(list_distinct(w)) AS dw,

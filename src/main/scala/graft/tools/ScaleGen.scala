@@ -124,7 +124,20 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("testdata-sf1")
     val sf     = if (args.length > 1) args(1).toDouble else 1.0
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scalegen")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, outDir, sf)
+    spark.stop()
+  }
 
+  /** Session-agnostic generation (specs call this on the shared test
+    * session; `main` wraps it with its own lifecycle). */
+  def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
     val nCust  = (150000 * sf).toLong
     val nSupp  = (10000 * sf).toLong
     val nPart  = (200000 * sf).toLong
@@ -138,13 +151,6 @@ object ScaleGen {
     val nEmb   = math.round(500.0 * math.pow(100.0 * sf, math.log10(4.0)))
     val nUser  = (15000 * sf).toLong
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-scalegen")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
     def write(df: DataFrame, name: String, parts: Int): Unit = {
@@ -246,6 +252,5 @@ object ScaleGen {
     }.toDF(), "embeddings", 1)
 
     println(s"[scalegen] done: $outDir (sf=$sf)")
-    spark.stop()
   }
 }

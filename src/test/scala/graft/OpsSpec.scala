@@ -595,6 +595,24 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("unigramLogProb ranks rare-token documents below common-token ones") {
+    val docs = Seq(
+      (1L, "the the the the the"),          // all max-frequency tokens
+      (2L, "the the the zyxq the"),         // one singleton token
+      (3L, "zyxq wvut qpon mlkj ihgf")      // all singletons
+    ).toDF("doc_id", "text")
+    val scored = ops.Text.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val lp = scored.map(_.getAs[Double]("logprob"))
+    assert(lp(0) > lp(1) && lp(1) > lp(2), lp.toSeq.toString)
+    assert(scored.forall(_.getAs[Long]("n_tokens") == 5L))
+    // decimal-rounded per-token sum → partitioning cannot move the score
+    val base = ops.Text.unigramLogProb(Tables.documents(spark, sf), "doc_id", "text")
+    val shuffled = ops.Text.unigramLogProb(
+      Tables.documents(spark, sf).repartition(13), "doc_id", "text")
+    assert(base.exceptAll(shuffled).isEmpty && shuffled.exceptAll(base).isEmpty)
+  }
+
   test("ddQuantiles is partitioning-invariant (merge-order independence)") {
     val ev = Tables.events(spark, sf)
     val base = ops.Sketches.ddQuantiles(ev, "event_type", "value", Seq(0.5, 0.95, 0.99))

@@ -23,8 +23,9 @@ class PlanGuardSpec extends SparkSuite {
     * TF-IDF). The broadcast side's size bounds the work per row — these
     * are linear scans, not quadratic blowups. */
   private val allowBnlj = Set(
-    "q27_knn_cosine",   // candidates × broadcast(query vectors), k queries
-    "q57_tfidf_terms")  // term frame × broadcast(1-row corpus count)
+    "q27_knn_cosine",     // candidates × broadcast(query vectors), k queries
+    "q57_tfidf_terms",    // term frame × broadcast(1-row corpus count)
+    "q71_unigram_logprob") // token frame × broadcast(1-row token total)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
