@@ -161,6 +161,59 @@ object Dedup {
       expanded
   }
 
+  /** Exact n-gram Jaccard pairs ACROSS two corpora — near-dup
+    * decontamination: [[decontaminate]]'s exact 8-gram containment misses
+    * a training document that paraphrases an eval document with a few
+    * tokens changed, which is precisely a cross-corpus Jaccard pair. Same
+    * inverted-index construction as the self-join ([[ngramJaccardPairs]]):
+    * per-side posting lists per shingle, candidates generated in-array
+    * when the CROSS product of a shingle's two postings is bounded, and
+    * streamed through a per-shingle equi-join above that (the skew
+    * escape, so one stop-shingle cannot materialize an unbounded in-row
+    * array). The lossless length bound prunes before the pair shuffle.
+    * Output: (doc_a ∈ left, doc_b ∈ right, jaccard ≥ threshold) — sides
+    * keep their identity, no id-order normalization (the caller's
+    * decontamination semantics are directional: drop from LEFT what
+    * matches RIGHT). Set-dedup is not applied here: decontamination
+    * corpora are the post-exact-dedup survivors in practice, and the
+    * directional output keeps every (train, eval) pair explicit for the
+    * audit trail. */
+  def ngramJaccardPairsAcross(left: DataFrame, right: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.5,
+                              inArrayLimit: Int = 512): DataFrame = {
+    def postings(df: DataFrame, listName: String) = df
+      .select(col(idCol).as("doc"),
+        array_distinct(Text.shingles(col(textCol), n)).as("shs"))
+      .select($"doc", size($"shs").as("n"), explode($"shs").as("sh"))
+      .groupBy($"sh").agg(collect_list(struct($"doc", $"n")).as(listName))
+    val eps = 1e-9
+    def lenOk(a: Column, b: Column): Column =
+      least(a("n"), b("n")) >= lit(threshold) * greatest(a("n"), b("n")) - eps
+    // inner join: a shingle produces candidates only when BOTH sides
+    // carry it. Staged — both the in-array branch and the skew branch
+    // read it (collect_list defeats sameResult reuse, as in the
+    // self-join path).
+    val joined = postings(left, "as_").join(postings(right, "bs_"), Seq("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val crossInList = flatten(transform($"as_", x =>
+      transform(filter($"bs_", y => lenOk(x, y)), y =>
+        struct(x("doc").as("doc_a"), y("doc").as("doc_b"),
+          x("n").as("n_a"), y("n").as("n_b")))))
+    val small = joined.where(size($"as_") * size($"bs_") <= inArrayLimit * inArrayLimit)
+      .select(explode(crossInList).as("p"))
+    val bigs = joined.where(size($"as_") * size($"bs_") > inArrayLimit * inArrayLimit)
+    val large = bigs.select($"sh", explode($"as_").as("x"))
+      .join(bigs.select($"sh", explode($"bs_").as("y")), Seq("sh"))
+      .where(lenOk($"x", $"y"))
+      .select(struct($"x.doc".as("doc_a"), $"y.doc".as("doc_b"),
+        $"x.n".as("n_a"), $"y.n".as("n_b")).as("p"))
+    val inter = small.unionByName(large)
+      .select($"p.doc_a", $"p.doc_b", $"p.n_a".as("n_a"), $"p.n_b".as("n_b"))
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b").agg(count(lit(1)).as("inter"))
+    jaccardScore(inter, threshold)
+  }
+
   /** Corpus-adaptive exact Jaccard pairs — ONE entry point that picks the
     * winning plan shape so callers need not know their corpus:
     *

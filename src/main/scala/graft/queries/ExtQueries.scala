@@ -372,6 +372,22 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup DECONTAMINATION across corpora: training docs whose 3-gram
+    * Jaccard against any eval-side doc clears 0.5 — the leakage exact
+    * containment (q52) misses. Eval side = doc_id % 5 == 0 (a
+    * deterministic, oracle-expressible split). Directional output keeps
+    * the (train, eval, score) audit trail. */
+  private val q72: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    Dedup.ngramJaccardPairsAcross(
+        docs.where($"doc_id" % 5 =!= 0), docs.where($"doc_id" % 5 === 0),
+        "doc_id", "text", threshold = 0.5)
+      .select($"doc_a".as("train_id"), $"doc_b".as("eval_id"),
+        round($"jaccard", 6).as("jaccard"))
+      .orderBy($"train_id", $"eval_id")
+  }
+
   /** Corpus-unigram log-probability quality score (the CCNet-style LM
     * filter with the corpus's own unigram model; see
     * [[Text.unigramLogProb]] for the determinism construction). */
@@ -425,6 +441,7 @@ object ExtQueries {
     "q62_source_contam"     -> q62,
     "q61_token_entropy"     -> q61,
     "q71_unigram_logprob"   -> q71,
+    "q72_eval_neardup"      -> q72,
     "q59_bloom_decontam"    -> q59,
     "q58_split_assign"      -> q58,
     "q57_tfidf_terms"       -> q57,
@@ -474,6 +491,22 @@ object ExtQueries {
         |        ORDER BY cnt DESC, token) AS INTEGER) AS rnk FROM c)
         |SELECT lang, rnk, token, cnt FROM r WHERE rnk <= 5
         |ORDER BY lang, rnk""".stripMargin,
+    "q72_eval_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w) - 2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS inter
+        |      FROM g a JOIN g b ON a.sh = b.sh
+        |      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |      GROUP BY 1, 2)
+        |SELECT train_id, eval_id,
+        |  round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM p JOIN sz sa ON train_id = sa.doc_id JOIN sz sb ON eval_id = sb.doc_id
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin,
     "q71_unigram_logprob" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

@@ -595,6 +595,31 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("cross-corpus Jaccard pairs equal the self-join restricted to cross pairs") {
+    val docs = Tables.documents(spark, sf)
+    val eval_ = docs.where(col("doc_id") % 5 === 0)
+    val train = docs.where(col("doc_id") % 5 =!= 0)
+    val across = Dedup.ngramJaccardPairsAcross(train, eval_, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the self-join emits (min,max)-ordered pairs over ALL docs; keep the
+    // ones with exactly one eval-side member, re-directionalized
+    val self = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => (a % 5 == 0, b % 5 == 0) match {
+        case (true, false) => Some((b, a))
+        case (false, true) => Some((a, b))
+        case _             => None
+      }}.toSet
+    assert(across == self, s"across=$across self=$self")
+    assert(across.nonEmpty) // the corpus's dup seeding must cross the split
+    // forcing every posting pair through the streamed skew path changes
+    // the plan, never the result
+    val skew = Dedup.ngramJaccardPairsAcross(train, eval_, "doc_id", "text",
+        inArrayLimit = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(skew == across)
+  }
+
   test("unigramLogProb ranks rare-token documents below common-token ones") {
     val docs = Seq(
       (1L, "the the the the the"),          // all max-frequency tokens
