@@ -53,7 +53,7 @@ object RateIngest {
              numPartitions: Int = 2): DataFrame =
     mapRate(spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch.toLong)
-      .option("advanceMsPerBatch", advanceMillisPerBatch)
+      .option("advanceMillisPerBatch", advanceMillisPerBatch)
       .option("startTimestamp", 0L)
       .option("numPartitions", numPartitions.toLong)
       .load())

@@ -71,5 +71,10 @@ class RateIngestSpec extends SparkSuite {
     val quants = graft.pipeline.QuantileMonitor.quantiles(spark, sink, Seq(0.5))
     assert(quants.count() > 0)
     assert(quants.where(col("est") < 0).isEmpty, "exp-distributed values: median > 0")
+    // the advance option must really apply: 30 s of event time per
+    // 100-row batch → a closed 1-minute window holds 200 events, 40 per
+    // event_type group (the silent-default failure mode would put 1200)
+    assert(quants.where(col("n_values") =!= 40).isEmpty,
+      quants.select("window_start", "n_values").distinct().collect().mkString(", "))
   }
 }
