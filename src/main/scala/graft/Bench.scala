@@ -24,39 +24,56 @@ object Bench {
     }
 
   /** Partial second sweep for a contended host: re-measure queries
-    * cheapest-first (by their sweep-1 cost) until the projected wall time
-    * would exceed `capSec`. Cheapest-first maximizes how many queries get
-    * a min-of-two correction out of a fixed time box — and the cheap
-    * queries are exactly the ones contention distorts the most in relative
-    * terms (a 0.3 s query stalled to 7 s is a 23x lie; a 7 s query stalled
-    * to 14 s is 2x). Sweep-1 failures re-run last (projected at the mean
-    * cost) so a transiently failed query still gets a second chance. */
+    * cheapest-first (by their sweep-1 cost) until the PROJECTED wall time
+    * — elapsed plus the next query's sweep-1 cost — would exceed `capSec`.
+    * Cheapest-first maximizes how many queries get a min-of-two
+    * correction out of a fixed time box — and the cheap queries are
+    * exactly the ones contention distorts the most in relative terms (a
+    * 0.3 s query stalled to 7 s is a 23x lie; a 7 s query stalled to 14 s
+    * is 2x). Sweep-1 failures slot at the mean sweep-1 cost (both for
+    * ordering and for projection) so a transiently failed query still
+    * gets a second chance without jumping the queue. */
   private def partialSweep(spark: SparkSession, sfDir: String,
                            first: Seq[(String, Double)], capSec: Double): Seq[(String, Double)] =
-    runUntilDeadline(cheapestFirst(first), capSec,
+    runUntilDeadline(cheapestFirst(first), capSec, estimates(first),
       name => sweep(spark, sfDir, Seq(name)).head._2)
 
   /** Sweep-1 names ordered by measured cost ascending; failures (-1) sort
     * at the mean cost so a transiently failed query still gets a second
     * chance without jumping the whole queue. Exposed for BenchSpec. */
   private[graft] def cheapestFirst(first: Seq[(String, Double)]): Seq[String] = {
-    val okCosts  = first.collect { case (_, d) if d >= 0 => d }
-    val meanCost = if (okCosts.isEmpty) 1.0 else okCosts.sum / okCosts.size
-    first.sortBy { case (_, d) => if (d >= 0) d else meanCost }.map(_._1)
+    val est = estimates(first)
+    first.map(_._1).sortBy(est) // stable: equal estimates keep input order
   }
 
-  /** Run queries in order until the wall-clock cap is hit; each query
-    * started before the deadline runs to completion (no mid-query abort —
-    * a partially executed measurement is worthless). Exposed for
-    * BenchSpec, which drives it with a fake runner. */
+  /** Per-query projected cost: the sweep-1 measurement, failures at the
+    * sweep-1 mean. Shared by ordering and deadline projection. */
+  private[graft] def estimates(first: Seq[(String, Double)]): Map[String, Double] = {
+    val okCosts  = first.collect { case (_, d) if d >= 0 => d }
+    val meanCost = if (okCosts.isEmpty) 1.0 else okCosts.sum / okCosts.size
+    first.map { case (name, d) => name -> (if (d >= 0) d else meanCost) }.toMap
+  }
+
+  /** Run queries in order while the PROJECTION fits the cap: a query only
+    * starts if elapsed + its estimated cost stays under the deadline, so
+    * the cap cannot be overrun by the full runtime of an expensive
+    * straggler (a started query still runs to completion — no mid-query
+    * abort, a partially executed measurement is worthless; only the
+    * estimate, not the actual, gates the start). Unestimated queries
+    * project at 0 (start if any time remains). Exposed for BenchSpec,
+    * which drives it with a fake runner. */
   private[graft] def runUntilDeadline(order: Seq[String], capSec: Double,
+                                      estimate: Map[String, Double],
                                       run: String => Double): Seq[(String, Double)] = {
     val done = scala.collection.mutable.ListBuffer.empty[(String, Double)]
-    val deadline = System.nanoTime() + (capSec * 1e9).toLong
+    val start = System.nanoTime()
     val it = order.iterator
-    while (it.hasNext && System.nanoTime() < deadline) {
+    var fits = true
+    while (it.hasNext && fits) {
       val name = it.next()
-      done += (name -> run(name))
+      val projected = (System.nanoTime() - start) / 1e9 + estimate.getOrElse(name, 0.0)
+      if (projected < capSec) done += (name -> run(name))
+      else fits = false // estimates are sorted ascending: nothing later fits either
     }
     done.toList
   }

@@ -175,7 +175,10 @@ object Codecs {
     var off = 8
     while (n < claimed && off + 4 <= bytes.length) {
       val len = ByteBuffer.wrap(bytes, off, 4).getInt
-      if (len < 0 || off + 4 + len > bytes.length) return n
+      // bound check in LONG: a corrupt length near Int.MaxValue would
+      // wrap `off + 4 + len` negative, pass an Int comparison, and the
+      // next wrap() would throw instead of quarantining the payload
+      if (len < 0 || off.toLong + 4 + len > bytes.length) return n
       off += 4 + len
       n += 1
     }
@@ -194,7 +197,8 @@ object Codecs {
       private var off = 8
       def hasNext: Boolean = idx < n && off + 4 <= bytes.length && {
         val len = ByteBuffer.wrap(bytes, off, 4).getInt
-        len >= 0 && off + 4 + len <= bytes.length
+        // Long bound: see actualFrameCount — Int wrap on corrupt lengths
+        len >= 0 && off.toLong + 4 + len <= bytes.length
       }
       def next(): (Int, Array[Byte]) = {
         val len = ByteBuffer.wrap(bytes, off, 4).getInt

@@ -36,6 +36,15 @@ object Dedup {
   }
 
   /** Shared finalization: exact Jaccard from intersection + set sizes. */
+  /** The standard lossless length bound shared by every pair path:
+    * jaccard(A,B) ≤ min/max, so a qualifying pair has min(n) ≥ t·max(n) —
+    * ε-relaxed so IEEE round-off can only ADMIT extra candidates (the
+    * exact jaccard filter at the end re-checks). One definition so an eps
+    * or bound change can never silently diverge between the self-join and
+    * cross-corpus paths. */
+  private def lengthBoundOk(a: Column, b: Column, threshold: Double): Column =
+    least(a("n"), b("n")) >= lit(threshold) * greatest(a("n"), b("n")) - 1e-9
+
   private def jaccardScore(inter: DataFrame, threshold: Double): DataFrame =
     inter
       .withColumn("jaccard", $"inter" / ($"n_a" + $"n_b" - $"inter"))
@@ -109,13 +118,7 @@ object Dedup {
       val postings = sh.groupBy($"sh")
         .agg(collect_list(struct($"doc", $"n")).as("ds"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // The size-compatibility filter is the standard lossless length
-      // bound: jaccard(A,B) ≤ min/max, so a qualifying pair has
-      // min(n) ≥ t·max(n) — ε-relaxed so IEEE round-off can only ADMIT
-      // extra candidates (the exact jaccard filter at the end re-checks).
-      val eps = 1e-9
-      def lenOk(a: Column, b: Column): Column =
-        least(a("n"), b("n")) >= lit(threshold) * greatest(a("n"), b("n")) - eps
+      def lenOk(a: Column, b: Column): Column = lengthBoundOk(a, b, threshold)
       // fast path: all ordered pairs inside the array; `ds` is a plain
       // aggregation attribute, so its capture by the nested lambda is a
       // column read, not a re-evaluated expression (the HOF trap needs a
@@ -187,9 +190,7 @@ object Dedup {
         array_distinct(Text.shingles(col(textCol), n)).as("shs"))
       .select($"doc", size($"shs").as("n"), explode($"shs").as("sh"))
       .groupBy($"sh").agg(collect_list(struct($"doc", $"n")).as(listName))
-    val eps = 1e-9
-    def lenOk(a: Column, b: Column): Column =
-      least(a("n"), b("n")) >= lit(threshold) * greatest(a("n"), b("n")) - eps
+    def lenOk(a: Column, b: Column): Column = lengthBoundOk(a, b, threshold)
     // inner join: a shingle produces candidates only when BOTH sides
     // carry it. Staged — both the in-array branch and the skew branch
     // read it (collect_list defeats sameResult reuse, as in the
@@ -200,9 +201,14 @@ object Dedup {
       transform(filter($"bs_", y => lenOk(x, y)), y =>
         struct(x("doc").as("doc_a"), y("doc").as("doc_b"),
           x("n").as("n_a"), y("n").as("n_b")))))
-    val small = joined.where(size($"as_") * size($"bs_") <= inArrayLimit * inArrayLimit)
+    // the split predicate multiplies in LONG: `size` is Int, and with
+    // ANSI off a posting product ≥ 2^31 would wrap NEGATIVE and route a
+    // giant stop-shingle bucket to the in-array path this split exists
+    // to protect against
+    val crossSize = size($"as_").cast("long") * size($"bs_").cast("long")
+    val small = joined.where(crossSize <= inArrayLimit.toLong * inArrayLimit)
       .select(explode(crossInList).as("p"))
-    val bigs = joined.where(size($"as_") * size($"bs_") > inArrayLimit * inArrayLimit)
+    val bigs = joined.where(crossSize > inArrayLimit.toLong * inArrayLimit)
     val large = bigs.select($"sh", explode($"as_").as("x"))
       .join(bigs.select($"sh", explode($"bs_").as("y")), Seq("sh"))
       .where(lenOk($"x", $"y"))

@@ -31,14 +31,15 @@ private[pipeline] object PipelineFs {
 private[pipeline] object DualSink {
   def write(batch: DataFrame, valid: Column, validPath: String,
             rejectedPath: String, partitionCols: Seq[String], batchId: Long,
-            transformValid: DataFrame => DataFrame = identity): Unit = {
+            transformValid: DataFrame => DataFrame = identity,
+            runTag: String = ""): Unit = {
     val cached = batch.persist()
     try {
       // Quality.split owns the 3VL routing rule (NULL predicate →
       // quarantine) so batch and streaming paths cannot drift
       val (ok, bad) = Quality.split(cached, valid)
-      IdempotentSink.write(transformValid(ok), validPath, batchId, partitionCols)
-      IdempotentSink.write(bad, rejectedPath, batchId)
+      IdempotentSink.write(transformValid(ok), validPath, batchId, partitionCols, runTag)
+      IdempotentSink.write(bad, rejectedPath, batchId, Nil, runTag)
     } finally { cached.unpersist(); () }
   }
 }
@@ -87,7 +88,8 @@ object Bronze {
       else derived
     val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>
       DualSink.write(batch.toDF(), Quality.bronzeValid(),
-        cfg.bronzeDir(sensor), cfg.bronzeRejectedDir(sensor), Seq("partition_date"), batchId)
+        cfg.bronzeDir(sensor), cfg.bronzeRejectedDir(sensor), Seq("partition_date"), batchId,
+        runTag = IdempotentSink.tagFor(cfg.checkpoint(s"bronze_$sensor")))
     deduped.writeStream
       .queryName(s"bronze_$sensor")
       .option("checkpointLocation", cfg.checkpoint(s"bronze_$sensor"))

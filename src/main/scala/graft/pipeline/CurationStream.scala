@@ -57,7 +57,8 @@ object CurationStream {
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>
       DualSink.write(batch.toDF(), col("quality") >= cfg.minQuality,
-        cleanPath, rejectedPath, partitionCols = Nil, batchId)
+        cleanPath, rejectedPath, partitionCols = Nil, batchId,
+        runTag = IdempotentSink.tagFor(checkpoint))
     curated(input, cfg).writeStream
       .queryName("curation_stream")
       .option("checkpointLocation", checkpoint)
@@ -126,16 +127,22 @@ object CurationStream {
             explode(array(bandStructs: _*)).as("band"))
           .select($"doc_id", $"sig", $"band.band_id", $"band.band_hash")
           .persist()
+        // ONE pointer read per micro-batch, threaded into refs: the
+        // candidate-bucket set is computed under this generation's bucket
+        // modulus, and a concurrent compaction publishing a different
+        // modulus between two reads would make the pruning skip true
+        // candidate buckets (silently admitting near-dups)
+        val ptr = SignatureStore.currentPointer(s, storePath)
         // candidate bucket dirs of the compacted generation: a bounded
         // driver-side collect (≤ the generation's bucket count, a small
         // constant) that buys static partition pruning on the store scan
-        val candBuckets = SignatureStore.currentPointer(s, storePath).map { p =>
+        val candBuckets = ptr.map { p =>
           buckets.select(SignatureStore.bucketOf($"band_id", $"band_hash", p.buckets).as("b"))
             .distinct().as[Int].collect().toSet
         }
         // reference side: everything admitted in PRIOR batches (replay
         // guard: batch < batchId), plus smaller-id docs of THIS batch
-        val prior = SignatureStore.refs(s, storePath, batchId, candBuckets)
+        val prior = SignatureStore.refs(s, storePath, batchId, ptr, candBuckets)
           .select($"doc_id".as("ref_id"), $"sig".as("ref_sig"),
             $"band_id", $"band_hash", lit(true).as("is_prior"))
         val intra = buckets
@@ -155,10 +162,11 @@ object CurationStream {
           .select($"doc_id").distinct()
           .persist() // three consumers below — probe runs once, not thrice
         try {
+          val tag = IdempotentSink.tagFor(checkpoint)
           IdempotentSink.write(docs.join(nearIds, Seq("doc_id"), "left_anti"),
-            cleanPath, batchId)
+            cleanPath, batchId, Nil, tag)
           IdempotentSink.write(docs.join(nearIds, Seq("doc_id"), "left_semi"),
-            nearDupPath, batchId)
+            nearDupPath, batchId, Nil, tag)
           SignatureStore.appendBatch(
             buckets.join(nearIds, Seq("doc_id"), "left_anti"), storePath, batchId)
         } finally { nearIds.unpersist(); buckets.unpersist(); () }

@@ -38,18 +38,34 @@ private[pipeline] object IdempotentSink {
     new Path(dir).getFileSystem(
       batch.sparkSession.sessionState.newHadoopConf())
 
-  def committed(batch: DataFrame, sinkDir: String, batchId: Long): Boolean = {
+  /** Run scope for markers and published names, derived from the
+    * streaming query's checkpoint location. Batch ids are only unique
+    * WITHIN one checkpoint lineage: restarting a stream against the same
+    * sink with a FRESH checkpoint restarts batch ids at 0, and without a
+    * run scope the old `_commits/0..N` markers would make `write` skip
+    * the new batches — silently DROPPING different data (worse than the
+    * duplicate-append this sink exists to prevent). Scoped markers and
+    * file names make that restart an append of new data instead.
+    * Deliberately stable for the SAME checkpoint path, so crash-replay
+    * dedup still works; wiping a checkpoint dir in place (rather than
+    * using a new path) keeps the old identity — documented boundary. */
+  def tagFor(checkpoint: String): String =
+    f"r${checkpoint.hashCode & 0x7fffffff}%08x-"
+
+  def committed(batch: DataFrame, sinkDir: String, batchId: Long,
+                runTag: String = ""): Boolean = {
     val f = fs(batch, sinkDir)
-    f.exists(new Path(s"$sinkDir/_commits/$batchId"))
+    f.exists(new Path(s"$sinkDir/_commits/$runTag$batchId"))
   }
 
   /** Stage, publish, mark. `partitionCols` are passed through to the
-    * staged write so the sink keeps its Hive layout. */
+    * staged write so the sink keeps its Hive layout. `runTag` (see
+    * [[tagFor]]) scopes the batch identity to one checkpoint lineage. */
   def write(batch: DataFrame, sinkDir: String, batchId: Long,
-            partitionCols: Seq[String] = Nil): Unit = {
-    if (committed(batch, sinkDir, batchId)) return
+            partitionCols: Seq[String] = Nil, runTag: String = ""): Unit = {
+    if (committed(batch, sinkDir, batchId, runTag)) return
     val f = fs(batch, sinkDir)
-    val staging = s"$sinkDir/.staging/$batchId"
+    val staging = s"$sinkDir/.staging/$runTag$batchId"
     val writer = batch.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging)
@@ -74,7 +90,7 @@ private[pipeline] object IdempotentSink {
         val relDir = rel.stripSuffix(name).stripSuffix("/")
         val destDir = if (relDir.isEmpty) new Path(sinkDir) else new Path(s"$sinkDir/$relDir")
         f.mkdirs(destDir)
-        val dest = new Path(destDir, s"b$batchId-part-${m.group(1)}${m.group(2)}")
+        val dest = new Path(destDir, s"${runTag}b$batchId-part-${m.group(1)}${m.group(2)}")
         if (f.exists(dest)) f.delete(dest, false) // replay of a partial publish
         if (!f.rename(s.getPath, dest))
           throw new java.io.IOException(s"could not publish $rel into $sinkDir")
@@ -82,7 +98,7 @@ private[pipeline] object IdempotentSink {
     }
     f.delete(stagingPath, true)
     f.mkdirs(new Path(s"$sinkDir/_commits"))
-    val marker = f.create(new Path(s"$sinkDir/_commits/$batchId"), true)
+    val marker = f.create(new Path(s"$sinkDir/_commits/$runTag$batchId"), true)
     marker.close()
   }
 }

@@ -98,10 +98,17 @@ private[pipeline] object SignatureStore {
   /** Reference rows visible to probe batch `beforeBatch`: the live
     * generation (pruned to `candidateBuckets` when given — static
     * partition pruning against the bucket dirs) plus the deltas newer
-    * than it. Both sides carry the `batch < beforeBatch` replay guard. */
+    * than it. Both sides carry the `batch < beforeBatch` replay guard.
+    *
+    * `ptr` is the caller's ONE pointer read for the whole probe: the
+    * candidate-bucket set is computed under a specific generation's
+    * bucket modulus, so re-resolving the pointer here would race a
+    * concurrent [[compact]] publishing a generation with a different
+    * bucket count — the pruning would then silently skip true candidate
+    * buckets. One read, threaded through, no TOCTOU window. */
   def refs(spark: SparkSession, store: String, beforeBatch: Long,
+           ptr: Option[Pointer],
            candidateBuckets: Option[Set[Int]] = None): DataFrame = {
-    val ptr = currentPointer(spark, store)
     val delta = deltas(spark, store)
       .where(col("batch") > ptr.map(_.maxBatch).getOrElse(Long.MinValue)
         && col("batch") < beforeBatch)
@@ -135,7 +142,7 @@ private[pipeline] object SignatureStore {
         .filter(_ > prevMax)
     if (newBatches.isEmpty) return None
     val next = Pointer(prev.map(_.gen + 1).getOrElse(0L), newBatches.max, buckets)
-    refs(spark, store, beforeBatch = Long.MaxValue)
+    refs(spark, store, beforeBatch = Long.MaxValue, ptr = prev)
       .dropDuplicates("doc_id", "band_id", "batch")
       .withColumn("bucket", bucketOf(col("band_id"), col("band_hash"), buckets))
       // one shuffle sized by the bucket count: each bucket dir gets one

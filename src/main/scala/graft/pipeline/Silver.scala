@@ -29,7 +29,8 @@ object Silver {
     val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>
       DualSink.write(batch.toDF(), rule(sensor),
         cfg.silverDir(sensor), cfg.silverRejectedDir(sensor), Seq("partition_date"), batchId,
-        transformValid = _.join(dim, Seq("bridge_id"), "left"))
+        transformValid = _.join(dim, Seq("bridge_id"), "left"),
+        runTag = IdempotentSink.tagFor(cfg.checkpoint(s"silver_$sensor")))
     bronzeStream.writeStream
       .queryName(s"silver_$sensor")
       .option("checkpointLocation", cfg.checkpoint(s"silver_$sensor"))

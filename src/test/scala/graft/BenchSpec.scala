@@ -31,17 +31,31 @@ class BenchSpec extends AnyFunSuite {
     // each fake query burns ~60 ms; a 0.15 s cap admits 2-3 starts, never
     // all 10 — and every started query completes (no partial timings)
     var ran = Vector.empty[String]
-    val out = Bench.runUntilDeadline((1 to 10).map(i => s"q$i"), capSec = 0.15, { name =>
-      ran :+= name; Thread.sleep(60); 0.06
-    })
+    val out = Bench.runUntilDeadline((1 to 10).map(i => s"q$i"), capSec = 0.15,
+      Map.empty, { name =>
+        ran :+= name; Thread.sleep(60); 0.06
+      })
     assert(out.map(_._1) == ran)
     assert(ran.nonEmpty && ran.size < 10)
     assert(ran == (1 to ran.size).map(i => s"q$i"))
   }
 
   test("runUntilDeadline with a generous cap runs everything in order") {
-    val out = Bench.runUntilDeadline(Seq("a", "b", "c"), capSec = 60.0, _ => 0.01)
+    val out = Bench.runUntilDeadline(Seq("a", "b", "c"), capSec = 60.0,
+      Map.empty, _ => 0.01)
     assert(out.map(_._1) == Seq("a", "b", "c"))
+  }
+
+  test("runUntilDeadline never starts a query whose projection overruns the cap") {
+    // with time remaining but an expensive straggler next, the cap must
+    // hold: the old clock-only check would start a 100 s query at t≈0
+    var ran = Vector.empty[String]
+    val out = Bench.runUntilDeadline(Seq("cheap", "straggler"), capSec = 1.0,
+      Map("cheap" -> 0.01, "straggler" -> 100.0), { name =>
+        ran :+= name; 0.01
+      })
+    assert(out.map(_._1) == Seq("cheap"))
+    assert(ran == Vector("cheap"), "the straggler must not start")
   }
 
   test("mergeMin takes per-query min; unreached queries keep sweep-1; -1 only when all failed") {

@@ -175,6 +175,19 @@ class MultimodalSpec extends SparkSuite {
       s"meta claims ${meta.nFrames} frames but only $extractable decode")
   }
 
+  test("corrupt near-Int.MaxValue frame length quarantines, never throws") {
+    val full = Codecs.encodeVideo(16, 12, nFrames = 3, seed = 11L)
+    // keep frame 0 intact, then write a frame-length prefix of 0x7FFFFFF0:
+    // off + 4 + len wraps negative in Int — the bound must be in Long
+    var off = 8
+    off += 4 + java.nio.ByteBuffer.wrap(full, off, 4).getInt
+    val corrupt = java.util.Arrays.copyOf(full, off + 4)
+    java.nio.ByteBuffer.wrap(corrupt, off, 4).putInt(0x7FFFFFF0)
+    assert(Codecs.videoFrames(corrupt).get.size == 1)
+    val meta = Codecs.decodeVideoMeta(corrupt).get
+    assert(meta.nFrames == 1, s"got ${meta.nFrames}")
+  }
+
   test("frameFeatures decodes every sampled frame's dimensions") {
     val media = Multimodal.attachMedia(Tables.documents(spark, sf))
     val ff = Multimodal.frameFeatures(media, everyN = 3).collect()

@@ -37,6 +37,21 @@ class SignatureStoreSpec extends graft.SparkSuite {
       == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("IdempotentSink: a fresh checkpoint lineage appends instead of silently dropping") {
+    val sink = tmpDir("idem-runs")
+    val run1 = IdempotentSink.tagFor("/cp/alpha")
+    val run2 = IdempotentSink.tagFor("/cp/beta")
+    IdempotentSink.write(Seq((1L, "a")).toDF("id", "v"), sink, batchId = 0, Nil, run1)
+    // restart against the SAME sink with a NEW checkpoint: batch ids
+    // restart at 0 with different data — unscoped markers would skip it
+    IdempotentSink.write(Seq((2L, "b")).toDF("id", "v"), sink, batchId = 0, Nil, run2)
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")), "fresh-lineage batch 0 must append, not skip")
+    // within one lineage the replay no-op still holds
+    IdempotentSink.write(Seq((9L, "x")).toDF("id", "v"), sink, batchId = 0, Nil, run2)
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+
   test("IdempotentSink keeps the Hive layout for partitioned sinks") {
     val sink = tmpDir("idem-part")
     val batch = Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-02")).toDF("id", "v", "d")
@@ -112,7 +127,8 @@ class SignatureStoreSpec extends graft.SparkSuite {
     assert(new java.io.File(s"$store/gen-0").isDirectory)
 
     // compacted rows keep doc/batch fidelity
-    val gen = SignatureStore.refs(spark, store, beforeBatch = Long.MaxValue)
+    val gen = SignatureStore.refs(spark, store, beforeBatch = Long.MaxValue,
+      SignatureStore.currentPointer(spark, store))
     assert(gen.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
     assert(gen.count() == 2 * cfg.bands)
 
@@ -136,7 +152,8 @@ class SignatureStoreSpec extends graft.SparkSuite {
     assert(ptr2.exists(p => p.gen == 1 && p.maxBatch == 2))
     SignatureStore.vacuum(spark, store)
     assert(!new java.io.File(s"$store/gen-0").exists())
-    assert(SignatureStore.refs(spark, store, Long.MaxValue)
+    assert(SignatureStore.refs(spark, store, Long.MaxValue,
+      SignatureStore.currentPointer(spark, store))
       .select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
   }
 
@@ -169,7 +186,8 @@ class SignatureStoreSpec extends graft.SparkSuite {
         .flatMap(_.metrics.get("numFiles").map(_.value)).sum
     }
 
-    val all = SignatureStore.refs(spark, store, Long.MaxValue, candidateBuckets = None)
+    val all = SignatureStore.refs(spark, store, Long.MaxValue,
+      SignatureStore.currentPointer(spark, store), candidateBuckets = None)
     val allFiles = filesRead(all)
     assert(allFiles > 1, "compacted store should span multiple bucket dirs")
 
@@ -178,10 +196,12 @@ class SignatureStoreSpec extends graft.SparkSuite {
     val someBuckets = all
       .select(SignatureStore.bucketOf(col("band_id"), col("band_hash"), nBuckets).as("b"))
       .distinct().as[Int].collect().toSet.take(1)
-    val pruned = SignatureStore.refs(spark, store, Long.MaxValue, Some(someBuckets))
+    val pruned = SignatureStore.refs(spark, store, Long.MaxValue,
+      SignatureStore.currentPointer(spark, store), Some(someBuckets))
     assert(filesRead(pruned) < allFiles,
       s"pruned probe read ${filesRead(pruned)} of $allFiles files")
-    assert(SignatureStore.refs(spark, store, Long.MaxValue, Some(Set.empty[Int])).count() == 0)
+    assert(SignatureStore.refs(spark, store, Long.MaxValue,
+      SignatureStore.currentPointer(spark, store), Some(Set.empty[Int])).count() == 0)
 
     // probe join shape: batch side broadcast, store side streamed — the
     // executed plan must contain a broadcast hash join and NO shuffle
@@ -189,7 +209,8 @@ class SignatureStoreSpec extends graft.SparkSuite {
     val batchSide = Seq((10L, Array.fill(64)(7L), 0, 123L))
       .toDF("doc_id", "sig", "band_id", "band_hash")
     val probe = broadcast(batchSide)
-      .join(SignatureStore.refs(spark, store, Long.MaxValue, Some(someBuckets)),
+      .join(SignatureStore.refs(spark, store, Long.MaxValue,
+      SignatureStore.currentPointer(spark, store), Some(someBuckets)),
         Seq("band_id", "band_hash"))
     probe.collect()
     val flat = nodes(probe.queryExecution.executedPlan)
