@@ -116,6 +116,36 @@ object Similarity {
       centroids.toSeq.map(c => (c.toSeq, c.map(x => x * x).sum))
   }
 
+  /** Persist a trained index: one parquet row per centroid, ordered by
+    * cell id. The index is a few KB, but saving it matters operationally
+    * at scale — the quantizer is trained ONCE (one bounded sample job)
+    * and then shared across every job, session, and cluster that probes
+    * the same corpus; without persistence each JVM re-trains into its
+    * own memo. Cell ids are positional, so save/load must round-trip the
+    * centroid ORDER bit-exactly — an index that reorders cells would
+    * silently re-assign every stored/probed cell id. */
+  def saveIvfIndex(index: IvfIndex, spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted index; inverse of [[saveIvfIndex]] (bit-exact:
+    * doubles round-trip parquet losslessly, order restored by cell id). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"cell ids at $path are not contiguous from 0 — corrupt index")
+    IvfIndex(rows.map(_._2.toArray))
+  }
+
   /** Train an IVF coarse quantizer ONCE: k-means over a bounded,
     * deterministic sample of unit-normalized candidate vectors, run
     * driver-side (Lloyd's on ≤ `sampleCap` points is microseconds —

@@ -486,6 +486,22 @@ class OpsSpec extends SparkSuite {
       s"recall ${(exact intersect ivf).size}/${exact.size}")
   }
 
+  test("IVF index save/load round-trips bit-exactly and probes identically") {
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val trained = Similarity.buildIvfIndex(e, nCells = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/index"
+    Similarity.saveIvfIndex(trained, spark, path)
+    val loaded = Similarity.loadIvfIndex(spark, path)
+    assert(loaded.centroids.length == trained.centroids.length)
+    assert(loaded.centroids.zip(trained.centroids).forall {
+      case (a, b) => a.sameElements(b) // doubles round-trip parquet losslessly
+    })
+    val q = e.where(col("id") < 5)
+    val a = Similarity.probeIvf(trained, q, e, k = 3, nProbe = 2)
+    val b = Similarity.probeIvf(loaded, q, e, k = 3, nProbe = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("IVF cache retrains when the files behind an identical plan change") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_stale").toString
     def writeCorpus(shift: Double): Unit =
