@@ -237,6 +237,104 @@ object Similarity {
       .where($"query_id" =!= $"neighbor_id"), k)
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** A trained product quantizer: `m` sub-space codebooks over the
+    * unit-normalized embedding, each with (up to) `kSub` centroids of
+    * dimension dim/m. Sub-spaces may hold FEWER than `kSub` centroids
+    * when the training sample had fewer distinct sub-vectors — codes and
+    * lookup tables are built from the actual (possibly jagged) arrays,
+    * so the index is always internally consistent. */
+  final case class PqIndex(subCentroids: Array[Array[Array[Double]]]) {
+    def m: Int = subCentroids.length
+    def dSub: Int = subCentroids(0)(0).length
+    private[ops] def asSeq: Seq[Seq[Seq[Double]]] =
+      subCentroids.toSeq.map(_.toSeq.map(_.toSeq))
+  }
+
+  /** Train a product quantizer ONCE (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the same
+    * bounded deterministic sample as [[buildIvfIndex]], split into `m`
+    * contiguous sub-vectors, one Lloyd's run per sub-space. Bounded
+    * driver work, reproducible at any scale. */
+  def buildPqIndex(candidates: DataFrame, m: Int = 8, kSub: Int = 16,
+                   sampleCap: Int = 4096, maxIter: Int = 10): PqIndex = {
+    val sample = candidates
+      .select(transform($"emb", (x: Column) => x / $"norm").as("u"),
+        xxhash64($"id").as("hk"))
+      .orderBy($"hk").limit(sampleCap)
+      .select($"u").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train a PQ index on an empty candidate set")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide the embedding dim $dim")
+    val dSub = dim / m
+    PqIndex((0 until m).map { mm =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, mm * dSub, (mm + 1) * dSub)),
+        kSub, maxIter)
+    }.toArray)
+  }
+
+  /** Map-side PQ encoding: `codes[mm]` = argmin over sub-space mm's
+    * centroids of ‖u_sub − c‖² (first-min tie-break, matching
+    * [[assignCells]]). A pure codegen'd projection — at 100 TB the
+    * encode is one scan, and the 8-byte-per-vector code column is what
+    * downstream ADC probes read instead of the full embedding. */
+  def encodePq(df: DataFrame, index: PqIndex): DataFrame = {
+    val u = transform($"emb", (x: Column) => x / $"norm")
+    val codeCols = index.subCentroids.zipWithIndex.map { case (cents, mm) =>
+      val sub = slice(u, mm * index.dSub + 1, index.dSub)
+      val dists = array(cents.map { c =>
+        lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(c.toSeq))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    df.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** IVF-PQ approximate kNN (the FAISS composition): IVF restricts the
+    * candidate set to the query's `nProbe` nearest cells, the PQ codes
+    * rank those candidates by asymmetric distance computation — the
+    * query stays exact, each candidate is represented by its codebook
+    * entry, so the estimated cosine is Σ_mm û_q[mm]·centroid[mm][code] —
+    * and the top `k·refine` by estimate are exact-cosine re-ranked to
+    * the final k. The per-query lookup table (m × kSub dot products
+    * against plan literals) is built INSIDE the broadcast query side, so
+    * the candidate scan reads only (cell, codes) plus the columns the
+    * surviving re-rank needs. Deterministic end to end. */
+  def knnIvfPq(queries: DataFrame, candidates: DataFrame, k: Int,
+               nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
+               refine: Int = 4): DataFrame = {
+    val ivf = buildIvfIndex(candidates, nCells)
+    val pq = buildPqIndex(candidates, m, kSub)
+    val assigned = encodePq(assignCells(candidates, ivf), pq)
+      .select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"),
+        $"cell", $"codes")
+    // query side: nProbe nearest cells (as probeIvf) + the ADC lookup table
+    val centers = typedLit(ivf.centroidStructs)
+    val qU = transform($"q_emb", (x: Column) => x / $"q_norm")
+    val lut = transform(sequence(lit(0), lit(pq.m - 1)), mm =>
+      transform(element_at(typedLit(pq.asSeq), mm + 1), cv =>
+        dot(slice(qU, mm * lit(pq.dSub) + 1, lit(pq.dSub)), cv)))
+    val probed = Windows.topNPerGroup(
+        queries.select($"id".as("query_id"), $"emb".as("q_emb"), $"norm".as("q_norm"))
+          .select($"*", posexplode(centers).as(Seq("cell", "centroid")))
+          .withColumn("dist_rank",
+            $"centroid._2" - lit(2.0) * dot(qU, $"centroid._1")),
+        Seq($"query_id"), Seq($"dist_rank".asc, $"cell"), nProbe)
+      .select($"query_id", $"q_emb", $"q_norm", $"cell", lut.as("lut"))
+    val est = aggregate(
+      zip_with($"codes", sequence(lit(0), lit(pq.m - 1)),
+        (code, mm) => element_at(element_at($"lut", mm + 1), code + 1)),
+      lit(0.0), (a, x) => a + x)
+    val shortlist = Windows.topNPerGroup(
+        assigned.join(broadcast(probed), Seq("cell"))
+          .where($"query_id" =!= $"neighbor_id")
+          .withColumn("est_cosine", est),
+        Seq($"query_id"), Seq($"est_cosine".desc, $"neighbor_id"), k * refine)
+      .drop("rn", "est_cosine", "codes", "cell", "lut")
+    rerank(shortlist, k)
+  }
+
   /** Train-once memo: fitted centroids per (canonicalized candidate plan,
     * underlying file listing, nCells, sampleCap) — repeated queries over
     * the same candidate set reuse the index instead of re-running the

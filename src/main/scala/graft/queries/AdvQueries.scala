@@ -181,6 +181,18 @@ object AdvQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** IVF-PQ approximate kNN (coarse quantizer restricts cells, product-
+    * quantization codes rank by asymmetric distance, exact re-rank of the
+    * shortlist; golden-pinned — k-means + argmin codebooks aren't
+    * DuckDB-expressible; recall asserted vs brute force in OpsSpec). */
+  private val q73: Q = (s, d) => {
+    import s.implicits._
+    val e = graft.ops.Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+    graft.ops.Similarity.knnIvfPq(e.where($"id" < 10), e, k = 5, nCells = 16, nProbe = 4)
+      .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** Trailing 5-event moving average of value per user — per-key rolling
     * feature backfill (one hash-partition by user + sort; decimal-exact
     * frame sum). */
@@ -332,7 +344,8 @@ object AdvQueries {
     "q38_approx_sketches" -> q38,
     "q39_session_window"  -> q39,
     "q68_dd_quantiles"    -> q68,
-    "q70_sketch_day_rollup" -> q70)
+    "q70_sketch_day_rollup" -> q70,
+    "q73_knn_ivfpq"       -> q73)
 
   // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
   // ln γ literals are printed from the exact Scala doubles so both engines

@@ -22,7 +22,8 @@ object Golden {
   val queries: Seq[String] = Seq(
     "q25_minhash_pairs", "q26_simhash_pairs", "q28_knn_lsh",
     "q29_winnow_fp", "q32_embed_neardup", "q38_approx_sketches",
-    "q41_knn_ivf", "q45_embed_clusters", "q47_sketch_rollup")
+    "q41_knn_ivf", "q45_embed_clusters", "q47_sketch_rollup",
+    "q73_knn_ivfpq")
 
   val sfDir = "/root/testdata/sf0.01"
 

@@ -486,6 +486,28 @@ class OpsSpec extends SparkSuite {
       s"recall ${(exact intersect ivf).size}/${exact.size}")
   }
 
+  test("IVF-PQ recalls brute-force neighbors and is partitioning-invariant") {
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val q = e.where(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.knnBruteForce(q, e, k = 5))
+    val ivfpq = pairs(Similarity.knnIvfPq(q, e, k = 5, nCells = 8, nProbe = 4))
+    assert(exact.nonEmpty)
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall (${(exact intersect ivfpq).size}/${exact.size})")
+    // deterministic under any input partitioning (sample is hash-ordered,
+    // argmins are first-min, ranks tie-broken)
+    val repart = pairs(Similarity.knnIvfPq(q, e.repartition(7), k = 5, nCells = 8, nProbe = 4))
+    assert(repart == ivfpq)
+    // codes are within each sub-codebook's range
+    val pq = Similarity.buildPqIndex(e, m = 8, kSub = 16)
+    val bad = Similarity.encodePq(e, pq)
+      .select(posexplode(col("codes")).as(Seq("mm", "code")))
+      .where(col("code") < 0 || col("code") >= 16)
+    assert(bad.isEmpty)
+  }
+
   test("IVF index save/load round-trips bit-exactly and probes identically") {
     val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
     val trained = Similarity.buildIvfIndex(e, nCells = 8)
