@@ -304,8 +304,14 @@ object Similarity {
   def knnIvfPq(queries: DataFrame, candidates: DataFrame, k: Int,
                nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
                refine: Int = 4): DataFrame = {
-    val ivf = buildIvfIndex(candidates, nCells)
-    val pq = buildPqIndex(candidates, m, kSub)
+    // same train-once memo discipline as knnIvf (plan + file listing):
+    // repeated probes over an unchanged candidate set skip both sample
+    // jobs; a rewrite of the underlying files retrains
+    val key = (candidates.queryExecution.analyzed.canonicalized,
+      fileFingerprint(candidates), nCells, m * 100000 + kSub)
+    if (pqCache.size() > IvfCacheMax) pqCache.clear()
+    val (ivf, pq) = pqCache.computeIfAbsent(key, _ =>
+      (buildIvfIndex(candidates, nCells), buildPqIndex(candidates, m, kSub)))
     val assigned = encodePq(assignCells(candidates, ivf), pq)
       .select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"),
         $"cell", $"codes")
@@ -356,6 +362,8 @@ object Similarity {
   private val IvfCacheMax = 64
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Int), IvfIndex]()
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Int), (IvfIndex, PqIndex)]()
 
   /** (path, len, mtime)-hash over every file-backed scan in the plan. */
   private def fileFingerprint(df: DataFrame): Long = {
