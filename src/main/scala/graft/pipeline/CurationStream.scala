@@ -69,9 +69,21 @@ object CurationStream {
 
   /** MinHash near-dup stage parameters (same S-curve semantics as the
     * batch `Dedup.minhashCandidates`: k/bands rows per band, threshold
-    * ≈ (1/bands)^(bands/k)). */
+    * ≈ (1/bands)^(bands/k)).
+    *
+    * @param compactEvery  fold the signature store's per-batch deltas
+    *                      into a bucketed generation every N micro-batches
+    *                      from INSIDE the running query (0 = manual
+    *                      maintenance via [[SignatureStore.compact]])
+    * @param storeBuckets  bucket count for scheduled compactions
+    * @param vacuumGrace   scheduled [[SignatureStore.vacuum]] runs this
+    *                      many batches after its compaction, so a reader
+    *                      planned against the old listing finishes first */
   case class NearDupConfig(k: Int = 64, bands: Int = 16,
-                           minEstJaccard: Double = 0.5)
+                           minEstJaccard: Double = 0.5,
+                           compactEvery: Int = 0,
+                           storeBuckets: Int = 64,
+                           vacuumGrace: Int = 2)
 
   /** Streaming MinHash near-dup curation — the continuous counterpart of
     * the batch near-dup pass (q25/q42), composed AFTER the exact stage
@@ -97,15 +109,23 @@ object CurationStream {
     * Scale posture: signatures/banding are map-side; the store carries
     * `bands` narrow rows per admitted distinct-signature document; probe
     * cost tracks the CANDIDATE buckets (a broadcast-hash join over the
-    * pruned store scan), not accumulated stream length. Run
-    * [[SignatureStore.compact]] periodically (and [[SignatureStore.vacuum]]
-    * after a grace period) to fold per-batch delta dirs into a bucketed
-    * generation — between compactions the probe unions the deltas in, so
-    * the maintenance cadence is a cost knob, not a correctness one. State
-    * never lives in the streaming checkpoint, so restarts are cheap and
-    * the horizon is the whole corpus, not a watermark. Documents too short
-    * to shingle have no signature: they are admitted (near-dup undefined)
-    * and do not enter the store. */
+    * pruned store scan), not accumulated stream length. With
+    * `compactEvery > 0` the query schedules its own maintenance:
+    * [[SignatureStore.compact]] every N batches and
+    * [[SignatureStore.vacuum]] a grace period later, both between the
+    * batch's sink writes and the next trigger (foreachBatch is serial, so
+    * the owning query never races its own vacuum; the grace protects
+    * external readers). The cadence counter is in-memory and resets on
+    * restart — harmless, because between compactions the probe unions the
+    * deltas in: maintenance cadence is a cost knob, not a correctness
+    * one. Store ordinals are lineage-scoped ([[SignatureStore.seqOf]]):
+    * restarting with a fresh checkpoint against the same store keeps
+    * every prior run's signatures visible instead of overwriting batch 0
+    * and hiding them behind the replay guard. State never lives in the
+    * streaming checkpoint, so restarts are cheap and the horizon is the
+    * whole corpus, not a watermark. Documents too short to shingle have
+    * no signature: they are admitted (near-dup undefined) and do not
+    * enter the store. */
   def startNearDup(spark: SparkSession, input: DataFrame, cfg: NearDupConfig,
                    cleanPath: String, nearDupPath: String, storePath: String,
                    checkpoint: String,
@@ -113,7 +133,16 @@ object CurationStream {
     require(cfg.k % cfg.bands == 0, s"bands must divide k (got ${cfg.k}/${cfg.bands})")
     SignatureStore.ensure(spark, storePath)
     val r = cfg.k / cfg.bands
+    val tag = IdempotentSink.tagFor(checkpoint)
+    // one registry read/create per (re)start: a restart of this checkpoint
+    // gets its old epoch back (replay lands on the original ordinals); a
+    // fresh checkpoint gets a higher one (prior signatures stay visible)
+    val epoch = SignatureStore.registerRun(spark, storePath, tag)
+    // scheduled-maintenance cadence (driver-side, serial with the batches)
+    var processed = 0L
+    var vacuumAt = -1L
     val fn: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+      val seq = SignatureStore.seqOf(epoch, batchId)
       val s = batch.sparkSession
       import s.implicits._
       val docs = batch.toDF().persist()
@@ -140,9 +169,11 @@ object CurationStream {
           buckets.select(SignatureStore.bucketOf($"band_id", $"band_hash", p.buckets).as("b"))
             .distinct().as[Int].collect().toSet
         }
-        // reference side: everything admitted in PRIOR batches (replay
-        // guard: batch < batchId), plus smaller-id docs of THIS batch
-        val prior = SignatureStore.refs(s, storePath, batchId, ptr, candBuckets)
+        // reference side: everything admitted in PRIOR batches — of this
+        // run AND every earlier lineage (replay guard: batch < seq, with
+        // seq lineage-scoped so prior-run ordinals sort below it) — plus
+        // smaller-id docs of THIS batch
+        val prior = SignatureStore.refs(s, storePath, seq, ptr, candBuckets)
           .select($"doc_id".as("ref_id"), $"sig".as("ref_sig"),
             $"band_id", $"band_hash", lit(true).as("is_prior"))
         val intra = buckets
@@ -162,15 +193,26 @@ object CurationStream {
           .select($"doc_id").distinct()
           .persist() // three consumers below — probe runs once, not thrice
         try {
-          val tag = IdempotentSink.tagFor(checkpoint)
           IdempotentSink.write(docs.join(nearIds, Seq("doc_id"), "left_anti"),
             cleanPath, batchId, Nil, tag)
           IdempotentSink.write(docs.join(nearIds, Seq("doc_id"), "left_semi"),
             nearDupPath, batchId, Nil, tag)
           SignatureStore.appendBatch(
-            buckets.join(nearIds, Seq("doc_id"), "left_anti"), storePath, batchId)
+            buckets.join(nearIds, Seq("doc_id"), "left_anti"), storePath, seq)
         } finally { nearIds.unpersist(); buckets.unpersist(); () }
       } finally { docs.unpersist(); () }
+      // in-stream maintenance, after the batch's writes: vacuum first so
+      // a compaction's grace period is honored even when both fall due on
+      // the same batch, then compact on the cadence boundary
+      if (cfg.compactEvery > 0) {
+        processed += 1
+        if (vacuumAt >= 0 && processed >= vacuumAt) {
+          SignatureStore.vacuum(s, storePath); vacuumAt = -1
+        }
+        if (processed % cfg.compactEvery == 0 &&
+            SignatureStore.compact(s, storePath, cfg.storeBuckets).isDefined)
+          vacuumAt = processed + cfg.vacuumGrace
+      }
     }
     input.writeStream
       .queryName("curation_neardup_stream")

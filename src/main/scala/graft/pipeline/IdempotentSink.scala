@@ -48,9 +48,36 @@ private[pipeline] object IdempotentSink {
     * file names make that restart an append of new data instead.
     * Deliberately stable for the SAME checkpoint path, so crash-replay
     * dedup still works; wiping a checkpoint dir in place (rather than
-    * using a new path) keeps the old identity — documented boundary. */
-  def tagFor(checkpoint: String): String =
-    f"r${checkpoint.hashCode & 0x7fffffff}%08x-"
+    * using a new path) keeps the old identity — documented boundary.
+    *
+    * The path is canonicalized first (relative → absolute, redundant
+    * separators and trailing slashes dropped) so two spellings of the
+    * same checkpoint share one lineage, and the id is a 64-bit FNV-1a
+    * hash rather than 32-bit `String.hashCode`: at 32 bits two distinct
+    * lineages writing one sink collide with birthday probability ~2^-16
+    * per pair, and a collision silently DROPS the second lineage's
+    * batches — the exact failure this tag exists to prevent. At 64 bits
+    * that probability is ~2^-48. One-time upgrade hazard: sinks written
+    * by the old 32-bit scheme hold markers/files under `r<8 hex>-`
+    * names; the first crash-replay after upgrading re-publishes that
+    * one unfinished batch under the new `r<16 hex>-` tag beside the old
+    * files. Compact or re-create long-lived sinks when upgrading. */
+  def tagFor(checkpoint: String): String = {
+    val p = new Path(checkpoint)
+    val canonical =
+      if (p.toUri.getScheme == null && !p.isAbsolute)
+        new Path(new java.io.File(checkpoint).getAbsolutePath).toString
+      else p.toString
+    f"r${fnv64(canonical)}%016x-"
+  }
+
+  /** FNV-1a over UTF-16 code units — stable across JVMs, full 64 bits. */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
 
   def committed(batch: DataFrame, sinkDir: String, batchId: Long,
                 runTag: String = ""): Boolean = {

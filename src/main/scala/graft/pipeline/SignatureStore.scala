@@ -10,14 +10,31 @@ import org.apache.spark.sql.types._
   *
   * Layout (all under one root):
   * {{{
-  *   <store>/delta/batch=<id>/   one dir per micro-batch since the last
+  *   <store>/delta/batch=<seq>/  one dir per micro-batch since the last
   *                               compaction (written with overwrite, so a
   *                               replayed batch is idempotent on the store)
   *   <store>/gen-<n>/bucket=<b>/ compacted generation n, hash-partitioned
   *                               on the probe join key (band_id, band_hash)
   *   <store>/_ptr/v<n>           generation pointers; the LIVE generation
   *                               is the max n ("maxBatch buckets" inside)
+  *   <store>/_runs/<runTag>      epoch registry: one file per checkpoint
+  *                               lineage that ever wrote this store
   * }}}
+  *
+  * Batch identity is LINEAGE-SCOPED: micro-batch ids are only unique
+  * within one streaming checkpoint, so a stream restarted against the
+  * same store with a FRESH checkpoint restarts them at 0 — raw ids would
+  * overwrite `delta/batch=0` (losing the prior run's signatures) and the
+  * probe's `batch < current` replay guard would hide every surviving
+  * prior-run row, silently admitting near-duplicates of already-admitted
+  * documents. Instead each run registers an epoch ([[registerRun]], keyed
+  * by the run's [[IdempotentSink.tagFor]] tag and monotonic across runs)
+  * and stores ordinals `seq = epoch << 40 | batchId` ([[seqOf]]): stable
+  * under replay within a lineage (same dir overwritten), strictly above
+  * every prior lineage's ordinals across them (prior rows stay visible as
+  * references, nothing is overwritten). Stores written before the epoch
+  * scheme hold raw-id dirs, which sort below every epoch ≥ 1 ordinal —
+  * their rows stay visible and are never overwritten either.
   *
   * A long-running stream accumulates one small parquet dir per micro-batch
   * — the classic small-files/listing-cost trap. [[compact]] folds the
@@ -71,6 +88,42 @@ private[pipeline] object SignatureStore {
   def ensure(spark: SparkSession, store: String): Unit =
     PipelineFs.ensureDir(spark, s"$store/delta")
 
+  /** Register (or look up) this checkpoint lineage's epoch: the first
+    * run against a store gets 1, each new lineage gets max+1, and a
+    * RESTART of a known lineage gets its existing epoch back — so
+    * replayed batches land on their original ordinals. Create-if-absent
+    * keeps a lost race benign: the loser re-reads the winner's file.
+    * (Two *distinct* lineages writing one store concurrently is outside
+    * the store's contract — same as any single-writer table format.) */
+  def registerRun(spark: SparkSession, store: String, runTag: String): Long = {
+    val f = fs(spark, store)
+    val dir = new org.apache.hadoop.fs.Path(s"$store/_runs")
+    f.mkdirs(dir)
+    val mine = new org.apache.hadoop.fs.Path(dir, runTag.stripSuffix("-"))
+    def read(p: org.apache.hadoop.fs.Path): Long = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (f.exists(mine)) return read(mine)
+    val next = (f.listStatus(dir).toSeq.map(s => read(s.getPath)) :+ 0L).max + 1
+    try {
+      val out = f.create(mine, false)
+      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+      next
+    } catch { case _: java.io.IOException => read(mine) }
+  }
+
+  /** Store ordinal of (run epoch, micro-batch id): monotonic across
+    * checkpoint lineages, stable under replay within one. 40 bits of
+    * batch id (a trillion micro-batches per run) under 23 bits of epoch
+    * — both overflow-guarded rather than silently wrapped. */
+  def seqOf(epoch: Long, batchId: Long): Long = {
+    require(epoch > 0 && epoch < (1L << 23) && batchId >= 0 && batchId < (1L << 40),
+      s"store ordinal out of range: epoch=$epoch batch=$batchId")
+    (epoch << 40) | batchId
+  }
+
   def currentPointer(spark: SparkSession, store: String): Option[Pointer] = {
     val dir = new org.apache.hadoop.fs.Path(s"$store/_ptr")
     val f = fs(spark, store)
@@ -86,11 +139,12 @@ private[pipeline] object SignatureStore {
     }
   }
 
-  /** Append one micro-batch's survivor bucket rows. Overwrite into the
-    * batch-keyed dir keeps a replayed batch idempotent. */
-  def appendBatch(rows: DataFrame, store: String, batchId: Long): Unit =
+  /** Append one micro-batch's survivor bucket rows under its
+    * lineage-scoped ordinal (see [[seqOf]]). Overwrite into the
+    * seq-keyed dir keeps a replayed batch idempotent. */
+  def appendBatch(rows: DataFrame, store: String, seq: Long): Unit =
     rows.select(col("doc_id"), col("sig"), col("band_id"), col("band_hash"))
-      .write.mode("overwrite").parquet(s"$store/delta/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$store/delta/batch=$seq")
 
   private def deltas(spark: SparkSession, store: String): DataFrame =
     spark.read.schema(schema).parquet(s"$store/delta")

@@ -120,8 +120,10 @@ class SignatureStoreSpec extends graft.SparkSuite {
     assert(deltaDirs == 2)
 
     // maintenance: fold both deltas into gen-0, then vacuum them away
+    // (batch ordinals are lineage-scoped: epoch 1, micro-batch 1)
     val ptr = SignatureStore.compact(spark, store, buckets = 8)
-    assert(ptr.exists(p => p.gen == 0 && p.maxBatch == 1 && p.buckets == 8))
+    assert(ptr.exists(p => p.gen == 0 && p.maxBatch == SignatureStore.seqOf(1, 1)
+      && p.buckets == 8))
     SignatureStore.vacuum(spark, store)
     assert(deltaDirs == 0, "vacuum must drop absorbed deltas")
     assert(new java.io.File(s"$store/gen-0").isDirectory)
@@ -149,7 +151,7 @@ class SignatureStoreSpec extends graft.SparkSuite {
     // second compaction absorbs the new delta into gen-1 and the old
     // generation vacuums away
     val ptr2 = SignatureStore.compact(spark, store, buckets = 8)
-    assert(ptr2.exists(p => p.gen == 1 && p.maxBatch == 2))
+    assert(ptr2.exists(p => p.gen == 1 && p.maxBatch == SignatureStore.seqOf(1, 2)))
     SignatureStore.vacuum(spark, store)
     assert(!new java.io.File(s"$store/gen-0").exists())
     assert(SignatureStore.refs(spark, store, Long.MaxValue,
@@ -216,5 +218,117 @@ class SignatureStoreSpec extends graft.SparkSuite {
     val flat = nodes(probe.queryExecution.executedPlan)
     assert(flat.exists(_.isInstanceOf[BroadcastHashJoinExec]), s"no BHJ in probe plan")
     assert(!flat.exists(_.isInstanceOf[ShuffleExchangeLike]), s"store probe shuffled")
+  }
+
+  // -- run tags and lineage-scoped store ordinals --------------------------
+
+  test("tagFor: 64-bit width, canonicalized path, distinct lineages distinct") {
+    val t = IdempotentSink.tagFor("/cp/alpha")
+    // r + 16 hex digits + trailing dash: a 32-bit hash would be 8 digits
+    assert(t.matches("r[0-9a-f]{16}-"), s"unexpected tag shape: $t")
+    assert(t != IdempotentSink.tagFor("/cp/beta"))
+    // two spellings of one checkpoint path are ONE lineage: redundant
+    // separators, trailing slash, and relative-vs-absolute all collapse
+    assert(IdempotentSink.tagFor("/cp//alpha/") == t)
+    val cwd = new java.io.File(".").getCanonicalPath
+    assert(IdempotentSink.tagFor(s"$cwd/some/cp")
+      == IdempotentSink.tagFor("some/cp"))
+  }
+
+  test("registerRun: first lineage 1, fresh lineage max+1, restart stable") {
+    val store = tmpDir("runs-store")
+    SignatureStore.ensure(spark, store)
+    assert(SignatureStore.registerRun(spark, store, "rAAAA") == 1L)
+    assert(SignatureStore.registerRun(spark, store, "rBBBB") == 2L)
+    // a RESTART of a known lineage gets its original epoch back, so
+    // replayed micro-batches land on their original store ordinals
+    assert(SignatureStore.registerRun(spark, store, "rAAAA") == 1L)
+    assert(SignatureStore.seqOf(2L, 0L) > SignatureStore.seqOf(1L, (1L << 40) - 1))
+    intercept[IllegalArgumentException](SignatureStore.seqOf(0L, 0L))
+    intercept[IllegalArgumentException](SignatureStore.seqOf(1L, 1L << 40))
+  }
+
+  test("fresh checkpoint against the same store keeps prior-run signatures visible") {
+    implicit val sqlCtx = spark.sqlContext
+    val clean = tmpDir("ln-clean"); val audit = tmpDir("ln-audit")
+    val store = tmpDir("ln-store")
+    val cfg = CurationStream.NearDupConfig()
+
+    // run 1 (checkpoint A): admit doc 1
+    val in1 = MemoryStream[(Long, String)]
+    in1.addData((1L, base))
+    val q1 = CurationStream.startNearDup(spark, in1.toDF().toDF("doc_id", "text"),
+      cfg, clean, audit, store, tmpDir("ln-cpA"))
+    try q1.awaitTermination() finally q1.stop()
+    assert(spark.read.parquet(clean).count() == 1)
+
+    // run 2 (FRESH checkpoint B, same store): micro-batch ids restart at 0.
+    // Raw-id store keying would overwrite delta/batch=0 and the replay
+    // guard would hide doc 1 — a near-dup of it would be silently
+    // admitted. Epoch-scoped ordinals keep run 1's rows visible.
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((2L, base.replace("afternoon", "evening")), (3L, other))
+    val q2 = CurationStream.startNearDup(spark, in2.toDF().toDF("doc_id", "text"),
+      cfg, clean, audit, store, tmpDir("ln-cpB"))
+    try q2.awaitTermination() finally q2.stop()
+    val auditSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    assert(spark.read.schema(auditSchema).parquet(audit).select("doc_id").as[Long]
+      .collect().toSet == Set(2L), "cross-lineage near-dup not caught")
+    assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    // and run 1's delta survived — nothing was overwritten
+    val deltaSeqs = Option(new java.io.File(s"$store/delta").list()).get
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).toSet
+    assert(deltaSeqs == Set(SignatureStore.seqOf(1, 0), SignatureStore.seqOf(2, 0)))
+  }
+
+  test("in-stream maintenance: compact/vacuum scheduled from inside the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val clean = tmpDir("mx-clean"); val audit = tmpDir("mx-audit")
+    val store = tmpDir("mx-store"); val cp = tmpDir("mx-cp")
+    // compact every 2 micro-batches, vacuum 1 batch later
+    val cfg = CurationStream.NearDupConfig(compactEvery = 2, vacuumGrace = 1,
+      storeBuckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    // a long-lived query over many micro-batches: ProcessingTime trigger +
+    // processAllAvailable per feed gives one micro-batch per addData
+    val q = CurationStream.startNearDup(spark, df, cfg, clean, audit, store, cp,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      val docs = Seq(
+        (1L, base), (2L, other),
+        (3L, "mountain rivers carve deep valleys through limestone cliffs " +
+          "while eagles circle thermal currents above the silent forest " +
+          "canopy waiting patiently for careless rodents below them"),
+        (4L, "quarterly financial statements require careful reconciliation " +
+          "of accounts receivable against the general ledger before any " +
+          "auditor signs the attestation letter for regulators"),
+        (5L, base.replace("afternoon", "morning")), // near-dup of 1 (post-compaction probe)
+        (6L, "short"))
+      docs.foreach { d => input.addData(d); q.processAllAvailable() }
+
+      // 6 batches, cadence 2 → compactions after batches 2/4/6; vacuums one
+      // batch later honored the grace: by batch 5 the first two compactions'
+      // absorbed deltas are gone, gen pointers superseded
+      val ptr = SignatureStore.currentPointer(spark, store)
+      assert(ptr.exists(_.gen >= 2), s"expected ≥3 scheduled compactions, got $ptr")
+      assert(ptr.exists(_.buckets == 8))
+      // vacuum kept only post-compaction deltas (batch 6's compaction ran
+      // in-stream; its vacuum is still pending — grace not yet elapsed)
+      val deltaDirs = Option(new java.io.File(s"$store/delta").list())
+        .map(_.count(_.startsWith("batch="))).getOrElse(0)
+      assert(deltaDirs <= 2, s"vacuum left $deltaDirs deltas behind")
+      // correctness across maintenance: near-dup 5 of compacted doc 1 caught
+      val auditSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      assert(spark.read.schema(auditSchema).parquet(audit).select("doc_id").as[Long]
+        .collect().toSet == Set(5L), "near-dup across in-stream compaction missed")
+      assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L, 3L, 4L, 6L))
+    } finally q.stop()
   }
 }
