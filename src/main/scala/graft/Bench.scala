@@ -19,6 +19,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // clearCache drops the blocks; releaseAll also drains the staged
+      // registry so the sweep holds no frame references across queries
+      graft.ops.Staged.releaseAll()
       spark.catalog.clearCache()
       name -> (if (ok) dt else -1.0)
     }

@@ -100,7 +100,7 @@ object Dedup {
       // staged: consumed by the representative pipeline, the within-set
       // self-join (both sides), and the cross-set expansion joins
       val membership = allDocs.select($"doc", $"setfp", size($"shs").as("n_shs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(Staged(_))
       // one row per distinct shingle set; `first` is deterministic here
       // (all rows in the group carry the identical array)
       val docs = allDocs.groupBy($"setfp").agg(first($"shs").as("shs"))
@@ -117,7 +117,7 @@ object Dedup {
       // Repeated calls dedupe via the cache manager.
       val postings = sh.groupBy($"sh")
         .agg(collect_list(struct($"doc", $"n")).as("ds"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(Staged(_))
       def lenOk(a: Column, b: Column): Column = lengthBoundOk(a, b, threshold)
       // fast path: all ordered pairs inside the array; `ds` is a plain
       // aggregation attribute, so its capture by the nested lambda is a
@@ -196,9 +196,12 @@ object Dedup {
     // read it (collect_list defeats sameResult reuse, as in the
     // self-join path).
     val joined = postings(left, "as_").join(postings(right, "bs_"), Seq("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staged(_))
+    // the sides need not be disjoint: a doc id present in BOTH corpora
+    // would pair with itself at jaccard 1.0, so self-pairs are dropped at
+    // candidate generation (before the pair shuffle), both branches
     val crossInList = flatten(transform($"as_", x =>
-      transform(filter($"bs_", y => lenOk(x, y)), y =>
+      transform(filter($"bs_", y => lenOk(x, y) && !(y("doc") === x("doc"))), y =>
         struct(x("doc").as("doc_a"), y("doc").as("doc_b"),
           x("n").as("n_a"), y("n").as("n_b")))))
     // the split predicate multiplies in LONG: `size` is Int, and with
@@ -211,7 +214,7 @@ object Dedup {
     val bigs = joined.where(crossSize > inArrayLimit.toLong * inArrayLimit)
     val large = bigs.select($"sh", explode($"as_").as("x"))
       .join(bigs.select($"sh", explode($"bs_").as("y")), Seq("sh"))
-      .where(lenOk($"x", $"y"))
+      .where(lenOk($"x", $"y") && $"x.doc" =!= $"y.doc")
       .select(struct($"x.doc".as("doc_a"), $"y.doc".as("doc_b"),
         $"x.n".as("n_a"), $"y.n".as("n_b")).as("p"))
     val inter = small.unionByName(large)
@@ -385,12 +388,12 @@ object Dedup {
     // (orderable, injective up to md5).
     val members = minhashSignatures(df, idCol, textCol, k)
       .withColumn("sid", md5(to_json($"sig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staged(_))
     // distinct signatures are consumed four times (banded self-join both
     // sides + two re-attach joins); exchange reuse across separate join
     // subtrees is not guaranteed, so stage the tiny frame
     val sigs = members.select($"sid", $"sig").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staged(_))
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band_id"), xxhash64(slice($"sig", j * r + 1, r)).as("band_hash"))
     }
@@ -484,7 +487,7 @@ object Dedup {
     val benchSh = benchmark
       .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staged(_))
     val bloom = benchSh.select(xxhash64($"sh").as("h"))
       .stat.bloomFilter("h", expectedShingles, fpp)
     val bloomBytes = {
@@ -743,11 +746,11 @@ object Dedup {
     // the chunk-bucket self-join would otherwise cost m²× (measured
     // 41–69 s vs ~4 s on a 10×-duplicated corpus at sf0.1×10).
     val members = simhashSignatures(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staged(_))
     // distinct signatures feed the chunk self-join (both sides); stage
     // the tiny frame rather than rely on cross-subtree exchange reuse
     val sigs = members.select($"sig").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staged(_))
     val chunkStructs = (0 until chunks).map { j =>
       struct(lit(j).as("chunk_id"),
         shiftright($"sig", j * bitsPerChunk)

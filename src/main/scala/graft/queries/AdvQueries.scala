@@ -138,7 +138,7 @@ object AdvQueries {
     import s.implicits._
     val ev = Tables.events(s, d).withColumn("day", to_date($"ts"))
     val fine = Sketches.bucketCounts(ev, Seq("event_type", "day"), "value")
-      .persist() // two consumers: day-level probe + rollup re-aggregation
+      .transform(graft.ops.Staged(_)) // two consumers: day-level probe + rollup re-aggregation
     val daily = Sketches.quantilesFromCounts(fine, Seq("event_type", "day"),
         Seq(0.5, 0.9))
       .select($"event_type", $"day", $"quantile",

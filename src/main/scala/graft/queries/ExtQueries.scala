@@ -155,7 +155,7 @@ object ExtQueries {
   private val q69: Q = (s, d) => {
     import s.implicits._
     val media = Multimodal.attachMedia(Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Staged(_))
     val base = Multimodal.extractFeatures(Multimodal.resizeImages(media, 10, 10)).toDF()
       .select($"doc_id", $"media_type", lit(0).as("item_idx"),
         $"width", $"height", $"n_frames", $"channels")
@@ -199,7 +199,7 @@ object ExtQueries {
     // Re-invocations hit Spark's cache manager (same analyzed plan → same
     // InMemoryRelation), so repeated calls don't grow the cache.
     val kept = scored.join(keepIds, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Staged(_))
     val dropB = Dedup.ngramJaccardPairs(kept, "doc_id", "text", threshold = 0.5)
       .select($"doc_b".as("doc_id")).distinct()
     kept.join(dropB, Seq("doc_id"), "left_anti")

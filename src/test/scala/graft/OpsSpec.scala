@@ -656,6 +656,14 @@ class OpsSpec extends SparkSuite {
         inArrayLimit = 0)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(skew == across)
+    // overlapping sides: a doc present in BOTH corpora must not emit a
+    // jaccard-1.0 self-pair (either plan branch)
+    for (lim <- Seq(512, 0)) {
+      val overlap = Dedup.ngramJaccardPairsAcross(docs, eval_, "doc_id", "text",
+          inArrayLimit = lim)
+        .where(col("doc_a") === col("doc_b"))
+      assert(overlap.isEmpty, s"self-pairs emitted at inArrayLimit=$lim")
+    }
   }
 
   test("unigramLogProb ranks rare-token documents below common-token ones") {
