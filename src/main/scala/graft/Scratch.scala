@@ -14,12 +14,19 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warmup scan (JIT/codegen); docs-only slices have no lineitem
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable =>
+      spark.read.parquet(s"$sfDir/documents.parquet").count() }
     val names = if (args.nonEmpty) args.toSeq else Seq("q42_curation")
     for (n <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[scratch] $n#$i%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // same between-run discipline as Bench: staged frames released,
+      // cache cleared — run #2 measures the query, not run #1's cache
+      graft.ops.Staged.releaseAll()
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -235,23 +235,63 @@ object Dedup {
     *    scale) → the PPJoin prefix filter, whose rare-shingle prefixes
     *    prune candidates by orders of magnitude.
     *
-    * Density is estimated from a bounded sample (`sampleDocs` docs, one
-    * small aggregate job at plan-build time): the distinct/total shingle
-    * ratio is low when the vocabulary saturates within the sample and
-    * near 1 when the corpus keeps minting new shingles. Both variants are
-    * lossless, so the choice affects cost only, never results. */
+    * A dense vocabulary is additionally checked for SIZE: the direct
+    * join's candidate volume is Σ_sh df², which is quadratic in corpus
+    * size when the vocabulary has saturated (every new doc raises every
+    * df). A dense corpus small enough to afford that stays exact; past
+    * `maxCandidateEstimate` estimated candidates the selector routes to
+    * [[ngramJaccardPairsCapped]] — bounded by construction (stop-shingle
+    * removal, the documented capped-Jaccard semantics) — because exact
+    * all-pairs over a saturated vocabulary is precisely the shape that
+    * cannot survive a 100× scale-up no matter the plan.
+    *
+    * Estimation is one bounded sample job at plan-build time
+    * (`sampleDocs` docs → per-shingle sample df → distinct/total ratio
+    * and Σdf²) plus one corpus count; the sample Σdf² scales by
+    * (N/S)² — exact for the saturated head that dominates the sum,
+    * conservative for the Zipf tail that does not. Routing affects cost
+    * only between the two exact variants; the capped route changes
+    * semantics (capped Jaccard) and is therefore taken only on the
+    * documented size threshold, and logged. */
   def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, threshold: Double = 0.5,
                             sampleDocs: Int = 2048,
-                            sparseVocabRatio: Double = 0.5): DataFrame = {
-    val r = df.select(explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
-      .limit(sampleDocs * 64) // bound the sample by postings, not a full scan
-      .agg(count(lit(1)).as("total"), approx_count_distinct($"sh").as("distinct"))
+                            sparseVocabRatio: Double = 0.5,
+                            maxCandidateEstimate: Double = 1e8,
+                            cappedMaxDf: Int = 256): DataFrame =
+    jaccardAutoRoute(df, idCol, textCol, n, sampleDocs, sparseVocabRatio,
+        maxCandidateEstimate) match {
+      case "prefix" => ngramJaccardPairsPrefix(df, idCol, textCol, n, threshold)
+      case "direct" => ngramJaccardPairs(df, idCol, textCol, n, threshold)
+      case _ => ngramJaccardPairsCapped(df, idCol, textCol, n, threshold, cappedMaxDf)
+    }
+
+  /** The [[ngramJaccardPairsAuto]] plan-shape decision, observable for
+    * specs and operators: `"prefix"` (sparse vocabulary — lossless
+    * prefix pruning wins), `"direct"` (dense but affordable — exact
+    * posting join), or `"capped"` (dense AND the estimated Σdf²
+    * candidate volume exceeds `maxCandidateEstimate` — bounded
+    * stop-shingle semantics, the only shape that survives at scale). */
+  def jaccardAutoRoute(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, sampleDocs: Int = 2048,
+                       sparseVocabRatio: Double = 0.5,
+                       maxCandidateEstimate: Double = 1e8): String = {
+    val nDocs = df.count()
+    val s = df.select(col(idCol).as("doc"), col(textCol).as("t")).limit(sampleDocs)
+    val r = s.select(explode(array_distinct(Text.shingles($"t", n))).as("sh"))
+      .groupBy($"sh").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("v"), sum($"df").as("total"),
+        sum($"df" * $"df").as("sumdf2"))
       .head()
-    val ratio =
-      if (r.getLong(0) == 0L) 1.0 else r.getLong(1).toDouble / r.getLong(0).toDouble
-    if (ratio >= sparseVocabRatio) ngramJaccardPairsPrefix(df, idCol, textCol, n, threshold)
-    else ngramJaccardPairs(df, idCol, textCol, n, threshold)
+    if (r.isNullAt(1) || r.getLong(1) == 0L) return "direct" // no shingles at all
+    val ratio = r.getLong(0).toDouble / r.getLong(1).toDouble
+    if (ratio >= sparseVocabRatio) return "prefix"
+    val scale = nDocs.toDouble / math.min(sampleDocs.toLong, nDocs).toDouble
+    val estSumDf2 = r.getLong(2).toDouble * scale * scale
+    val route = if (estSumDf2 <= maxCandidateEstimate) "direct" else "capped"
+    log.info(f"jaccardAutoRoute: nDocs=$nDocs ratio=$ratio%.3f " +
+      f"estSumDf2=$estSumDf2%.3g -> $route")
+    route
   }
 
   /** Df-capped Jaccard pairs: shingles occurring in more than `maxDf`

@@ -304,14 +304,15 @@ object Similarity {
   def knnIvfPq(queries: DataFrame, candidates: DataFrame, k: Int,
                nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
                refine: Int = 4): DataFrame = {
-    // same train-once memo discipline as knnIvf (plan + file listing):
-    // repeated probes over an unchanged candidate set skip both sample
-    // jobs; a rewrite of the underlying files retrains
-    val key = (candidates.queryExecution.analyzed.canonicalized,
-      fileFingerprint(candidates), nCells, m * 100000 + kSub)
+    // train-once memo discipline (plan + file listing): the IVF half goes
+    // through the SAME cache as knnIvf — a corpus already coarse-indexed
+    // by knnIvf never re-runs the IVF sample job here — and the PQ half
+    // keys m/kSub as distinct tuple components (no packed-int collisions)
+    val ivf = trainedIvf(candidates, nCells)
+    val pqKey = (candidates.queryExecution.analyzed.canonicalized,
+      fileFingerprint(candidates), m, kSub)
     if (pqCache.size() > IvfCacheMax) pqCache.clear()
-    val (ivf, pq) = pqCache.computeIfAbsent(key, _ =>
-      (buildIvfIndex(candidates, nCells), buildPqIndex(candidates, m, kSub)))
+    val pq = pqCache.computeIfAbsent(pqKey, _ => buildPqIndex(candidates, m, kSub))
     val assigned = encodePq(assignCells(candidates, ivf), pq)
       .select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"),
         $"cell", $"codes")
@@ -363,7 +364,7 @@ object Similarity {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Int), IvfIndex]()
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Int), (IvfIndex, PqIndex)]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Int), PqIndex]()
 
   /** (path, len, mtime)-hash over every file-backed scan in the plan. */
   private def fileFingerprint(df: DataFrame): Long = {
@@ -394,14 +395,48 @@ object Similarity {
     * + [[probeIvf]]. Search cost drops from O(|candidates|) to
     * O(nProbe/nCells · |candidates|) per query; fully deterministic. */
   def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
-             nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+             nCells: Int = 16, nProbe: Int = 2): DataFrame =
+    probeIvf(trainedIvf(candidates, nCells), queries, candidates, k, nProbe)
+
+  /** The shared train-once path behind [[knnIvf]] and [[knnIvfPq]]:
+    * fitted centroids per (canonicalized plan, file listing, nCells). */
+  private def trainedIvf(candidates: DataFrame, nCells: Int): IvfIndex = {
     val key = (candidates.queryExecution.analyzed.canonicalized,
       fileFingerprint(candidates), nCells, 4096)
     if (ivfCache.size() > IvfCacheMax) ivfCache.clear()
-    val index = ivfCache.computeIfAbsent(key, _ => {
+    ivfCache.computeIfAbsent(key, _ => {
       ivfTrainCount.incrementAndGet()
       buildIvfIndex(candidates, nCells)
     })
+  }
+
+  /** IVF kNN probing a PERSISTED index — the cross-session operational
+    * path [[saveIvfIndex]] exists for: train once anywhere, then every
+    * job/session/cluster probing the same corpus loads the few-KB
+    * centroid table instead of re-running the sample job. When no index
+    * exists at `indexPath` yet, falls back to train-once and PUBLISHES
+    * the result there, so the first caller pays and every later session
+    * (or JVM) loads. The loaded index must have been trained for this
+    * corpus — cell counts are validated, content staleness is the
+    * caller's contract (retrain after a corpus rewrite, exactly like any
+    * external ANN index). */
+  def knnIvfPersisted(queries: DataFrame, candidates: DataFrame, k: Int,
+                      indexPath: String, nCells: Int = 16,
+                      nProbe: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val index =
+      if (fs.exists(p)) {
+        val loaded = loadIvfIndex(spark, indexPath)
+        require(loaded.nCells == nCells,
+          s"index at $indexPath has ${loaded.nCells} cells, caller asked $nCells")
+        loaded
+      } else {
+        val trained = trainedIvf(candidates, nCells)
+        saveIvfIndex(trained, spark, indexPath)
+        trained
+      }
     probeIvf(index, queries, candidates, k, nProbe)
   }
 

@@ -124,6 +124,10 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("testdata-sf1")
     val sf     = if (args.length > 1) args(1).toDouble else 1.0
+    // optional comma-list of tables (e.g. "documents,embeddings") — a
+    // heavy-family-only slice at big sf skips the 6M-row/decade lineitem
+    val only   = if (args.length > 2) args(2).split(",").map(_.trim).toSet
+                 else Set.empty[String]
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -131,13 +135,15 @@ object ScaleGen {
       .appName("graft-scalegen")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, sf)
+    generate(spark, outDir, sf, only)
     spark.stop()
   }
 
   /** Session-agnostic generation (specs call this on the shared test
-    * session; `main` wraps it with its own lifecycle). */
-  def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
+    * session; `main` wraps it with its own lifecycle). `only` filters
+    * the emitted tables (empty = all). */
+  def generate(spark: SparkSession, outDir: String, sf: Double,
+               only: Set[String] = Set.empty): Unit = {
     val nCust  = (150000 * sf).toLong
     val nSupp  = (10000 * sf).toLong
     val nPart  = (200000 * sf).toLong
@@ -153,10 +159,12 @@ object ScaleGen {
 
     import spark.implicits._
 
-    def write(df: DataFrame, name: String, parts: Int): Unit = {
-      df.coalesce(parts).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
-      println(s"[scalegen] wrote $name")
-    }
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      if (only.nonEmpty && !only.contains(name)) ()
+      else {
+        df.coalesce(parts).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+        println(s"[scalegen] wrote $name")
+      }
 
     write(spark.createDataset(
       Seq(Region(0, "AFRICA"), Region(1, "AMERICA"), Region(2, "ASIA"), Region(3, "EUROPE"), Region(4, "MIDDLE EAST"))

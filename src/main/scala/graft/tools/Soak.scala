@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.pipeline.{CurationStream, SignatureStore}
+
+/** Streaming soak for the near-dup curation path: replays a document
+  * corpus as MANY micro-batches through
+  * [[CurationStream.startNearDup]] with in-stream store maintenance on,
+  * and records per-batch wall time plus store file counts — the
+  * operational evidence that probe cost stays flat while the signature
+  * store grows across compactions, instead of degrading with
+  * accumulated per-batch delta dirs (the small-files trap a week-long
+  * stream hits first).
+  *
+  * Usage: `runMain graft.tools.Soak <documents.parquet> <workDir>
+  * [nBatches=50] [compactEvery=10]` — set `compactEvery=0` for the
+  * no-maintenance control run. Writes `<workDir>/soak.json` with one
+  * record per micro-batch: `{batch, rows, wallMs, deltaDirs, storeFiles}`.
+  *
+  * Mechanics: the corpus is re-written into `nBatches` parquet slices
+  * and streamed back with `maxFilesPerTrigger=1`, so AvailableNow admits
+  * exactly one slice per micro-batch — a deterministic, broker-free
+  * stand-in for a day of arrivals. Wall time comes from the query's own
+  * progress log (`triggerExecution`, which spans the whole foreachBatch:
+  * signature + probe + sinks + any scheduled compact/vacuum), file
+  * counts from a post-batch listener snapshot of the store layout.
+  */
+object Soak {
+
+  private def countFiles(dir: java.io.File): Int =
+    if (!dir.exists()) 0
+    else if (dir.isFile) 1
+    else Option(dir.listFiles()).map(_.map(countFiles).sum).getOrElse(0)
+
+  def main(args: Array[String]): Unit = {
+    val docsPath = args(0)
+    val work = args(1)
+    val nBatches = if (args.length > 2) args(2).toInt else 50
+    val compactEvery = if (args.length > 3) args(3).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // keep every batch's progress: default retention is 100
+      .config("spark.sql.streaming.numRecentProgressUpdates", nBatches + 10)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    new java.io.File(work).mkdirs()
+    val staging = s"$work/staging"
+    val store = s"$work/store"
+    val docs = spark.read.parquet(docsPath).select($"doc_id", $"text")
+    // one slice file per intended micro-batch (round-robin repartition
+    // gives near-equal slice sizes regardless of source layout)
+    docs.repartition(nBatches).write.mode("overwrite").parquet(staging)
+    val nDocs = docs.count()
+
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val cfg = CurationStream.NearDupConfig(
+      compactEvery = compactEvery, storeBuckets = 64, vacuumGrace = 2)
+
+    // store-layout snapshot per completed batch, keyed by batchId
+    val snapshots = new java.util.concurrent.ConcurrentHashMap[Long, (Int, Int)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val deltaDirs = Option(new java.io.File(s"$store/delta").list())
+          .map(_.count(_.startsWith("batch="))).getOrElse(0)
+        val storeFiles = countFiles(new java.io.File(store))
+        snapshots.put(e.progress.batchId, (deltaDirs, storeFiles))
+      }
+    }
+    spark.streams.addListener(listener)
+
+    val t0 = System.nanoTime()
+    val q = CurationStream.startNearDup(spark, stream, cfg,
+      s"$work/clean", s"$work/neardup", store, s"$work/cp",
+      trigger = Trigger.AvailableNow())
+    try q.awaitTermination() finally q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(listener)
+
+    val rows = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .sortBy(_.batchId)
+      .map { p =>
+        val (dd, sf) = snapshots.getOrDefault(p.batchId, (-1, -1))
+        val ms = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(-1L)
+        (p.batchId, p.numInputRows, ms, dd, sf)
+      }
+    val json = rows.map { case (b, n, ms, dd, sf) =>
+      s"""{"batch":$b,"rows":$n,"wallMs":$ms,"deltaDirs":$dd,"storeFiles":$sf}"""
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/soak.json"), json)
+
+    val clean = spark.read.parquet(s"$work/clean").count()
+    val near = try spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(s"$work/neardup").count() catch { case _: Throwable => 0L }
+    println(f"soak: $nDocs docs in ${rows.size} batches, wall $wallSec%.1f s, " +
+      s"clean=$clean neardup=$near compactEvery=$compactEvery")
+    val head = rows.take(10); val tail = rows.takeRight(10)
+    def mean(xs: Seq[Long]): Double = if (xs.isEmpty) 0 else xs.sum.toDouble / xs.size
+    println(f"  mean wallMs first10=${mean(head.map(_._3))}%.0f " +
+      f"last10=${mean(tail.map(_._3))}%.0f  " +
+      s"deltaDirs last=${rows.lastOption.map(_._4).getOrElse(-1)}  " +
+      s"storeFiles last=${rows.lastOption.map(_._5).getOrElse(-1)}")
+    spark.stop()
+  }
+}

@@ -379,6 +379,30 @@ class OpsSpec extends SparkSuite {
       == triples(Dedup.ngramJaccardPairs(sparse, "doc_id", "text")))
     assert(triples(Dedup.ngramJaccardPairs(sparse, "doc_id", "text"))
       .exists { case (a, b, j) => a == 5L && b == 100L && j == 1.0 })
+
+    // the route itself. sparse → prefix; the sf0.001 fixture sits near
+    // the density boundary (ratio ~0.5), so the dense assertions use a
+    // SATURATED corpus: 600 docs over a 12-word vocabulary — every
+    // shingle frequent, the shape whose direct join is Σdf²-quadratic
+    assert(Dedup.jaccardAutoRoute(sparse, "doc_id", "text") == "prefix")
+    val vocab = IndexedSeq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val saturated = (0L until 600L).map { i =>
+      (i, (0 until 30).map(j => vocab(((i * 31 + j * 7) % 12).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.jaccardAutoRoute(saturated, "doc_id", "text") == "direct")
+    assert(Dedup.jaccardAutoRoute(saturated, "doc_id", "text",
+      maxCandidateEstimate = 1e3) == "capped")
+    // Σdf² scaling: sampling a quarter of the docs must extrapolate
+    // quadratically to the same route (estimate is (N/S)²-scaled)
+    assert(Dedup.jaccardAutoRoute(saturated, "doc_id", "text",
+      sampleDocs = 150, maxCandidateEstimate = 1e3) == "capped")
+    // and the capped route produces the documented capped semantics
+    val cappedOut = Dedup.ngramJaccardPairsAuto(saturated, "doc_id", "text",
+      maxCandidateEstimate = 1e3, cappedMaxDf = 64)
+    val cappedRef = Dedup.ngramJaccardPairsCapped(saturated, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = 64)
+    assert(triples(cappedOut) == triples(cappedRef))
   }
 
   test("connectedComponents merges transitive chains to min-id labels") {
@@ -492,7 +516,14 @@ class OpsSpec extends SparkSuite {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = pairs(Similarity.knnBruteForce(q, e, k = 5))
+    // warm the IVF memo via knnIvf, then knnIvfPq over the SAME corpus
+    // and cell count must reuse it (shared trainedIvf path) — no second
+    // IVF sample/training job
+    Similarity.knnIvf(q, e, k = 5, nCells = 8, nProbe = 4).count()
+    val trained0 = Similarity.ivfTrainCount.get()
     val ivfpq = pairs(Similarity.knnIvfPq(q, e, k = 5, nCells = 8, nProbe = 4))
+    assert(Similarity.ivfTrainCount.get() == trained0,
+      "knnIvfPq re-trained an IVF index knnIvf had already fitted")
     assert(exact.nonEmpty)
     val recall = (exact intersect ivfpq).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall $recall (${(exact intersect ivfpq).size}/${exact.size})")
@@ -522,6 +553,47 @@ class OpsSpec extends SparkSuite {
     val a = Similarity.probeIvf(trained, q, e, k = 3, nProbe = 2)
     val b = Similarity.probeIvf(loaded, q, e, k = 3, nProbe = 2)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("knnIvfPersisted: first call trains + publishes, fresh session loads") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_persist").toString
+    val path = s"$dir/index"
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val q = e.where(col("id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+
+    // cold path: no index on disk → train-once, publish, probe
+    val first = pairs(Similarity.knnIvfPersisted(q, e, k = 3, path, nCells = 8, nProbe = 2))
+    assert(new java.io.File(path).exists(), "index not published")
+    assert(first == pairs(Similarity.knnIvf(q, e, k = 3, nCells = 8, nProbe = 2)))
+
+    // warm path in a FRESH session (new session state, same JVM): loads
+    // the persisted index and probes identically
+    val s2 = spark.newSession()
+    val e2 = Similarity.prepared(Tables.embeddings(s2, sf), "vec_id", "embedding")
+    val again = pairs(Similarity.knnIvfPersisted(
+      e2.where(col("id") < 5), e2, k = 3, path, nCells = 8, nProbe = 2))
+    assert(again == first)
+
+    // the DISK index is authoritative, not the in-JVM memo: publish an
+    // index trained on a different (shifted) corpus to a second path and
+    // the probe must follow THAT file's centroids exactly
+    val shifted = Similarity.prepared(
+      Tables.embeddings(spark, sf).withColumn("embedding",
+        transform(col("embedding"), (x: org.apache.spark.sql.Column) => x * lit(-1.0))),
+      "vec_id", "embedding")
+    val custom = Similarity.buildIvfIndex(shifted, nCells = 8)
+    val path2 = s"$dir/index2"
+    Similarity.saveIvfIndex(custom, spark, path2)
+    val viaPersisted = pairs(Similarity.knnIvfPersisted(q, e, k = 3, path2, nCells = 8, nProbe = 2))
+    val viaExplicit = pairs(Similarity.probeIvf(custom, q, e, k = 3, nProbe = 2))
+    assert(viaPersisted == viaExplicit)
+
+    // cell-count mismatch is refused loudly, not silently mis-probed
+    intercept[IllegalArgumentException](
+      Similarity.knnIvfPersisted(q, e, k = 3, path, nCells = 4, nProbe = 2).count())
   }
 
   test("IVF cache retrains when the files behind an identical plan change") {
