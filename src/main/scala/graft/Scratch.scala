@@ -19,7 +19,9 @@ object Scratch {
     catch { case _: Throwable =>
       spark.read.parquet(s"$sfDir/documents.parquet").count() }
     val names = if (args.nonEmpty) args.toSeq else Seq("q42_curation")
-    for (n <- names; i <- 1 to 2) {
+    // 1 run for multi-minute big-sf measurements (JIT noise is a wash)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_RUNS", "2").toInt
+    for (n <- names; i <- 1 to runs) {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[scratch] $n#$i%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")

@@ -257,7 +257,7 @@ object Dedup {
                             n: Int = 3, threshold: Double = 0.5,
                             sampleDocs: Int = 2048,
                             sparseVocabRatio: Double = 0.5,
-                            maxCandidateEstimate: Double = 1e8,
+                            maxCandidateEstimate: Double = 1e11,
                             cappedMaxDf: Int = 256): DataFrame =
     jaccardAutoRoute(df, idCol, textCol, n, sampleDocs, sparseVocabRatio,
         maxCandidateEstimate) match {
@@ -275,7 +275,7 @@ object Dedup {
   def jaccardAutoRoute(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, sampleDocs: Int = 2048,
                        sparseVocabRatio: Double = 0.5,
-                       maxCandidateEstimate: Double = 1e8): String = {
+                       maxCandidateEstimate: Double = 1e11): String = {
     val nDocs = df.count()
     val s = df.select(col(idCol).as("doc"), col(textCol).as("t")).limit(sampleDocs)
     val r = s.select(explode(array_distinct(Text.shingles($"t", n))).as("sh"))
