@@ -258,13 +258,33 @@ object Dedup {
                             sampleDocs: Int = 2048,
                             sparseVocabRatio: Double = 0.5,
                             maxCandidateEstimate: Double = 1e11,
-                            cappedMaxDf: Int = 256): DataFrame =
-    jaccardAutoRoute(df, idCol, textCol, n, sampleDocs, sparseVocabRatio,
-        maxCandidateEstimate) match {
+                            cappedMaxDf: Int = 256,
+                            cappedMaxDfFraction: Double = 0.002): DataFrame = {
+    val d = jaccardRouteDecision(df, idCol, textCol, n, sampleDocs,
+      sparseVocabRatio, maxCandidateEstimate)
+    d.route match {
       case "prefix" => ngramJaccardPairsPrefix(df, idCol, textCol, n, threshold)
       case "direct" => ngramJaccardPairs(df, idCol, textCol, n, threshold)
-      case _ => ngramJaccardPairsCapped(df, idCol, textCol, n, threshold, cappedMaxDf)
+      case _ =>
+        // SCALE-FREE cap: an absolute maxDf tightens as the corpus grows
+        // (df scales with N on a saturated vocabulary, so a fixed 256
+        // keeps only an ever-rarer tail — measured at sf10 in PERF.md).
+        // The standard stop-word notion is relative — df/N above a few
+        // per mille — so the effective cap is max(cappedMaxDf, fraction
+        // of corpus): stable capped semantics across scales, with the
+        // absolute value as a small-corpus floor.
+        val maxDf = math.max(cappedMaxDf.toLong,
+          math.ceil(d.nDocs * cappedMaxDfFraction).toLong)
+          .min(Int.MaxValue.toLong).toInt
+        ngramJaccardPairsCapped(df, idCol, textCol, n, threshold, maxDf)
     }
+  }
+
+  /** The [[ngramJaccardPairsAuto]] decision with its measured inputs:
+    * route ∈ prefix/direct/capped, the corpus count, and the
+    * (N/S)²-scaled Σdf² candidate estimate. */
+  final case class JaccardRoute(route: String, nDocs: Long,
+                                estCandidates: Double)
 
   /** The [[ngramJaccardPairsAuto]] plan-shape decision, observable for
     * specs and operators: `"prefix"` (sparse vocabulary — lossless
@@ -275,7 +295,16 @@ object Dedup {
   def jaccardAutoRoute(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, sampleDocs: Int = 2048,
                        sparseVocabRatio: Double = 0.5,
-                       maxCandidateEstimate: Double = 1e11): String = {
+                       maxCandidateEstimate: Double = 1e11): String =
+    jaccardRouteDecision(df, idCol, textCol, n, sampleDocs,
+      sparseVocabRatio, maxCandidateEstimate).route
+
+  /** See [[jaccardAutoRoute]]; this form also returns the decision's
+    * measured inputs (corpus size, candidate estimate). */
+  def jaccardRouteDecision(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, sampleDocs: Int = 2048,
+                           sparseVocabRatio: Double = 0.5,
+                           maxCandidateEstimate: Double = 1e11): JaccardRoute = {
     val nDocs = df.count()
     val s = df.select(col(idCol).as("doc"), col(textCol).as("t")).limit(sampleDocs)
     val r = s.select(explode(array_distinct(Text.shingles($"t", n))).as("sh"))
@@ -283,15 +312,16 @@ object Dedup {
       .agg(count(lit(1)).as("v"), sum($"df").as("total"),
         sum($"df" * $"df").as("sumdf2"))
       .head()
-    if (r.isNullAt(1) || r.getLong(1) == 0L) return "direct" // no shingles at all
+    if (r.isNullAt(1) || r.getLong(1) == 0L)
+      return JaccardRoute("direct", nDocs, 0.0) // no shingles at all
     val ratio = r.getLong(0).toDouble / r.getLong(1).toDouble
-    if (ratio >= sparseVocabRatio) return "prefix"
+    if (ratio >= sparseVocabRatio) return JaccardRoute("prefix", nDocs, 0.0)
     val scale = nDocs.toDouble / math.min(sampleDocs.toLong, nDocs).toDouble
     val estSumDf2 = r.getLong(2).toDouble * scale * scale
     val route = if (estSumDf2 <= maxCandidateEstimate) "direct" else "capped"
     log.info(f"jaccardAutoRoute: nDocs=$nDocs ratio=$ratio%.3f " +
       f"estSumDf2=$estSumDf2%.3g -> $route")
-    route
+    JaccardRoute(route, nDocs, estSumDf2)
   }
 
   /** Df-capped Jaccard pairs: shingles occurring in more than `maxDf`

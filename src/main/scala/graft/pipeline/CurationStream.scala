@@ -83,7 +83,8 @@ object CurationStream {
                            minEstJaccard: Double = 0.5,
                            compactEvery: Int = 0,
                            storeBuckets: Int = 64,
-                           vacuumGrace: Int = 2)
+                           vacuumGrace: Int = 2,
+                           storeMaxGenerations: Int = 8)
 
   /** Streaming MinHash near-dup curation — the continuous counterpart of
     * the batch near-dup pass (q25/q42), composed AFTER the exact stage
@@ -210,7 +211,8 @@ object CurationStream {
           SignatureStore.vacuum(s, storePath); vacuumAt = -1
         }
         if (processed % cfg.compactEvery == 0 &&
-            SignatureStore.compact(s, storePath, cfg.storeBuckets).isDefined)
+            SignatureStore.compact(s, storePath, cfg.storeBuckets,
+              cfg.storeMaxGenerations).isDefined)
           vacuumAt = processed + cfg.vacuumGrace
       }
     }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   *                               replayed batch is idempotent on the store)
   *   <store>/gen-<n>/bucket=<b>/ compacted generation n, hash-partitioned
   *                               on the probe join key (band_id, band_hash)
-  *   <store>/_ptr/v<n>           generation pointers; the LIVE generation
-  *                               is the max n ("maxBatch buckets" inside)
+  *   <store>/_ptr/v<n>           pointers; the LIVE pointer is the max n
+  *                               ("maxBatch buckets g1,...,gn" inside —
+  *                               the TIER LIST of live generations; see
+  *                               [[compact]] for minor/major tiering)
   *   <store>/_runs/<runTag>      epoch registry: one file per checkpoint
   *                               lineage that ever wrote this store
   * }}}
@@ -71,9 +73,16 @@ private[pipeline] object SignatureStore {
   private val compactedSchema: StructType =
     StructType(schema.fields :+ StructField("bucket", IntegerType))
 
-  /** Live compacted generation: `gen-<gen>` covers every batch id
-    * ≤ maxBatch, hash-partitioned into `buckets` bucket dirs. */
-  final case class Pointer(gen: Long, maxBatch: Long, buckets: Int)
+  /** Live compacted state: the `gens` TIER LIST (oldest → newest
+    * `gen-<g>` dirs, all hash-partitioned into the same `buckets` bucket
+    * count) together covers every batch id ≤ maxBatch. `gen` is the
+    * newest tier (= this pointer's version number). A single-generation
+    * store is the `gens.size == 1` special case; pre-tiering pointers
+    * parse to exactly that. */
+  final case class Pointer(gen: Long, maxBatch: Long, buckets: Int,
+                           gens: Seq[Long]) {
+    require(gens.nonEmpty && gens.last == gen, s"pointer tiers corrupt: $this")
+  }
 
   /** Bucket of a probe join key. Must match between compaction writes and
     * probe pruning — single definition, parameterized only by the bucket
@@ -134,8 +143,13 @@ private[pipeline] object SignatureStore {
       val in = f.open(new org.apache.hadoop.fs.Path(s"$store/_ptr/v$gen"))
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                     finally in.close()
-      val Array(maxBatch, buckets) = content.split("\\s+")
-      Pointer(gen, maxBatch.toLong, buckets.toInt)
+      // "maxBatch buckets [g1,g2,...]" — the tier list is absent in
+      // pre-tiering pointers (single live generation = this version)
+      val parts = content.split("\\s+")
+      val gens =
+        if (parts.length > 2) parts(2).split(",").toSeq.map(_.toLong)
+        else Seq(gen)
+      Pointer(gen, parts(0).toLong, parts(1).toInt, gens)
     }
   }
 
@@ -169,7 +183,12 @@ private[pipeline] object SignatureStore {
     ptr match {
       case None => delta
       case Some(p) =>
-        val gen0 = spark.read.schema(compactedSchema).parquet(s"$store/gen-${p.gen}")
+        // union of the pointer's tier list — every tier shares the same
+        // bucket modulus (a bucket-count change forces a major merge),
+        // so one candidate-bucket set prunes all of them
+        val gen0 = p.gens.map { g =>
+            spark.read.schema(compactedSchema).parquet(s"$store/gen-$g")
+          }.reduce(_ unionByName _)
           .where(col("batch") < beforeBatch)
         val gen = candidateBuckets match {
           case Some(bs) if bs.isEmpty => gen0.where(lit(false))
@@ -180,11 +199,30 @@ private[pipeline] object SignatureStore {
     }
   }
 
-  /** Fold the live generation + newer deltas into generation n+1 and
-    * publish it. Returns the new pointer, or None when there is nothing
-    * new to absorb. Exact-duplicate rows (a replayed batch that was
-    * absorbed while uncommitted — see class doc) collapse here. */
-  def compact(spark: SparkSession, store: String, buckets: Int = 64): Option[Pointer] = {
+  /** Fold newer deltas into generation n+1 and publish it — TIERED, so
+    * steady-state maintenance is O(new data), not O(store):
+    *
+    *  - MINOR (the common case): only the deltas newer than the live
+    *    pointer are bucketed into the new generation, which is APPENDED
+    *    to the pointer's tier list. Cost is proportional to what
+    *    arrived since the last compaction — the write amplification a
+    *    week-long stream actually feels.
+    *  - MAJOR: when the tier list would exceed `maxGenerations` (or the
+    *    bucket count changes), all live tiers + deltas merge into one
+    *    generation and the list resets. Majors are 1-in-`maxGenerations`
+    *    compactions, so total rewrite work over a T-batch stream drops
+    *    from O(T²/cadence) to O(T²/(cadence·maxGenerations)) with probe
+    *    file count still bounded at O(maxGenerations·buckets).
+    *
+    * Returns the new pointer, or None when there is nothing new to
+    * absorb. A replayed batch whose rows were absorbed while uncommitted
+    * may appear in two tiers until the next MAJOR collapses them (its
+    * exact-row dedup); harmless to the probe, whose pair generation
+    * deduplicates on (doc_id, ref_id) — same argument as the gen+delta
+    * duplication in the class doc. */
+  def compact(spark: SparkSession, store: String, buckets: Int = 64,
+              maxGenerations: Int = 8): Option[Pointer] = {
+    require(maxGenerations >= 1, s"maxGenerations must be >= 1")
     val f = fs(spark, store)
     val deltaDir = new org.apache.hadoop.fs.Path(s"$store/delta")
     val prev = currentPointer(spark, store)
@@ -195,8 +233,21 @@ private[pipeline] object SignatureStore {
         .flatMap(s => "^batch=(\\d+)$".r.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
         .filter(_ > prevMax)
     if (newBatches.isEmpty) return None
-    val next = Pointer(prev.map(_.gen + 1).getOrElse(0L), newBatches.max, buckets)
-    refs(spark, store, beforeBatch = Long.MaxValue, ptr = prev)
+    val nextGen = prev.map(_.gen + 1).getOrElse(0L)
+    val minor = prev.exists(p =>
+      p.buckets == buckets && p.gens.size < maxGenerations)
+    val (source, gens) =
+      if (minor) {
+        // deltas only; the live tiers are untouched on disk
+        val d = deltas(spark, store).where(col("batch") > prevMax)
+        (d, prev.get.gens :+ nextGen)
+      } else {
+        // full merge: live tiers + deltas; replay-duplicate rows collapse
+        (refs(spark, store, beforeBatch = Long.MaxValue, ptr = prev),
+          Seq(nextGen))
+      }
+    val next = Pointer(nextGen, newBatches.max, buckets, gens)
+    source
       .dropDuplicates("doc_id", "band_id", "batch")
       .withColumn("bucket", bucketOf(col("band_id"), col("band_hash"), buckets))
       // one shuffle sized by the bucket count: each bucket dir gets one
@@ -205,7 +256,8 @@ private[pipeline] object SignatureStore {
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$store/gen-${next.gen}")
     val tmp = new org.apache.hadoop.fs.Path(s"$store/_ptr/.v${next.gen}.tmp")
     val out = f.create(tmp, true)
-    try out.write(s"${next.maxBatch} ${next.buckets}".getBytes("UTF-8")) finally out.close()
+    try out.write(s"${next.maxBatch} ${next.buckets} ${next.gens.mkString(",")}"
+      .getBytes("UTF-8")) finally out.close()
     if (!f.rename(tmp, new org.apache.hadoop.fs.Path(s"$store/_ptr/v${next.gen}")))
       throw new java.io.IOException(s"could not publish pointer v${next.gen} for $store")
     Some(next)
@@ -224,9 +276,10 @@ private[pipeline] object SignatureStore {
           .filter(_.group(1).toLong <= p.maxBatch)
           .foreach(_ => f.delete(s.getPath, true))
       }
+      val live = p.gens.toSet
       f.listStatus(new org.apache.hadoop.fs.Path(store)).foreach { s =>
         "^gen-(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
-          .filter(_.group(1).toLong < p.gen)
+          .filter(m => !live.contains(m.group(1).toLong))
           .foreach(_ => f.delete(s.getPath, true))
       }
       val ptrDir = new org.apache.hadoop.fs.Path(s"$store/_ptr")

@@ -14,12 +14,17 @@ import graft.pipeline.{CurationStream, SignatureStore}
   * stream hits first).
   *
   * Usage: `runMain graft.tools.Soak <documents.parquet> <workDir>
-  * [nBatches=50] [compactEvery=10]` — set `compactEvery=0` for the
-  * no-maintenance control run. Writes `<workDir>/soak.json` with one
-  * record per micro-batch: `{batch, rows, wallMs, deltaDirs, storeFiles}`.
+  * [nBatches=50] [compactEvery=10] [maxGenerations=8]` — set
+  * `compactEvery=0` for the no-maintenance control run. Writes
+  * `<workDir>/soak.json` with one record per micro-batch:
+  * `{batch, rows, wallMs, deltaDirs, storeFiles}`.
   *
   * Mechanics: the corpus is re-written into `nBatches` parquet slices
-  * and streamed back with `maxFilesPerTrigger=1`, so AvailableNow admits
+  * (hash of doc id, NOT round-robin `repartition(n)` — round-robin
+  * starts are run-dependent, and near-dup curation is order-dependent
+  * by design, so two soaks would otherwise process different batch
+  * compositions and their sink counts would not be comparable) and
+  * streamed back with `maxFilesPerTrigger=1`, so AvailableNow admits
   * exactly one slice per micro-batch — a deterministic, broker-free
   * stand-in for a day of arrivals. Wall time comes from the query's own
   * progress log (`triggerExecution`, which spans the whole foreachBatch:
@@ -38,6 +43,7 @@ object Soak {
     val work = args(1)
     val nBatches = if (args.length > 2) args(2).toInt else 50
     val compactEvery = if (args.length > 3) args(3).toInt else 10
+    val maxGens = if (args.length > 4) args(4).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,9 +60,11 @@ object Soak {
     val staging = s"$work/staging"
     val store = s"$work/store"
     val docs = spark.read.parquet(docsPath).select($"doc_id", $"text")
-    // one slice file per intended micro-batch (round-robin repartition
-    // gives near-equal slice sizes regardless of source layout)
-    docs.repartition(nBatches).write.mode("overwrite").parquet(staging)
+    // one slice file per intended micro-batch, membership a pure
+    // function of doc id so every soak run replays identical batches
+    docs.repartition(nBatches, org.apache.spark.sql.functions.pmod(
+        $"doc_id", org.apache.spark.sql.functions.lit(nBatches.toLong)))
+      .write.mode("overwrite").parquet(staging)
     val nDocs = docs.count()
 
     val stream = spark.readStream
@@ -64,7 +72,8 @@ object Soak {
       .option("maxFilesPerTrigger", "1")
       .parquet(staging)
     val cfg = CurationStream.NearDupConfig(
-      compactEvery = compactEvery, storeBuckets = 64, vacuumGrace = 2)
+      compactEvery = compactEvery, storeBuckets = 64, vacuumGrace = 2,
+      storeMaxGenerations = maxGens)
 
     // store-layout snapshot per completed batch, keyed by batchId
     val snapshots = new java.util.concurrent.ConcurrentHashMap[Long, (Int, Int)]()
@@ -110,7 +119,7 @@ object Soak {
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
       .parquet(s"$work/neardup").count() catch { case _: Throwable => 0L }
     println(f"soak: $nDocs docs in ${rows.size} batches, wall $wallSec%.1f s, " +
-      s"clean=$clean neardup=$near compactEvery=$compactEvery")
+      s"clean=$clean neardup=$near compactEvery=$compactEvery maxGens=$maxGens")
     val head = rows.take(10); val tail = rows.takeRight(10)
     def mean(xs: Seq[Long]): Double = if (xs.isEmpty) 0 else xs.sum.toDouble / xs.size
     println(f"  mean wallMs first10=${mean(head.map(_._3))}%.0f " +

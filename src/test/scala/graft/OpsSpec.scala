@@ -403,6 +403,16 @@ class OpsSpec extends SparkSuite {
     val cappedRef = Dedup.ngramJaccardPairsCapped(saturated, "doc_id", "text",
       n = 3, threshold = 0.5, maxDf = 64)
     assert(triples(cappedOut) == triples(cappedRef))
+    // scale-free cap: with a relative fraction the effective maxDf is
+    // max(floor, ceil(N * fraction)) — here max(8, 600*0.1) = 60
+    val fracOut = Dedup.ngramJaccardPairsAuto(saturated, "doc_id", "text",
+      maxCandidateEstimate = 1e3, cappedMaxDf = 8, cappedMaxDfFraction = 0.1)
+    val fracRef = Dedup.ngramJaccardPairsCapped(saturated, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = 60)
+    assert(triples(fracOut) == triples(fracRef))
+    // the decision carries its measured inputs
+    val dec = Dedup.jaccardRouteDecision(saturated, "doc_id", "text")
+    assert(dec.nDocs == 600 && dec.route == "direct" && dec.estCandidates > 0)
   }
 
   test("connectedComponents merges transitive chains to min-id labels") {

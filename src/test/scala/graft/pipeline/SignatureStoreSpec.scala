@@ -123,7 +123,7 @@ class SignatureStoreSpec extends graft.SparkSuite {
     // (batch ordinals are lineage-scoped: epoch 1, micro-batch 1)
     val ptr = SignatureStore.compact(spark, store, buckets = 8)
     assert(ptr.exists(p => p.gen == 0 && p.maxBatch == SignatureStore.seqOf(1, 1)
-      && p.buckets == 8))
+      && p.buckets == 8 && p.gens == Seq(0L)))
     SignatureStore.vacuum(spark, store)
     assert(deltaDirs == 0, "vacuum must drop absorbed deltas")
     assert(new java.io.File(s"$store/gen-0").isDirectory)
@@ -148,15 +148,35 @@ class SignatureStoreSpec extends graft.SparkSuite {
       == Set(1L, 2L))
     assert(deltaDirs == 1, "post-compaction batch writes a fresh delta")
 
-    // second compaction absorbs the new delta into gen-1 and the old
-    // generation vacuums away
+    // second compaction is a MINOR: only the new delta folds into gen-1,
+    // the tier list grows to [0, 1], gen-0 stays live through vacuum
     val ptr2 = SignatureStore.compact(spark, store, buckets = 8)
-    assert(ptr2.exists(p => p.gen == 1 && p.maxBatch == SignatureStore.seqOf(1, 2)))
+    assert(ptr2.exists(p => p.gen == 1 && p.maxBatch == SignatureStore.seqOf(1, 2)
+      && p.gens == Seq(0L, 1L)))
     SignatureStore.vacuum(spark, store)
-    assert(!new java.io.File(s"$store/gen-0").exists())
+    assert(new java.io.File(s"$store/gen-0").exists(), "live tier vacuumed away")
+    assert(new java.io.File(s"$store/gen-1").exists())
+    assert(deltaDirs == 0, "absorbed delta survived vacuum")
+    // docs 3/4 were near-dups (audited, never stored): the minor folded
+    // an EMPTY delta — tier list grows, content unchanged
     assert(SignatureStore.refs(spark, store, Long.MaxValue,
       SignatureStore.currentPointer(spark, store))
       .select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
+
+    // a MAJOR (forced via maxGenerations=1) merges the tiers back to one
+    input.addData((5L, base.replace("children", "students") + " tail"),
+      (6L, "totally new content about garden tools and careful watering schedules"))
+    val q4 = CurationStream.startNearDup(spark, df, cfg, clean, audit, store, cp)
+    try q4.awaitTermination() finally q4.stop()
+    val ptr3 = SignatureStore.compact(spark, store, buckets = 8, maxGenerations = 1)
+    assert(ptr3.exists(p => p.gen == 2 && p.gens == Seq(2L)))
+    SignatureStore.vacuum(spark, store)
+    assert(!new java.io.File(s"$store/gen-0").exists())
+    assert(!new java.io.File(s"$store/gen-1").exists())
+    assert(SignatureStore.refs(spark, store, Long.MaxValue,
+      SignatureStore.currentPointer(spark, store))
+      .select("doc_id").distinct().as[Long].collect().toSet
+      == Set(1L, 2L, 6L)) // 5 was a near-dup of 1: audited, not stored
   }
 
   test("probe prunes to candidate buckets and never shuffles the store") {
@@ -218,6 +238,17 @@ class SignatureStoreSpec extends graft.SparkSuite {
     val flat = nodes(probe.queryExecution.executedPlan)
     assert(flat.exists(_.isInstanceOf[BroadcastHashJoinExec]), s"no BHJ in probe plan")
     assert(!flat.exists(_.isInstanceOf[ShuffleExchangeLike]), s"store probe shuffled")
+  }
+
+  test("pre-tiering pointer files parse as a single-generation tier list") {
+    val store = tmpDir("legacy-ptr")
+    SignatureStore.ensure(spark, store)
+    val ptrDir = new java.io.File(s"$store/_ptr"); ptrDir.mkdirs()
+    // a round-5 pointer: "maxBatch buckets", no tier list
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/_ptr/v3"), "17 8")
+    val p = SignatureStore.currentPointer(spark, store)
+    assert(p.contains(SignatureStore.Pointer(3L, 17L, 8, Seq(3L))))
   }
 
   // -- run tags and lineage-scoped store ordinals --------------------------
