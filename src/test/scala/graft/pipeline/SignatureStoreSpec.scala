@@ -251,6 +251,34 @@ class SignatureStoreSpec extends graft.SparkSuite {
     assert(p.contains(SignatureStore.Pointer(3L, 17L, 8, Seq(3L))))
   }
 
+  test("bucket-count change forces a major merge, re-bucketing every tier") {
+    val store = tmpDir("tier-rebucket")
+    SignatureStore.ensure(spark, store)
+    def sigRows(doc: Long) = Seq((doc, Array(doc, doc + 1L), 0, doc * 17L))
+      .toDF("doc_id", "sig", "band_id", "band_hash")
+    SignatureStore.appendBatch(sigRows(1L), store, seq = 1L)
+    val p1 = SignatureStore.compact(spark, store, buckets = 8).get
+    SignatureStore.appendBatch(sigRows(2L), store, seq = 2L)
+    val p2 = SignatureStore.compact(spark, store, buckets = 8).get
+    assert(p1.gens == Seq(0L) && p2.gens == Seq(0L, 1L), "same-bucket minors")
+
+    // changing the bucket count MUST merge every tier into one generation
+    // under the new modulus: a minor would leave gen-0/gen-1 bucketed
+    // mod 8 while the probe prunes mod 16 — silently missed candidates
+    SignatureStore.appendBatch(sigRows(3L), store, seq = 3L)
+    val p3 = SignatureStore.compact(spark, store, buckets = 16).get
+    assert(p3.gens == Seq(2L) && p3.buckets == 16)
+    // every doc lands in exactly the bucket the new-modulus probe prunes to
+    for (doc <- 1L to 3L) {
+      val b = sigRows(doc).select(SignatureStore.bucketOf(
+        col("band_id"), col("band_hash"), 16)).head().getInt(0)
+      val hit = SignatureStore.refs(spark, store, Long.MaxValue, Some(p3),
+          candidateBuckets = Some(Set(b)))
+        .where(col("doc_id") === doc).count()
+      assert(hit == 1L, s"doc $doc not re-bucketed under the new modulus")
+    }
+  }
+
   // -- run tags and lineage-scoped store ordinals --------------------------
 
   test("tagFor: 64-bit width, canonicalized path, distinct lineages distinct") {
