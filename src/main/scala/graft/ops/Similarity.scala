@@ -455,4 +455,30 @@ object Similarity {
       .select($"id_a", $"id_b", $"cosine")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** SEMANTIC decontamination across corpora: every (train, eval) pair
+    * whose cosine similarity clears `minCosine` — the embedding-space
+    * analog of the n-gram cross-corpus pass ([[graft.ops.Dedup.ngramJaccardPairsAcross]]),
+    * catching paraphrased leakage that shingle overlap misses.
+    *
+    * Exact by construction, and scale-correct BECAUSE the sides are
+    * asymmetric: eval suites are small (thousands of rows) so the eval
+    * side is broadcast and the training corpus is scanned ONCE with no
+    * shuffle — cost is |train|·|eval| fused dot products distributed
+    * over the train partitions, and the output is threshold-filtered
+    * before leaving the scan. When the "eval" side grows past broadcast
+    * range, this stops being the right operator — use [[nearDupPairs]]
+    * (LSH candidate generation) or [[knnIvf]] over the union instead.
+    *
+    * Both inputs are [[prepared]] frames; self-pairs are excluded so the
+    * caller may pass overlapping corpora (same guard as the n-gram pass). */
+  def cosinePairsAcross(train: DataFrame, evalSet: DataFrame,
+                        minCosine: Double): DataFrame = {
+    val t = train.select($"id".as("train_id"), $"emb".as("q_emb"), $"norm".as("q_norm"))
+    val e = evalSet.select($"id".as("eval_id"), $"emb".as("c_emb"), $"norm".as("c_norm"))
+    t.join(broadcast(e), $"train_id" =!= $"eval_id")
+      .withColumn("cosine", cosine($"q_emb", $"c_emb", $"q_norm", $"c_norm"))
+      .where($"cosine" >= minCosine)
+      .select($"train_id", $"eval_id", $"cosine")
+  }
 }

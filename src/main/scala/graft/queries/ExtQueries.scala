@@ -388,6 +388,23 @@ object ExtQueries {
       .orderBy($"train_id", $"eval_id")
   }
 
+  /** SEMANTIC decontamination across corpora: training vectors whose
+    * cosine against any eval-side vector clears the threshold — the
+    * embedding-space analog of q72's n-gram pass, catching paraphrased
+    * leakage that shingle overlap misses. Same deterministic
+    * `vec_id % 5` split; the eval side is broadcast, the train corpus
+    * scanned once (see [[Similarity.cosinePairsAcross]]). The 0.45
+    * threshold sits just under the synthetic corpus's top cross-split
+    * cosines so the result exercises the filter on both sides. */
+  private val q75: Q = (s, d) => {
+    import s.implicits._
+    val e = Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+    Similarity.cosinePairsAcross(
+        e.where($"id" % 5 =!= 0), e.where($"id" % 5 === 0), minCosine = 0.45)
+      .select($"train_id", $"eval_id", round($"cosine", 6).as("cosine"))
+      .orderBy($"train_id", $"eval_id")
+  }
+
   /** Corpus-unigram log-probability quality score (the CCNet-style LM
     * filter with the corpus's own unigram model; see
     * [[Text.unigramLogProb]] for the determinism construction). */
@@ -442,6 +459,7 @@ object ExtQueries {
     "q61_token_entropy"     -> q61,
     "q71_unigram_logprob"   -> q71,
     "q72_eval_neardup"      -> q72,
+    "q75_embed_decontam"    -> q75,
     "q59_bloom_decontam"    -> q59,
     "q58_split_assign"      -> q58,
     "q57_tfidf_terms"       -> q57,
@@ -506,6 +524,16 @@ object ExtQueries {
         |  round(inter / (sa.n + sb.n - inter), 6) AS jaccard
         |FROM p JOIN sz sa ON train_id = sa.doc_id JOIN sz sb ON eval_id = sb.doc_id
         |WHERE inter / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "q75_embed_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |p AS (SELECT t.vec_id AS train_id, v.vec_id AS eval_id,
+        |        list_dot_product(t.emb, v.emb) / (t.nrm * v.nrm) AS cos
+        |      FROM n t JOIN n v ON t.vec_id <> v.vec_id
+        |      WHERE t.vec_id % 5 <> 0 AND v.vec_id % 5 = 0)
+        |SELECT train_id, eval_id, round(cos, 6) AS cosine
+        |FROM p WHERE cos >= 0.45
         |ORDER BY train_id, eval_id""".stripMargin,
     "q71_unigram_logprob" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -187,6 +187,28 @@ class OpsSpec extends SparkSuite {
     assert(r0.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("cosinePairsAcross: exact cross-corpus pairs, overlap-safe, broadcast eval side") {
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val train = e.where(col("id") % 5 =!= 0)
+    val ev = e.where(col("id") % 5 === 0)
+    val got = Similarity.cosinePairsAcross(train, ev, minCosine = 0.3)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    // reference: explicit all-pairs cosine over the same split/threshold
+    val ref = train.select(col("id").as("t"), col("emb").as("ea"), col("norm").as("na"))
+      .crossJoin(ev.select(col("id").as("v"), col("emb").as("eb"), col("norm").as("nb")))
+      .where(Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")) >= 0.3)
+      .select("t", "v").as[(Long, Long)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+    // overlapping corpora emit no self-pairs
+    val overlap = Similarity.cosinePairsAcross(e, e, minCosine = 0.999)
+      .where(col("train_id") === col("eval_id")).count()
+    assert(overlap == 0L)
+    // eval side is broadcast: no shuffle of the train scan
+    val plan = Similarity.cosinePairsAcross(train, ev, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("native array_dot equals the HOF fold bit-for-bit") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf)

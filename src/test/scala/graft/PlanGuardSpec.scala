@@ -25,7 +25,8 @@ class PlanGuardSpec extends SparkSuite {
   private val allowBnlj = Set(
     "q27_knn_cosine",     // candidates × broadcast(query vectors), k queries
     "q57_tfidf_terms",    // term frame × broadcast(1-row corpus count)
-    "q71_unigram_logprob") // token frame × broadcast(1-row token total)
+    "q71_unigram_logprob", // token frame × broadcast(1-row token total)
+    "q75_embed_decontam") // train scan × broadcast(eval vectors), small eval side
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
