@@ -78,7 +78,16 @@ object CurationStream {
     * @param storeBuckets  bucket count for scheduled compactions
     * @param vacuumGrace   scheduled [[SignatureStore.vacuum]] runs this
     *                      many batches after its compaction, so a reader
-    *                      planned against the old listing finishes first */
+    *                      planned against the old listing finishes first
+    * @param storeMaxGenerations LSM tier budget for scheduled compactions
+    *                      (see [[SignatureStore.compact]]): minors fold
+    *                      only new deltas (maintenance cost O(arrival
+    *                      rate) — measured flat at sf1, PERF.md); the
+    *                      probe pays ~10 %/live tier read amplification
+    *                      until a major (1-in-`storeMaxGenerations`
+    *                      compactions) resets the list. 4–8 with a
+    *                      cadence that lands a major about daily is the
+    *                      measured sweet spot */
   case class NearDupConfig(k: Int = 64, bands: Int = 16,
                            minEstJaccard: Double = 0.5,
                            compactEvery: Int = 0,
