@@ -144,9 +144,11 @@ object CurationStream {
     SignatureStore.ensure(spark, storePath)
     val r = cfg.k / cfg.bands
     val tag = IdempotentSink.tagFor(checkpoint)
-    // one registry read/create per (re)start: a restart of this checkpoint
-    // gets its old epoch back (replay lands on the original ordinals); a
-    // fresh checkpoint gets a higher one (prior signatures stay visible)
+    // one registry read/create per (re)start: a restart of the NEWEST
+    // checkpoint lineage gets its old epoch back (replay lands on the
+    // original ordinals); a fresh checkpoint — or a stale lineage resumed
+    // after a newer one has run — gets a higher epoch, so prior
+    // signatures stay visible and new batches sort above the pointer
     val epoch = SignatureStore.registerRun(spark, storePath, tag)
     // scheduled-maintenance cadence (driver-side, serial with the batches)
     var processed = 0L
@@ -193,7 +195,13 @@ object CurationStream {
         // scan streams through a broadcast-hash join with no shuffle
         val nearIds = broadcast(buckets)
           .join(prior.unionByName(intra), Seq("band_id", "band_hash"))
-          .where($"is_prior" || $"ref_id" < $"doc_id")
+          // self-pairs are never near-dup evidence: the prior side can
+          // surface a doc's own signature (e.g. a crash-replayed batch of
+          // a pre-epoch-scheme store whose legacy raw-id ordinals sort
+          // below every epoch ordinal, defeating the batch < seq guard)
+          // and est_jaccard 1.0 against itself would misroute the doc
+          .where(($"is_prior" || $"ref_id" < $"doc_id")
+            && $"ref_id" =!= $"doc_id")
           .dropDuplicates("doc_id", "ref_id")
           .withColumn("est_jaccard",
             aggregate(zip_with($"sig", $"ref_sig",

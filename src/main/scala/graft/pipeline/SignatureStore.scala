@@ -99,28 +99,73 @@ private[pipeline] object SignatureStore {
 
   /** Register (or look up) this checkpoint lineage's epoch: the first
     * run against a store gets 1, each new lineage gets max+1, and a
-    * RESTART of a known lineage gets its existing epoch back — so
-    * replayed batches land on their original ordinals. Create-if-absent
-    * keeps a lost race benign: the loser re-reads the winner's file.
-    * (Two *distinct* lineages writing one store concurrently is outside
-    * the store's contract — same as any single-writer table format.) */
+    * RESTART of the NEWEST lineage gets its existing epoch back — so
+    * replayed batches land on their original ordinals.
+    *
+    * A restarted lineage whose stored epoch is no longer the registry
+    * max does NOT get it back: a newer lineage has compacted/advanced
+    * the pointer past this epoch's ordinal range, so new batches written
+    * under the old epoch would sit at `seq <= pointer.maxBatch` —
+    * invisible to [[refs]]'s delta filter, skipped by [[compact]], and
+    * deleted by the next [[vacuum]] (silent signature loss). Such a
+    * lineage is RE-REGISTERED above the max instead. The only cost is
+    * that its one in-flight replayed batch lands under a fresh ordinal
+    * next to its orphaned original rows — harmless, because the probe's
+    * pair output deduplicates on (doc_id, ref_id) and self-pairs are
+    * guarded out.
+    *
+    * Same-tag create races stay benign (the loser re-reads the winner's
+    * file). Distinct fresh lineages that race past each other's create
+    * can both claim one epoch; [[registerRun]] re-lists after publishing
+    * and settles duplicates deterministically — the lexicographically
+    * first tag keeps the epoch, every other holder re-publishes above
+    * the registry max — so the race degrades to a retry, not to two
+    * lineages silently overwriting each other's `delta/batch=<seq>`
+    * dirs. (Two distinct lineages writing one store CONCURRENTLY is
+    * still outside the contract — same as any single-writer table
+    * format — but registration itself no longer loses data.) */
   def registerRun(spark: SparkSession, store: String, runTag: String): Long = {
     val f = fs(spark, store)
     val dir = new org.apache.hadoop.fs.Path(s"$store/_runs")
     f.mkdirs(dir)
-    val mine = new org.apache.hadoop.fs.Path(dir, runTag.stripSuffix("-"))
+    val myName = runTag.stripSuffix("-")
+    val mine = new org.apache.hadoop.fs.Path(dir, myName)
     def read(p: org.apache.hadoop.fs.Path): Long = {
       val in = f.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
       finally in.close()
     }
-    if (f.exists(mine)) return read(mine)
-    val next = (f.listStatus(dir).toSeq.map(s => read(s.getPath)) :+ 0L).max + 1
-    try {
-      val out = f.create(mine, false)
-      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-      next
-    } catch { case _: java.io.IOException => read(mine) }
+    def registry(): Map[String, Long] =
+      f.listStatus(dir).toSeq.map(s => s.getPath.getName -> read(s.getPath)).toMap
+    def publish(epoch: Long, overwrite: Boolean): Boolean =
+      try {
+        val out = f.create(mine, overwrite)
+        try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    // settle a duplicate epoch left by a concurrent-register race: the
+    // lexicographically-first tag keeps it (both sides agree on the
+    // tie-break without coordination), everyone else re-publishes above
+    // the registry max until unique
+    @annotation.tailrec
+    def settle(myEpoch: Long): Long = {
+      val all = registry()
+      val clash = all.exists { case (tag, e) =>
+        tag != myName && e == myEpoch && tag < myName }
+      if (!clash) myEpoch
+      else { val next = all.values.max + 1; publish(next, overwrite = true); settle(next) }
+    }
+    if (f.exists(mine)) {
+      val stored = read(mine)
+      val othersMax = (registry() - myName).values.maxOption.getOrElse(0L)
+      if (stored > othersMax) return stored // newest lineage: replay-stable resume
+      val fresh = othersMax + 1             // stale (or duplicated) epoch: re-register
+      publish(fresh, overwrite = true)
+      return settle(fresh)
+    }
+    val next = (registry().values.toSeq :+ 0L).max + 1
+    if (publish(next, overwrite = false)) settle(next)
+    else read(mine) // lost the same-tag create race: the winner's epoch is ours
   }
 
   /** Store ordinal of (run epoch, micro-batch id): monotonic across

@@ -294,17 +294,51 @@ class SignatureStoreSpec extends graft.SparkSuite {
       == IdempotentSink.tagFor("some/cp"))
   }
 
-  test("registerRun: first lineage 1, fresh lineage max+1, restart stable") {
+  test("registerRun: first lineage 1, fresh lineage max+1, newest restart stable") {
     val store = tmpDir("runs-store")
     SignatureStore.ensure(spark, store)
     assert(SignatureStore.registerRun(spark, store, "rAAAA") == 1L)
     assert(SignatureStore.registerRun(spark, store, "rBBBB") == 2L)
-    // a RESTART of a known lineage gets its original epoch back, so
+    // a RESTART of the NEWEST lineage gets its original epoch back, so
     // replayed micro-batches land on their original store ordinals
-    assert(SignatureStore.registerRun(spark, store, "rAAAA") == 1L)
+    assert(SignatureStore.registerRun(spark, store, "rBBBB") == 2L)
     assert(SignatureStore.seqOf(2L, 0L) > SignatureStore.seqOf(1L, (1L << 40) - 1))
     intercept[IllegalArgumentException](SignatureStore.seqOf(0L, 0L))
     intercept[IllegalArgumentException](SignatureStore.seqOf(1L, 1L << 40))
+  }
+
+  test("registerRun: a stale lineage is re-registered above the max, not handed its old epoch") {
+    val store = tmpDir("runs-stale")
+    SignatureStore.ensure(spark, store)
+    assert(SignatureStore.registerRun(spark, store, "rAAAA") == 1L)
+    assert(SignatureStore.registerRun(spark, store, "rBBBB") == 2L)
+    // resuming rAAAA now would write batches at seq = (1 << 40 | id),
+    // UNDER rBBBB's ordinals — once a compaction advances the pointer
+    // past them they'd be invisible to refs, skipped by compact, and
+    // vacuumed: silent signature loss. It must get a FRESH epoch.
+    assert(SignatureStore.registerRun(spark, store, "rAAAA") == 3L)
+    // …and having re-registered, it IS the newest lineage: stable again
+    assert(SignatureStore.registerRun(spark, store, "rAAAA") == 3L)
+    // rBBBB in turn is now stale and re-registers above
+    assert(SignatureStore.registerRun(spark, store, "rBBBB") == 4L)
+  }
+
+  test("registerRun: duplicate epochs from a register race settle deterministically") {
+    val store = tmpDir("runs-dup")
+    SignatureStore.ensure(spark, store)
+    // simulate the post-race state: two distinct fresh lineages listed the
+    // registry before either created, so both hold epoch 1
+    new java.io.File(s"$store/_runs").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$store/_runs/rCCCC"), "1")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$store/_runs/rDDDD"), "1")
+    // the lexicographically-later tag loses the tie-break and re-registers
+    assert(SignatureStore.registerRun(spark, store, "rDDDD") == 2L)
+    // the winner's file was never touched…
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$store/_runs/rCCCC")).trim == "1")
+    // …but on ITS next restart it is stale (2 > 1) and re-registers too —
+    // no epoch is ever shared by two lineages going forward
+    assert(SignatureStore.registerRun(spark, store, "rCCCC") == 3L)
   }
 
   test("fresh checkpoint against the same store keeps prior-run signatures visible") {
@@ -341,6 +375,46 @@ class SignatureStoreSpec extends graft.SparkSuite {
     val deltaSeqs = Option(new java.io.File(s"$store/delta").list()).get
       .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).toSet
     assert(deltaSeqs == Set(SignatureStore.seqOf(1, 0), SignatureStore.seqOf(2, 0)))
+  }
+
+  test("probe never routes a doc on its own legacy-ordinal signature (self-pair guard)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clean = tmpDir("sp-clean"); val audit = tmpDir("sp-audit")
+    val store = tmpDir("sp-store")
+    val cfg = CurationStream.NearDupConfig()
+    SignatureStore.ensure(spark, store)
+
+    // a pre-epoch-scheme store holds doc 7's signature under a LEGACY raw
+    // ordinal (batch=0). Raw ordinals sort below every epoch ordinal, so
+    // when batch 0 of the pre-upgrade checkpoint crash-replays under an
+    // epoch, the `batch < seq` guard does NOT hide these rows: doc 7 sees
+    // ITSELF as a prior reference at est_jaccard 1.0. Only the explicit
+    // ref_id =!= doc_id guard keeps it out of the near-dup sink.
+    val r = cfg.k / cfg.bands
+    val legacy = graft.ops.Dedup
+      .minhashSignatures(Seq((7L, base)).toDF("doc_id", "text"), "doc_id", "text", cfg.k)
+      .select($"doc".cast("long").as("doc_id"), $"sig",
+        explode(array((0 until cfg.bands).map(j => struct(lit(j).as("band_id"),
+          xxhash64(slice($"sig", j * r + 1, r)).as("band_hash"))): _*)).as("band"))
+      .select($"doc_id", $"sig", $"band.band_id", $"band.band_hash")
+    SignatureStore.appendBatch(legacy, store, seq = 0L)
+
+    // the replayed batch: doc 7 itself, plus doc 8 — a REAL near-dup of it
+    val input = MemoryStream[(Long, String)]
+    input.addData((7L, base), (8L, base.replace("afternoon", "evening")))
+    val q = CurationStream.startNearDup(spark, input.toDF().toDF("doc_id", "text"),
+      cfg, clean, audit, store, tmpDir("sp-cp"))
+    try q.awaitTermination() finally q.stop()
+
+    assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().toSet
+      == Set(7L), "doc routed on a self-pair (or real near-dup admitted)")
+    // …and the guard does not over-exclude: doc 8's match against doc 7's
+    // legacy row (and intra-batch row) is a genuine near-dup
+    val auditSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    assert(spark.read.schema(auditSchema).parquet(audit).select("doc_id").as[Long]
+      .collect().toSet == Set(8L))
   }
 
   test("in-stream maintenance: compact/vacuum scheduled from inside the query") {
