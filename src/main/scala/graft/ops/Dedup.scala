@@ -180,11 +180,22 @@ object Dedup {
     * matches RIGHT). Set-dedup is not applied here: decontamination
     * corpora are the post-exact-dedup survivors in practice, and the
     * directional output keeps every (train, eval) pair explicit for the
-    * audit trail. */
+    * audit trail.
+    *
+    * ID-SPACE CONTRACT: `excludeSameId = true` (the default) treats an
+    * equal id on both sides as the SAME document and drops the pair at
+    * candidate generation, so overlapping corpora don't report every
+    * shared doc as a jaccard-1.0 "leak" of itself. That is only sound
+    * when the two sides share one id space — with independently assigned
+    * ids, a genuine cross-corpus leak whose ids happen to collide would
+    * be silently dropped (the worst failure direction for
+    * decontamination). Pass `excludeSameId = false` for independent id
+    * spaces. */
   def ngramJaccardPairsAcross(left: DataFrame, right: DataFrame,
                               idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.5,
-                              inArrayLimit: Int = 512): DataFrame = {
+                              inArrayLimit: Int = 512,
+                              excludeSameId: Boolean = true): DataFrame = {
     def postings(df: DataFrame, listName: String) = df
       .select(col(idCol).as("doc"),
         array_distinct(Text.shingles(col(textCol), n)).as("shs"))
@@ -197,11 +208,13 @@ object Dedup {
     // self-join path).
     val joined = postings(left, "as_").join(postings(right, "bs_"), Seq("sh"))
       .transform(Staged(_))
-    // the sides need not be disjoint: a doc id present in BOTH corpora
+    // under the shared-id-space contract a doc id present in BOTH corpora
     // would pair with itself at jaccard 1.0, so self-pairs are dropped at
     // candidate generation (before the pair shuffle), both branches
+    def keepPair(x: Column, y: Column): Column =
+      if (excludeSameId) lenOk(x, y) && !(y("doc") === x("doc")) else lenOk(x, y)
     val crossInList = flatten(transform($"as_", x =>
-      transform(filter($"bs_", y => lenOk(x, y) && !(y("doc") === x("doc"))), y =>
+      transform(filter($"bs_", y => keepPair(x, y)), y =>
         struct(x("doc").as("doc_a"), y("doc").as("doc_b"),
           x("n").as("n_a"), y("n").as("n_b")))))
     // the split predicate multiplies in LONG: `size` is Int, and with
@@ -214,7 +227,7 @@ object Dedup {
     val bigs = joined.where(crossSize > inArrayLimit.toLong * inArrayLimit)
     val large = bigs.select($"sh", explode($"as_").as("x"))
       .join(bigs.select($"sh", explode($"bs_").as("y")), Seq("sh"))
-      .where(lenOk($"x", $"y") && $"x.doc" =!= $"y.doc")
+      .where(keepPair($"x", $"y"))
       .select(struct($"x.doc".as("doc_a"), $"y.doc".as("doc_b"),
         $"x.n".as("n_a"), $"y.n".as("n_b")).as("p"))
     val inter = small.unionByName(large)
@@ -247,7 +260,8 @@ object Dedup {
     *
     * Estimation is one bounded sample job at plan-build time
     * (`sampleDocs` docs → per-shingle sample df → distinct/total ratio
-    * and Σdf²) plus one corpus count; the sample Σdf² scales by
+    * and Σdf²) plus — on the dense branch only, where the estimate needs
+    * N — one corpus count; the sample Σdf² scales by
     * (N/S)² — exact for the saturated head that dominates the sum,
     * conservative for the Zipf tail that does not. Routing affects cost
     * only between the two exact variants; the capped route changes
@@ -282,7 +296,9 @@ object Dedup {
 
   /** The [[ngramJaccardPairsAuto]] decision with its measured inputs:
     * route ∈ prefix/direct/capped, the corpus count, and the
-    * (N/S)²-scaled Σdf² candidate estimate. */
+    * (N/S)²-scaled Σdf² candidate estimate. `nDocs` is -1 when the
+    * route was decided from the sample alone (sparse vocabulary, or no
+    * shingles) — those branches never pay the full corpus count. */
   final case class JaccardRoute(route: String, nDocs: Long,
                                 estCandidates: Double)
 
@@ -305,7 +321,6 @@ object Dedup {
                            n: Int = 3, sampleDocs: Int = 2048,
                            sparseVocabRatio: Double = 0.5,
                            maxCandidateEstimate: Double = 1e11): JaccardRoute = {
-    val nDocs = df.count()
     val s = df.select(col(idCol).as("doc"), col(textCol).as("t")).limit(sampleDocs)
     val r = s.select(explode(array_distinct(Text.shingles($"t", n))).as("sh"))
       .groupBy($"sh").agg(count(lit(1)).as("df"))
@@ -313,9 +328,12 @@ object Dedup {
         sum($"df" * $"df").as("sumdf2"))
       .head()
     if (r.isNullAt(1) || r.getLong(1) == 0L)
-      return JaccardRoute("direct", nDocs, 0.0) // no shingles at all
+      return JaccardRoute("direct", -1L, 0.0) // no shingles at all
     val ratio = r.getLong(0).toDouble / r.getLong(1).toDouble
-    if (ratio >= sparseVocabRatio) return JaccardRoute("prefix", nDocs, 0.0)
+    if (ratio >= sparseVocabRatio) return JaccardRoute("prefix", -1L, 0.0)
+    // only the dense branch pays the full corpus count: the (N/S)² scale
+    // of the sample Σdf² needs N, the sample-only routes above do not
+    val nDocs = df.count()
     val scale = nDocs.toDouble / math.min(sampleDocs.toLong, nDocs).toDouble
     val estSumDf2 = r.getLong(2).toDouble * scale * scale
     val route = if (estSumDf2 <= maxCandidateEstimate) "direct" else "capped"

@@ -470,13 +470,24 @@ object Similarity {
     * range, this stops being the right operator — use [[nearDupPairs]]
     * (LSH candidate generation) or [[knnIvf]] over the union instead.
     *
-    * Both inputs are [[prepared]] frames; self-pairs are excluded so the
-    * caller may pass overlapping corpora (same guard as the n-gram pass). */
+    * Both inputs are [[prepared]] frames.
+    *
+    * ID-SPACE CONTRACT: `excludeSameId = true` (the default) treats an
+    * equal id on both sides as the SAME document and drops the pair, so
+    * the caller may pass overlapping corpora (same guard as the n-gram
+    * pass). That is only sound when the two sides share one id space —
+    * if train and eval ids are assigned independently, a genuine leak
+    * whose ids happen to collide would be silently dropped, the worst
+    * failure direction for decontamination. Pass
+    * `excludeSameId = false` for independent id spaces (an id collision
+    * is then a coincidence, not an identity). */
   def cosinePairsAcross(train: DataFrame, evalSet: DataFrame,
-                        minCosine: Double): DataFrame = {
+                        minCosine: Double,
+                        excludeSameId: Boolean = true): DataFrame = {
     val t = train.select($"id".as("train_id"), $"emb".as("q_emb"), $"norm".as("q_norm"))
     val e = evalSet.select($"id".as("eval_id"), $"emb".as("c_emb"), $"norm".as("c_norm"))
-    t.join(broadcast(e), $"train_id" =!= $"eval_id")
+    t.join(broadcast(e),
+        if (excludeSameId) $"train_id" =!= $"eval_id" else lit(true))
       .withColumn("cosine", cosine($"q_emb", $"c_emb", $"q_norm", $"c_norm"))
       .where($"cosine" >= minCosine)
       .select($"train_id", $"eval_id", $"cosine")

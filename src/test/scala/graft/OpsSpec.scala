@@ -203,6 +203,12 @@ class OpsSpec extends SparkSuite {
     val overlap = Similarity.cosinePairsAcross(e, e, minCosine = 0.999)
       .where(col("train_id") === col("eval_id")).count()
     assert(overlap == 0L)
+    // independent id spaces: the same-id exclusion would drop a genuine
+    // leak whose ids collide — excludeSameId=false keeps it
+    val kept = Similarity.cosinePairsAcross(e, e, minCosine = 0.999,
+        excludeSameId = false)
+      .where(col("train_id") === col("eval_id")).count()
+    assert(kept == e.count(), "colliding-id pairs dropped despite excludeSameId=false")
     // eval side is broadcast: no shuffle of the train scan
     val plan = Similarity.cosinePairsAcross(train, ev, 0.45)
       .queryExecution.executedPlan.toString
@@ -435,6 +441,10 @@ class OpsSpec extends SparkSuite {
     // the decision carries its measured inputs
     val dec = Dedup.jaccardRouteDecision(saturated, "doc_id", "text")
     assert(dec.nDocs == 600 && dec.route == "direct" && dec.estCandidates > 0)
+    // the sample-only routes never pay the full corpus count (nDocs -1):
+    // a prefix-routed 100 TB corpus costs one 2048-doc sample, not a scan
+    val sparseDec = Dedup.jaccardRouteDecision(sparse, "doc_id", "text")
+    assert(sparseDec.route == "prefix" && sparseDec.nDocs == -1L)
   }
 
   test("connectedComponents merges transitive chains to min-id labels") {
@@ -767,6 +777,15 @@ class OpsSpec extends SparkSuite {
           inArrayLimit = lim)
         .where(col("doc_a") === col("doc_b"))
       assert(overlap.isEmpty, s"self-pairs emitted at inArrayLimit=$lim")
+    }
+    // independent id spaces: excludeSameId=false keeps a genuine leak
+    // whose ids happen to collide, either plan branch
+    for (lim <- Seq(512, 0)) {
+      val collide = Dedup.ngramJaccardPairsAcross(docs, eval_, "doc_id", "text",
+          inArrayLimit = lim, excludeSameId = false)
+        .where(col("doc_a") === col("doc_b")).count()
+      assert(collide == eval_.count(),
+        s"colliding-id leaks dropped despite excludeSameId=false at inArrayLimit=$lim")
     }
   }
 
