@@ -66,6 +66,22 @@ object ExtQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Corpus-adaptive exact Jaccard — [[Dedup.ngramJaccardPairsAuto]]'s
+    * router end-to-end on the checked surface, and the entry point users
+    * should copy: at oracle scale the router picks an EXACT route (prefix
+    * or direct, both ≡ q24's semantics, so q24's DuckDB SQL applies
+    * verbatim), while at 100 TB it detects the Σdf²-quadratic saturated
+    * shape and swaps in the df-capped plan instead of dying on the pair
+    * shuffle (measured at sf10: direct spills 78 GB and fails, capped
+    * runs 32 s — PERF.md). The forced-low-budget capped route is
+    * spec-checked in OpsSpec against [[Dedup.ngramJaccardPairsCapped]]. */
+  private val q76: Q = (s, d) => {
+    import s.implicits._
+    Dedup.ngramJaccardPairsAuto(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** MinHash + LSH banding candidate pairs (approx Jaccard; no oracle). */
   private val q25: Q = (s, d) => {
     import s.implicits._
@@ -200,7 +216,9 @@ object ExtQueries {
     // InMemoryRelation), so repeated calls don't grow the cache.
     val kept = scored.join(keepIds, Seq("doc_id"), "left_semi")
       .transform(graft.ops.Staged(_))
-    val dropB = Dedup.ngramJaccardPairs(kept, "doc_id", "text", threshold = 0.5)
+    // routed entry point (scale-safe default): picks an exact plan shape
+    // here, swaps to the df-capped plan past the measured Σdf² budget
+    val dropB = Dedup.ngramJaccardPairsAuto(kept, "doc_id", "text", threshold = 0.5)
       .select($"doc_b".as("doc_id")).distinct()
     kept.join(dropB, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"n_chars")
@@ -214,7 +232,9 @@ object ExtQueries {
   private val q43: Q = (s, d) => {
     import s.implicits._
     Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        // routed entry point — same exact pairs here, scale-safe past the
+        // Σdf² budget (see q76)
+        Dedup.ngramJaccardPairsAuto(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.5).select($"doc_a", $"doc_b"))
       .orderBy($"doc_id")
   }
@@ -479,6 +499,7 @@ object ExtQueries {
     "q22_text_quality"      -> q22,
     "q23_lang_id"           -> q23,
     "q24_ngram_jaccard"     -> q24,
+    "q76_jaccard_auto"      -> q76,
     "q25_minhash_pairs"     -> q25,
     "q26_simhash_pairs"     -> q26,
     "q27_knn_cosine"        -> q27,
@@ -489,6 +510,22 @@ object ExtQueries {
     "q32_embed_neardup"     -> q32,
     "q67_media_decode"      -> q67,
     "q69_media_pipeline"    -> q69)
+
+  // shared by q24 (direct exact path) and q76 (routed entry point)
+  private val ngramJaccardSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest(list_transform(generate_series(1, len(w) - 2),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |      FROM t),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |      FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+      |FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |WHERE inter / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private def markerList(lang: String) =
@@ -764,20 +801,11 @@ object ExtQueries {
          |    ELSE 'zh'
          |  END = lang AS matches_label
          |FROM s ORDER BY doc_id""".stripMargin,
-    "q24_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(generate_series(1, len(w) - 2),
-        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |      FROM t),
-        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |      FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
-        |FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-        |WHERE inter / (sa.n + sb.n - inter) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q24_ngram_jaccard" -> ngramJaccardSql,
+    // the routed entry point picks an exact plan shape at oracle scale,
+    // so the exact-Jaccard SQL applies verbatim — that equality IS the
+    // route-then-exact end-to-end check
+    "q76_jaccard_auto" -> ngramJaccardSql,
     "q27_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),

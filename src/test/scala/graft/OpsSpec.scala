@@ -445,6 +445,13 @@ class OpsSpec extends SparkSuite {
     // a prefix-routed 100 TB corpus costs one 2048-doc sample, not a scan
     val sparseDec = Dedup.jaccardRouteDecision(sparse, "doc_id", "text")
     assert(sparseDec.route == "prefix" && sparseDec.nDocs == -1L)
+    // q76's surface contract: on the oracle corpus the default budget
+    // routes to an EXACT shape (prefix or direct), which is what makes
+    // q24's DuckDB SQL apply to the routed entry point verbatim
+    val fixtureRoute = Dedup.jaccardAutoRoute(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    assert(Set("prefix", "direct")(fixtureRoute),
+      s"oracle corpus unexpectedly routed to $fixtureRoute")
   }
 
   test("connectedComponents merges transitive chains to min-id labels") {
