@@ -81,6 +81,26 @@ object Bench {
     done.toList
   }
 
+  /** The artifact's `contended` flag. Two independent signatures:
+    *
+    *  - budget tripped: sweep 1's wall ran past the bench budget, so the
+    *    second sweep was only partial (the original guard);
+    *  - wall ratio: both sweeps ran in full but sweep 1 took > 1.4× the
+    *    wall of sweep 2 over the SAME queries. Sweeps differ only by
+    *    codegen warm-up (small at sweep totals), so a 1.4× gap means
+    *    external load overlapped sweep 1 — exactly the shape of the
+    *    round-6 recording (124.8 s vs 75.2 s) whose per-query numbers
+    *    held 10× phantom regressions under the budget.
+    *
+    * A partial sweep 2 never feeds the ratio (different query sets are
+    * not comparable), but in that branch the budget already tripped.
+    * Exposed for BenchSpec. */
+  private[graft] def contentionFlag(budgetTripped: Boolean, sweep1Wall: Double,
+                                    sweep2Wall: Double, sweep2Full: Boolean,
+                                    wallRatioMax: Double = 1.4): Boolean =
+    budgetTripped ||
+      (sweep2Full && sweep2Wall > 0 && sweep1Wall / sweep2Wall > wallRatioMax)
+
   /** Per-query minimum over the VALID measurements of both sweeps;
     * queries the (partial) second sweep didn't reach keep their sweep-1
     * number; -1 only when every measurement failed. Exposed for
@@ -136,6 +156,11 @@ object Bench {
       (if (!contended) sweep(spark, sfDir)
        else partialSweep(spark, sfDir, first, capSec = budgetSec / 2)).toMap
     val secondWallSec = (System.nanoTime() - sweep2Start) / 1e9
+    // a sweep-1/sweep-2 wall ratio > 1.4 is itself a contention signature
+    // even when the budget never tripped — flag it so a polluted
+    // recording is self-diagnosing (see contentionFlag)
+    val contendedOut = contentionFlag(contended, firstWallSec, secondWallSec,
+      sweep2Full = !contended)
     val results = mergeMin(first, second)
     def toJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -148,7 +173,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
         s""""total_cold":$totalCold,"queries_cold":${toJson(first)},""" +
-        s""""contended":$contended,"sweep1_wall_sec":$firstWallSec,""" +
+        s""""contended":$contendedOut,"sweep1_wall_sec":$firstWallSec,""" +
         s""""sweep2_wall_sec":$secondWallSec,"sweep2_queries":${second.size},""" +
         s""""sf":"$sfDir"}"""
     println(line)

@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Dot product of two array<double> columns via the library's native
     * codegen'd expression (graft.functions.ArrayDotProduct) — requires
     * [[graft.functions.GraftFunctions.register]] on the session, which
@@ -108,8 +110,16 @@ object Similarity {
   /** A trained IVF coarse quantizer: unit-sphere centroids held as
     * driver-side constants, baked into plans as literals (the 100 TB
     * shape — an index is trained once, then broadcast into every probe
-    * plan; it is never recomputed in a query's hot path). */
-  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    * plan; it is never recomputed in a query's hot path).
+    *
+    * `corpusFp` is the fingerprint of the corpus the index was trained
+    * for (see `fileFingerprint`): None for ad-hoc/in-memory training,
+    * set by [[knnIvfPersisted]] before publishing so ANY later loader
+    * can detect that the files behind the corpus were rewritten since
+    * training — staleness detection at the index layer, not a
+    * per-caller convention. */
+  final case class IvfIndex(centroids: Array[Array[Double]],
+                            corpusFp: Option[Long] = None) {
     def nCells: Int = centroids.length
     /** (centroid, ‖centroid‖²) pairs for plan literals. */
     private[ops] def centroidStructs: Seq[(Seq[Double], Double)] =
@@ -117,33 +127,41 @@ object Similarity {
   }
 
   /** Persist a trained index: one parquet row per centroid, ordered by
-    * cell id. The index is a few KB, but saving it matters operationally
-    * at scale — the quantizer is trained ONCE (one bounded sample job)
-    * and then shared across every job, session, and cluster that probes
-    * the same corpus; without persistence each JVM re-trains into its
-    * own memo. Cell ids are positional, so save/load must round-trip the
-    * centroid ORDER bit-exactly — an index that reorders cells would
-    * silently re-assign every stored/probed cell id. */
+    * cell id, each carrying the index's corpus fingerprint (nullable —
+    * absent for ad-hoc indexes and for indexes saved before the
+    * fingerprint scheme). The index is a few KB, but saving it matters
+    * operationally at scale — the quantizer is trained ONCE (one bounded
+    * sample job) and then shared across every job, session, and cluster
+    * that probes the same corpus; without persistence each JVM re-trains
+    * into its own memo. Cell ids are positional, so save/load must
+    * round-trip the centroid ORDER bit-exactly — an index that reorders
+    * cells would silently re-assign every stored/probed cell id. */
   def saveIvfIndex(index: IvfIndex, spark: org.apache.spark.sql.SparkSession,
                    path: String): Unit = {
     import spark.implicits._
     index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
+      .map { case (c, i) => (i, c.toSeq, index.corpusFp) }.toSeq
+      .toDF("cell", "centroid", "corpus_fp")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Load a persisted index; inverse of [[saveIvfIndex]] (bit-exact:
-    * doubles round-trip parquet losslessly, order restored by cell id). */
+    * doubles round-trip parquet losslessly, order restored by cell id).
+    * Pre-fingerprint index files (no `corpus_fp` column) load with
+    * `corpusFp = None` — valid, but not staleness-checkable. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
-    val rows = spark.read.parquet(path)
-      .select(col("cell").cast("int"), col("centroid"))
-      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val raw = spark.read.parquet(path)
+    val withFp =
+      if (raw.columns.contains("corpus_fp")) raw
+      else raw.withColumn("corpus_fp", lit(null).cast("bigint"))
+    val rows = withFp
+      .select(col("cell").cast("int"), col("centroid"), col("corpus_fp"))
+      .as[(Int, Seq[Double], Option[Long])].collect().sortBy(_._1)
     require(rows.nonEmpty, s"no centroids at $path")
     require(rows.map(_._1).toSeq == rows.indices.toSeq,
       s"cell ids at $path are not contiguous from 0 — corrupt index")
-    IvfIndex(rows.map(_._2.toArray))
+    IvfIndex(rows.map(_._2.toArray), rows.head._3)
   }
 
   /** Train an IVF coarse quantizer ONCE: k-means over a bounded,
@@ -415,28 +433,40 @@ object Similarity {
     * job/session/cluster probing the same corpus loads the few-KB
     * centroid table instead of re-running the sample job. When no index
     * exists at `indexPath` yet, falls back to train-once and PUBLISHES
-    * the result there, so the first caller pays and every later session
-    * (or JVM) loads. The loaded index must have been trained for this
-    * corpus — cell counts are validated, content staleness is the
-    * caller's contract (retrain after a corpus rewrite, exactly like any
-    * external ANN index). */
+    * the result there — stamped with the candidate corpus's file
+    * fingerprint — so the first caller pays and every later session (or
+    * JVM) loads. On load, cell counts are validated loudly, and a
+    * fingerprint mismatch (the corpus files were rewritten since the
+    * index was trained) RETRAINS and republishes instead of silently
+    * probing a stale quantizer — every caller gets staleness detection,
+    * not just those that key the path by corpus themselves. Indexes
+    * published by an explicit [[saveIvfIndex]] without a fingerprint
+    * (ad-hoc or pre-scheme) are trusted as-is: the disk index stays
+    * authoritative when it carries no provenance to check. */
   def knnIvfPersisted(queries: DataFrame, candidates: DataFrame, k: Int,
                       indexPath: String, nCells: Int = 16,
                       nProbe: Int = 2): DataFrame = {
     val spark = candidates.sparkSession
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fp = fileFingerprint(candidates)
+    def trainAndPublish(): IvfIndex = {
+      val trained = trainedIvf(candidates, nCells).copy(corpusFp = Some(fp))
+      saveIvfIndex(trained, spark, indexPath)
+      trained
+    }
     val index =
       if (fs.exists(p)) {
         val loaded = loadIvfIndex(spark, indexPath)
         require(loaded.nCells == nCells,
           s"index at $indexPath has ${loaded.nCells} cells, caller asked $nCells")
-        loaded
-      } else {
-        val trained = trainedIvf(candidates, nCells)
-        saveIvfIndex(trained, spark, indexPath)
-        trained
-      }
+        if (loaded.corpusFp.forall(_ == fp)) loaded
+        else {
+          log.warn(s"index at $indexPath was trained for a different corpus " +
+            s"(fingerprint ${loaded.corpusFp.get} != $fp) — retraining and republishing")
+          trainAndPublish()
+        }
+      } else trainAndPublish()
     probeIvf(index, queries, candidates, k, nProbe)
   }
 

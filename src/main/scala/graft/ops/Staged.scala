@@ -33,25 +33,40 @@ import org.apache.spark.storage.StorageLevel
   * a later query re-creates hits Spark's cache manager (same analyzed
   * plan → same InMemoryRelation), so repeated scoped runs neither leak
   * nor double-cache.
+  *
+  * The registry is THREAD-scoped, so concurrent interactive callers
+  * (e.g. two `GraftSql` sessions in one JVM) cannot release each
+  * other's staged frames mid-consumption — a stolen release was
+  * correctness-neutral but silently re-ran the staged subtree per
+  * consumer. Plan construction and the consuming action run on the
+  * caller's thread, so stage-then-release naturally stays on one
+  * thread; the corollary is that [[releaseAll]] only frees the CALLING
+  * thread's frames. A thread that stages and then abandons frames
+  * without releasing keeps them cached until `clearCache()` — the same
+  * discipline as any pinned resource.
   */
 object Staged {
 
-  private val frames = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val frames =
+    ThreadLocal.withInitial[java.util.ArrayDeque[Dataset[_]]](
+      () => new java.util.ArrayDeque[Dataset[_]]())
 
-  /** Persist `ds` at `level` and register it for the next [[releaseAll]]. */
+  /** Persist `ds` at `level` and register it on this THREAD's registry
+    * for its next [[releaseAll]]. */
   def apply[T](ds: Dataset[T],
                level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     ds.persist(level)
-    frames.add(ds)
+    frames.get().add(ds)
     ds
   }
 
-  /** Unpersist (non-blocking) every frame staged since the last release.
-    * Global, not scope-nested: concurrent query runs in one session
-    * should each finish consuming before either releases. */
+  /** Unpersist (non-blocking) every frame THIS thread staged since its
+    * last release. Other threads' staged frames are untouched — each
+    * concurrent caller releases what it staged. */
   def releaseAll(): Unit = {
-    var ds = frames.poll()
-    while (ds != null) { ds.unpersist(blocking = false); ds = frames.poll() }
+    val q = frames.get()
+    var ds = q.poll()
+    while (ds != null) { ds.unpersist(blocking = false); ds = q.poll() }
   }
 
   /** Run `body` (which must CONSUME whatever it builds — an action, a

@@ -70,4 +70,24 @@ class BenchSpec extends AnyFunSuite {
       "recovered" -> 0.3, "unreached" -> 3.0, "regressed" -> 0.2,
       "flaky" -> 0.4, "dead" -> -1.0))
   }
+
+  test("contentionFlag: wall ratio > 1.4 flags even under budget; partial sweep2 never feeds the ratio") {
+    // the round-6 shape: budget never tripped, but sweep 1's wall ran
+    // 1.66x sweep 2's — per-query numbers held 10x phantom regressions
+    assert(Bench.contentionFlag(budgetTripped = false,
+      sweep1Wall = 124.8, sweep2Wall = 75.2, sweep2Full = true))
+    // a clean run: near-equal walls stay unflagged
+    assert(!Bench.contentionFlag(budgetTripped = false,
+      sweep1Wall = 80.0, sweep2Wall = 75.0, sweep2Full = true))
+    // boundary: exactly 1.4 is not "over"
+    assert(!Bench.contentionFlag(budgetTripped = false,
+      sweep1Wall = 140.0, sweep2Wall = 100.0, sweep2Full = true))
+    // budget tripped flags regardless of the (partial, incomparable) walls
+    assert(Bench.contentionFlag(budgetTripped = true,
+      sweep1Wall = 200.0, sweep2Wall = 10.0, sweep2Full = false))
+    // partial sweep 2 with a skewed ratio but no budget trip: the ratio
+    // of different query sets is meaningless and must not flag
+    assert(!Bench.contentionFlag(budgetTripped = false,
+      sweep1Wall = 100.0, sweep2Wall = 10.0, sweep2Full = false))
+  }
 }

@@ -669,6 +669,59 @@ class OpsSpec extends SparkSuite {
       "rewritten files behind an identical plan must retrain, not reuse a stale index")
   }
 
+  test("persisted IVF index detects a rewritten corpus and retrains in place") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fp").toString
+    val idx = s"$dir/index"
+    def writeCorpus(shift: Double): Unit =
+      Tables.embeddings(spark, sf)
+        .withColumn("embedding",
+          transform(col("embedding"), (x: org.apache.spark.sql.Column) => x + lit(shift)))
+        .write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    def run(): Long = {
+      val e = Similarity.prepared(
+        spark.read.parquet(s"$dir/emb.parquet"), "vec_id", "embedding")
+      Similarity.knnIvfPersisted(e.where(col("id") < 5), e, k = 3, idx,
+        nCells = 4, nProbe = 2).count()
+    }
+    writeCorpus(0.0)
+    run()
+    // the published index carries the corpus fingerprint
+    val fp0 = Similarity.loadIvfIndex(spark, idx).corpusFp
+    assert(fp0.nonEmpty, "published index must carry its corpus fingerprint")
+
+    // the corpus is rewritten under the same path: the persisted index is
+    // now stale, and probing it would use centroids trained on data that
+    // no longer exists — the load must detect the mismatch and retrain,
+    // republishing under the NEW fingerprint
+    writeCorpus(1.0)
+    val t0 = Similarity.ivfTrainCount.get()
+    run()
+    assert(Similarity.ivfTrainCount.get() == t0 + 1,
+      "stale persisted index must retrain, not probe stale centroids")
+    val fp1 = Similarity.loadIvfIndex(spark, idx).corpusFp
+    assert(fp1.nonEmpty && fp1 != fp0, "republished index must carry the new fingerprint")
+
+    // a second run against the republished index loads without retraining
+    run()
+    assert(Similarity.ivfTrainCount.get() == t0 + 1,
+      "fingerprint-fresh index must load, not retrain")
+
+    // a pre-fingerprint index file (no corpus_fp column) is trusted as-is
+    val bare = Similarity.loadIvfIndex(spark, idx)
+    import spark.implicits._
+    bare.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(idx)
+    val legacy = Similarity.loadIvfIndex(spark, idx)
+    assert(legacy.corpusFp.isEmpty)
+    run()
+    // republishing would have stamped a fingerprint: the file still has
+    // none, so the legacy index was trusted as-is (the in-JVM training
+    // memo makes ivfTrainCount blind here — assert on the file)
+    assert(Similarity.loadIvfIndex(spark, idx).corpusFp.isEmpty,
+      "a fingerprint-less (legacy/ad-hoc) index is authoritative: no republish")
+  }
+
   test("LSH buckets use all embedding components (non-64-dim fixture)") {
     // two 128-dim vectors identical in the first 64 dims, opposed in the
     // upper 64: a truncated-to-64 bucketer can never separate them

@@ -54,4 +54,30 @@ class StagedSpec extends SparkSuite {
     }
     assert(a == b && spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("releaseAll is thread-scoped: a concurrent caller cannot release another's frames") {
+    Staged.releaseAll(); spark.catalog.clearCache()
+    // caller A (this thread) stages a frame and is still consuming it
+    val mine = Staged(Tables.documents(spark, sf).select($"doc_id"))
+    assert(mine.count() > 0 && mine.storageLevel.useMemory)
+    // caller B (another thread) stages its own frame and releases — the
+    // old global registry would have unpersisted A's frame here too,
+    // silently re-running A's staged subtree per remaining consumer
+    val t = new Thread(() => {
+      val theirs = Staged(Tables.documents(spark, sf).select($"lang"))
+      theirs.count()
+      Staged.releaseAll()
+      assert(!theirs.storageLevel.useMemory, "B's own release must free B's frame")
+    })
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    t.setUncaughtExceptionHandler((_, e) => { errs.add(e); () })
+    t.start(); t.join()
+    assert(errs.isEmpty, s"concurrent caller failed: ${errs.peek()}")
+    assert(mine.storageLevel.useMemory,
+      "another thread's releaseAll stole this thread's staged frame")
+    // A's release still frees A's frame
+    Staged.releaseAll()
+    assert(!mine.storageLevel.useMemory)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
