@@ -866,4 +866,91 @@ object Dedup {
       .select($"doc_a", $"doc_b", lit(0).as("hamming"))
     cross.unionByName(within)
   }
+
+  /** SPAN-level duplication coverage — substring dedup at token-window
+    * granularity, the distributed form of ExactSubstr (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * length-`k` verbatim token span that occurs more than once in the
+    * corpus (in another document OR at another position of the same
+    * document) is duplicated text. Where the paper builds a suffix array,
+    * the distributed analog enumerates every k-token window — the SAME
+    * O(total tokens) row count a suffix array holds, but embarrassingly
+    * parallel and expressible as two shuffles:
+    *
+    *  1. window enumeration: per doc, positions `0..n-k` with the span's
+    *     key = `spanKey(span text)` — a Generate + Project that stays
+    *     inside whole-stage codegen (the token array is never
+    *     materialized per span row);
+    *  2. duplicated keys: `groupBy(key).count > 1` — partial aggregation
+    *     combines map-side, so a corpus-wide stop-span (a boilerplate
+    *     sentence in millions of docs) arrives at its reducer as one
+    *     pre-counted row per map task, not df rows;
+    *  3. a left-semi join marks each doc's duplicated positions, and a
+    *     per-doc interval union (classic gaps-and-islands over a lag
+    *     window — spans overlap, so summing k per hit would over-count)
+    *     yields the number of TOKENS covered by at least one duplicated
+    *     span.
+    *
+    * Output: one row per input doc — `n_tokens`, `dup_spans` (duplicated
+    * window count), `covered_tokens` (union of their token intervals),
+    * `dup_ratio` = covered/n. Docs shorter than `k` tokens have no
+    * windows and report zero coverage.
+    *
+    * `spanKey` defaults to `xxhash64` (8-byte shuffle key — at 100 TB the
+    * span-key shuffle is the dominant cost and a 64-bit key keeps it
+    * minimal; collisions only ever ADD phantom coverage at ~df²/2⁶⁴
+    * probability). The oracle-checked query surface passes `md5` instead
+    * so DuckDB can recompute identical keys; OpsSpec pins both routes to
+    * identical coverage on the fixture corpus.
+    *
+    * Reference anchor: the reference has no substring-level operator
+    * (its dedup surface is row-level — `silver_transform.py`'s
+    * dropDuplicates analog); this extends the dedup family the same way
+    * [[minhashCandidates]] extends [[exactGroups]]. */
+  def spanDupCoverage(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8,
+                      spanKey: Column => Column = xxhash64(_)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val toks = df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("t"))
+      .withColumn("n_tokens", size($"t"))
+    // generator first, key projection second: one Generate node with the
+    // span arithmetic pipelined above it (same codegen span), and the
+    // token array is dropped before anything shuffles
+    val withPos = toks.where($"n_tokens" >= k)
+      .select($"doc", $"t", explode(sequence(lit(0), $"n_tokens" - k)).as("pos"))
+    val spans = withPos.select($"doc", $"pos",
+      spanKey(concat_ws(" ", slice($"t", $"pos" + lit(1), lit(k)))).as("h"))
+    val dupKeys = spans.groupBy($"h").agg(count(lit(1)).as("df"))
+      .where($"df" > 1).select($"h")
+    val hits = spans.join(dupKeys, Seq("h"), "left_semi").select($"doc", $"pos")
+    // interval union: windows are fixed-length so ends are monotone in
+    // pos — each hit adds min(k, distance to previous hit) new tokens
+    val w = Window.partitionBy($"doc").orderBy($"pos")
+    val cov = hits
+      .withColumn("gap", $"pos" - lag($"pos", 1).over(w))
+      .groupBy($"doc").agg(
+        count(lit(1)).as("dup_spans"),
+        sum(coalesce(least($"gap", lit(k)), lit(k))).as("covered_tokens"))
+    toks.select($"doc", $"n_tokens").join(cov, Seq("doc"), "left")
+      .select($"doc".as(idCol), $"n_tokens",
+        coalesce($"dup_spans", lit(0L)).as("dup_spans"),
+        coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
+        (coalesce($"covered_tokens", lit(0L)) / $"n_tokens").as("dup_ratio"))
+  }
+
+  /** Span-dedup curation filter: keep documents whose duplicated-span
+    * coverage stays at or below `maxRatio` (the deployable form of
+    * [[spanDupCoverage]] — ExactSubstr-style pipelines drop or trim
+    * documents past a coverage threshold rather than splice text
+    * mid-span). Left-semi join, so the survivors keep their full input
+    * schema and the coverage frame never widens the shuffle. */
+  def dropSpanDuplicated(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, maxRatio: Double = 0.5,
+                         spanKey: Column => Column = xxhash64(_)): DataFrame = {
+    val keep = spanDupCoverage(df, idCol, textCol, k, spanKey)
+      .where($"dup_ratio" <= maxRatio)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -82,6 +82,29 @@ object ExtQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Span-level (substring) duplication coverage — [[Dedup.spanDupCoverage]]
+    * with `md5` span keys so the DuckDB oracle recomputes identical keys
+    * (the op's production default is `xxhash64`; OpsSpec pins the two
+    * routes to identical output). k = 8 tokens. */
+  private val q77: Q = (s, d) => {
+    import s.implicits._
+    Dedup.spanDupCoverage(Tables.documents(s, d), "doc_id", "text",
+        k = 8, spanKey = md5(_))
+      .select($"doc_id", $"n_tokens", $"dup_spans", $"covered_tokens",
+        round($"dup_ratio", 6).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Span-dedup curation filter: survivors of [[Dedup.dropSpanDuplicated]]
+    * at 30% coverage — the deployable ExactSubstr-style drop rule. */
+  private val q78: Q = (s, d) => {
+    import s.implicits._
+    Dedup.dropSpanDuplicated(Tables.documents(s, d), "doc_id", "text",
+        k = 8, maxRatio = 0.3, spanKey = md5(_))
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** MinHash + LSH banding candidate pairs (approx Jaccard; no oracle). */
   private val q25: Q = (s, d) => {
     import s.implicits._
@@ -500,6 +523,8 @@ object ExtQueries {
     "q23_lang_id"           -> q23,
     "q24_ngram_jaccard"     -> q24,
     "q76_jaccard_auto"      -> q76,
+    "q77_span_dup"          -> q77,
+    "q78_span_dedup"        -> q78,
     "q25_minhash_pairs"     -> q25,
     "q26_simhash_pairs"     -> q26,
     "q27_knn_cosine"        -> q27,
@@ -526,6 +551,29 @@ object ExtQueries {
       |FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
       |WHERE inter / (sa.n + sb.n - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // shared by q77 (coverage stats) and q78 (the drop-rule filter on top):
+  // k = 8 token windows, md5 span keys (the engine-portable key — the
+  // Spark side's production default is xxhash64), duplicated keys by
+  // corpus-wide count > 1, covered tokens via gaps-and-islands interval
+  // union (fixed window length makes ends monotone in pos, so each hit
+  // contributes min(k, pos - prev_pos))
+  private val spanCoverageCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |d AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n_tokens FROM t),
+      |s AS (SELECT doc_id, w, unnest(range(greatest(n_tokens - 7, 0))) AS pos FROM d),
+      |sk AS (SELECT doc_id, pos, md5(array_to_string(w[pos+1:pos+8], ' ')) AS h FROM s),
+      |dup AS (SELECT h FROM sk GROUP BY h HAVING count(*) > 1),
+      |hit AS (SELECT doc_id, pos FROM sk JOIN dup USING (h)),
+      |g AS (SELECT doc_id, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap FROM hit),
+      |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+      |        CAST(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS BIGINT) AS covered_tokens
+      |      FROM g GROUP BY doc_id),
+      |cov AS (SELECT d.doc_id, n_tokens,
+      |        coalesce(dup_spans, 0) AS dup_spans,
+      |        coalesce(covered_tokens, 0) AS covered_tokens,
+      |        coalesce(covered_tokens, 0) / n_tokens AS dup_ratio
+      |      FROM d LEFT JOIN c USING (doc_id))""".stripMargin
 
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private def markerList(lang: String) =
@@ -806,6 +854,17 @@ object ExtQueries {
     // so the exact-Jaccard SQL applies verbatim — that equality IS the
     // route-then-exact end-to-end check
     "q76_jaccard_auto" -> ngramJaccardSql,
+    "q77_span_dup" -> (spanCoverageCte +
+      """
+        |SELECT doc_id, n_tokens, dup_spans, covered_tokens,
+        |  round(dup_ratio, 6) AS dup_ratio
+        |FROM cov ORDER BY doc_id""".stripMargin),
+    "q78_span_dedup" -> (spanCoverageCte +
+      """
+        |SELECT doc_id, lang, source
+        |FROM documents JOIN cov USING (doc_id)
+        |WHERE dup_ratio <= 0.3
+        |ORDER BY doc_id""".stripMargin),
     "q27_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),

@@ -98,8 +98,11 @@ object Soak {
     val wallSec = (System.nanoTime() - t0) / 1e9
     spark.streams.removeListener(listener)
 
+    // keep EMPTY batches too: scheduled maintenance still runs on them
+    // (an AvailableNow tail batch, or a quiet period in production), and
+    // dropping them loses exactly the compaction-wall measurements this
+    // tool exists to record
     val rows = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
       .sortBy(_.batchId)
       .map { p =>
         val (dd, sf) = snapshots.getOrDefault(p.batchId, (-1, -1))

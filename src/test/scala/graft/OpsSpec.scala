@@ -722,6 +722,51 @@ class OpsSpec extends SparkSuite {
       "a fingerprint-less (legacy/ad-hoc) index is authoritative: no republish")
   }
 
+  test("spanDupCoverage: cross-doc, within-doc, overlapping and short-doc cases") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),      // shares span [a b c d] with doc 2
+      (2L, "x y a b c d z w"),
+      (3L, "p q r s p q r s"),      // internal repetition, pos 0 == pos 4
+      (4L, "short one"),            // < k tokens: no windows
+      (5L, "m n o p q"),            // all windows unique
+      (6L, "t1 t2 t3 t4 t5 u1 u2"), // overlapping dup windows pos 0,1 with doc 7
+      (7L, "t1 t2 t3 t4 t5 v1 v2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupCoverage(docs, "doc_id", "text", k = 4)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // (n_tokens, dup_spans, covered_tokens, dup_ratio)
+    assert(got(1L) == ((8, 1L, 4L, 0.5)))
+    assert(got(2L) == ((8, 1L, 4L, 0.5)))
+    // within-doc repeat: hits at 0 and 4, disjoint intervals -> 8 covered
+    assert(got(3L) == ((8, 2L, 8L, 1.0)))
+    assert(got(4L) == ((2, 0L, 0L, 0.0)))
+    assert(got(5L) == ((5, 0L, 0L, 0.0)))
+    // overlapping hits 0,1: union covers tokens 0..4 -> 5, NOT 2*k=8
+    assert(got(6L) == ((7, 2L, 5L, 5.0 / 7)))
+    assert(got(7L) == ((7, 2L, 5L, 5.0 / 7)))
+  }
+
+  test("spanDupCoverage: xxhash64 and md5 span-key routes agree on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    def run(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.spanDupCoverage(docs, "doc_id", "text", k = 8, spanKey = key)
+        .orderBy(col("doc_id")).collect().toSeq
+    assert(run(xxhash64(_)) == run(md5(_)),
+      "span-key choice must not change coverage output")
+  }
+
+  test("dropSpanDuplicated keeps exactly the docs at or under the coverage threshold") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "x y a b c d z w"),
+      (3L, "p q r s p q r s"), (4L, "short one"), (5L, "m n o p q"),
+      (6L, "t1 t2 t3 t4 t5 u1 u2"), (7L, "t1 t2 t3 t4 t5 v1 v2")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropSpanDuplicated(docs, "doc_id", "text", k = 4, maxRatio = 0.5)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"), "survivors keep input schema")
+    assert(kept.select(col("doc_id")).as[Long].collect().toSet == Set(1L, 2L, 4L, 5L))
+  }
+
   test("LSH buckets use all embedding components (non-64-dim fixture)") {
     // two 128-dim vectors identical in the first 64 dims, opposed in the
     // upper 64: a truncated-to-64 bucketer can never separate them
