@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trained quality classification — the fastText-shaped quality filter
+  * every large curation pipeline runs (a linear model distilled from
+  * seed labels, then applied to the full corpus), expressed Spark-first
+  * with no ML library: batch-gradient-descent logistic regression where
+  * each iteration is ONE aggregation job and the driver holds nothing
+  * but the weight vector.
+  *
+  * Scale shape (the reason this is library-worthy rather than
+  * `collect()`-and-sklearn):
+  *
+  *  - featurization is a per-row projection over codegen'd built-ins
+  *    (no UDFs) — at 100 TB it is map-side work fused into the scan;
+  *  - one training iteration = one `agg` over the training frame
+  *    computing the full gradient (`Σ (σ(w·x) − y)·x_j` per component)
+  *    via partial aggregation — the only driver traffic is one row of
+  *    `nFeatures + 2` doubles per iteration, the classic
+  *    "Spark as a parameter server for linear models" pattern;
+  *  - training runs on a bounded (sampled) frame; SCORING runs on the
+  *    full corpus as a stateless projection with the learned weights
+  *    baked in as literals — exactly how [[Similarity.IvfIndex]]
+  *    broadcasts its centroids.
+  *
+  * Determinism: gradient and loss sums go through decimal-exact
+  * accumulation ([[Exact]]'s discipline — double→decimal cast is
+  * well-defined, decimal addition is associative), so training produces
+  * BIT-IDENTICAL weights regardless of partitioning or aggregation
+  * order, making the trained model golden-pinnable.
+  *
+  * Reference anchor: the reference's quality surface is rule-based
+  * routing only (`silver_transform.py` range rules); this extends it
+  * the way a production curation stack does — seed labels from the
+  * rules ([[Text.qualityScore]]), a parametric model trained on a
+  * sample, calibrated scores for the corpus.
+  */
+object Classify {
+
+  /** Decimal type for gradient/loss accumulation: components are O(1)
+    * per row (features and errors both bounded by construction), so 16
+    * integer digits hold sums over 10^15 rows with 12 fractional digits
+    * of exactness. */
+  private val D = DecimalType(28, 12)
+
+  val nQualityFeatures: Int = 6
+
+  /** Per-document quality feature vector (array<double>, all components
+    * in [0, 1], bias first): [1, bounded length, stopword ratio, bounded
+    * mean word length, distinct-token ratio, bounded subword density].
+    * Pure projection over one tokenization — fused into the scan. */
+  def qualityFeatures(text: Column): Column = {
+    val wc = Text.tokenCount(text).cast("double")
+    val stopRatio = Text.stopwordCount(text) / wc
+    val awl = Text.sumTokenLen(text) / wc
+    array(
+      lit(1.0),
+      least(lit(1.0), wc / lit(100.0)),
+      stopRatio,
+      least(lit(1.0), awl / lit(8.0)),
+      Text.distinctTokenCount(text) / wc,
+      least(lit(1.0), Text.bpeishTokenCount(text) / (lit(2.0) * wc)))
+  }
+
+  /** Seed (weak-supervision) label: 1.0 when the rule-based
+    * [[Text.qualityScore]] clears `threshold` — the distillation target. */
+  def seedQualityLabel(text: Column, threshold: Double = 0.6): Column = {
+    val wc = Text.tokenCount(text).cast("double")
+    (Text.qualityScore(wc, Text.stopwordCount(text) / wc,
+      Text.sumTokenLen(text) / wc) >= threshold).cast("double")
+  }
+
+  /** Element-order-fixed dot product of a feature array against literal
+    * weights — a fold over a 6-element zip, codegen'd, deterministic. */
+  private def dotLit(features: Column, w: Array[Double]): Column =
+    aggregate(zip_with(features, array(w.map(lit): _*), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
+
+  final case class TrainedLogistic(weights: Array[Double], losses: Seq[Double],
+                                   nRows: Long)
+
+  /** Batch-GD logistic regression. `df` must carry `featuresCol`
+    * (array<double>, fixed length `nFeatures`, bias included) and
+    * `labelCol` (double 0/1). One aggregation job per iteration; the
+    * mean log-loss per iteration is recorded so callers (and specs) can
+    * assert convergence. Deterministic: decimal-exact sums, fixed
+    * iteration count — no early stopping on floating comparisons. */
+  def trainLogistic(df: DataFrame, featuresCol: String, labelCol: String,
+                    nFeatures: Int = nQualityFeatures,
+                    iters: Int = 30, lr: Double = 2.0): TrainedLogistic = {
+    var w = Array.fill(nFeatures)(0.0)
+    val losses = Array.newBuilder[Double]
+    var n = 0L
+    // the training frame is scanned `iters` times — persist it once (the
+    // caller's sample should be bounded; this is the train-on-a-sample,
+    // score-everything shape); lifecycle is fully local so this releases
+    // itself rather than going through the Staged registry
+    val staged = df.select(col(featuresCol).as("x"),
+      col(labelCol).cast("double").as("y")).persist()
+    try {
+      for (_ <- 1 to iters) {
+        val m = dotLit(col("x"), w)
+        val p = sigmoid(m)
+        val err = p - col("y")
+        // numerically stable log-loss: log1p(e^-|m|) + max(m,0) - y*m
+        val loss = log1p(exp(-abs(m))) + greatest(m, lit(0.0)) - col("y") * m
+        val gradCols = (0 until nFeatures).map { j =>
+          sum((err * element_at(col("x"), j + 1)).cast(D)).cast("double").as(s"g$j")
+        }
+        val row = staged.agg(gradCols.head, gradCols.tail :+
+          sum(loss.cast(D)).cast("double").as("loss") :+
+          count(lit(1)).as("n"): _*).head()
+        n = row.getAs[Long]("n")
+        losses += row.getAs[Double]("loss") / n
+        w = w.zipWithIndex.map { case (wj, j) =>
+          wj - lr * row.getAs[Double](s"g$j") / n
+        }
+      }
+    } finally staged.unpersist(blocking = false)
+    TrainedLogistic(w, losses.result().toSeq, n)
+  }
+
+  /** Score with a trained model: stateless projection, weights baked in
+    * as plan literals. Returns σ(w·x) in [0, 1]. */
+  def score(features: Column, model: TrainedLogistic): Column =
+    sigmoid(dotLit(features, model.weights))
+
+  /** Train-on-sample / score-everything composition over a text corpus:
+    * seed labels + features from the text column, a deterministic
+    * hash-sample of `samplePermille`/1000 docs for training, scores for
+    * EVERY doc. Output: id, seed label, calibrated score, predicted.
+    * The trained model is memoized per (corpus plan, params) — a model
+    * is trained once and then applied, like a persisted index; pass
+    * `memo = false` to force retraining. */
+  def qualityClassifier(df: DataFrame, idCol: String, textCol: String,
+                        samplePermille: Int = 300, iters: Int = 30,
+                        lr: Double = 2.0, memo: Boolean = true): DataFrame = {
+    val feats = df.select(col(idCol),
+      qualityFeatures(col(textCol)).as("features"),
+      seedQualityLabel(col(textCol)).as("label"))
+    val key = (feats.queryExecution.analyzed.canonicalized.semanticHash(),
+      samplePermille, iters, lr)
+    def train(): TrainedLogistic = trainLogistic(
+      feats.where(pmod(xxhash64(col(idCol)), lit(1000)) < samplePermille),
+      "features", "label", nQualityFeatures, iters, lr)
+    val model =
+      if (memo) modelMemo.computeIfAbsent(key, _ => train())
+      else train()
+    feats.select(col(idCol), col("label"),
+      score(col("features"), model).as("score"))
+      .withColumn("predicted", (col("score") >= 0.5).cast("double"))
+  }
+
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Double), TrainedLogistic]()
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{AsOf, Exact, Normalize, RangeJoin, Sketches, Windows}
+import graft.ops.{AsOf, Classify, Exact, Normalize, RangeJoin, Sketches, Windows}
 
 /** Advanced relational surface: as-of join, rollup, conditional pivot,
   * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
@@ -218,6 +218,22 @@ object AdvQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Trained quality classifier ([[Classify.qualityClassifier]]): seed
+    * labels from the rule-based quality score, logistic regression
+    * trained by aggregation-only batch GD on a deterministic 30%
+    * hash-sample (driver holds only the 6 weights), calibrated scores
+    * projected over EVERY doc with the weights as plan literals. No
+    * oracle — iterative GD is not SQL-expressible — so the output is
+    * golden-pinned (decimal-exact gradient sums make training
+    * bit-deterministic) and ClassifySpec asserts convergence +
+    * separation. */
+  private val q79: Q = (s, d) => {
+    import s.implicits._
+    Classify.qualityClassifier(Tables.documents(s, d), "doc_id", "text")
+      .select($"doc_id", $"label", round($"score", 6).as("score"), $"predicted")
+      .orderBy($"doc_id")
+  }
+
   /** Trailing 5-event moving average of value per user — per-key rolling
     * feature backfill (one hash-partition by user + sort; decimal-exact
     * frame sum). */
@@ -371,7 +387,8 @@ object AdvQueries {
     "q68_dd_quantiles"    -> q68,
     "q70_sketch_day_rollup" -> q70,
     "q73_knn_ivfpq"       -> q73,
-    "q74_knn_ivf_saved"   -> q74)
+    "q74_knn_ivf_saved"   -> q74,
+    "q79_quality_classifier" -> q79)
 
   // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
   // ln γ literals are printed from the exact Scala doubles so both engines

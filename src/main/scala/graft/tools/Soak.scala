@@ -65,6 +65,20 @@ object Soak {
     docs.repartition(nBatches, org.apache.spark.sql.functions.pmod(
         $"doc_id", org.apache.spark.sql.functions.lit(nBatches.toLong)))
       .write.mode("overwrite").parquet(staging)
+    // pin ADMISSION order, not just slice membership: the file source
+    // admits by (modification time, path), and the parallel staging
+    // write leaves run-dependent mtimes — two soaks would then replay
+    // the same slices in different arrival orders, and near-dup
+    // curation is arrival-order-dependent by design (measured: a
+    // ±1-doc sink-count wobble from one flipped cluster ordering).
+    // Spacing mtimes 1 s apart in path order makes arrival order a
+    // pure function of the slicing.
+    locally {
+      val t0 = 1700000000000L
+      new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 1000L) }
+    }
     val nDocs = docs.count()
 
     val stream = spark.readStream
