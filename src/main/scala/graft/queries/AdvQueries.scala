@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{AsOf, Classify, Exact, Normalize, RangeJoin, Sketches, Windows}
+import graft.ops.{AsOf, Classify, Exact, Normalize, RangeJoin, Shard, Sketches, Windows}
 
 /** Advanced relational surface: as-of join, rollup, conditional pivot,
   * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
@@ -234,6 +234,19 @@ object AdvQueries {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic shuffled sharding ([[Shard.shardAssign]]): the
+    * training-data export permutation — seed-salted portable hash order,
+    * `mod nShards` membership, one shard-partitioned sort for positions.
+    * The oracle recomputes placement from the same md5 arithmetic, so a
+    * drifting hash, a biased mod, or an unstable tie-break reds the row. */
+  private val q80: Q = (s, d) => {
+    import s.implicits._
+    Shard.shardAssign(Tables.documents(s, d).select($"doc_id"),
+        "doc_id", nShards = 16, seed = "graft-r7")
+      .select($"doc_id", $"ord", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
   /** Trailing 5-event moving average of value per user — per-key rolling
     * feature backfill (one hash-partition by user + sort; decimal-exact
     * frame sum). */
@@ -388,7 +401,8 @@ object AdvQueries {
     "q70_sketch_day_rollup" -> q70,
     "q73_knn_ivfpq"       -> q73,
     "q74_knn_ivf_saved"   -> q74,
-    "q79_quality_classifier" -> q79)
+    "q79_quality_classifier" -> q79,
+    "q80_shard_export"    -> q80)
 
   // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
   // ln γ literals are printed from the exact Scala doubles so both engines
@@ -437,6 +451,16 @@ object AdvQueries {
         |SELECT event_type, day, quantile, round(bucket_est, 6) AS est, n_values
         |FROM cp WHERE rn = 1
         |ORDER BY event_type, day NULLS FIRST, quantile""".stripMargin,
+    "q80_shard_export" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('graft-r7 ',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
+        |  FROM documents)
+        |SELECT doc_id, ord, CAST(ord % 16 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY ord % 16 ORDER BY ord, doc_id)
+        |    - 1 AS BIGINT) AS pos
+        |FROM a ORDER BY shard, pos""".stripMargin,
     "q68_dd_quantiles" ->
       s"""WITH b AS (
         |  SELECT event_type,

@@ -89,8 +89,22 @@ object Soak {
       compactEvery = compactEvery, storeBuckets = 64, vacuumGrace = 2,
       storeMaxGenerations = maxGens)
 
-    // store-layout snapshot per completed batch, keyed by batchId
-    val snapshots = new java.util.concurrent.ConcurrentHashMap[Long, (Int, Int)]()
+    // store-layout snapshot per completed batch, keyed by batchId; the
+    // tier list comes straight off the newest pointer file (local fs —
+    // same bytes currentPointer reads) so each compaction's kind is
+    // visible in the record: a MINOR appends a generation, a MAJOR
+    // collapses the list back to one
+    val snapshots = new java.util.concurrent.ConcurrentHashMap[Long, (Int, Int, String)]()
+    def tierList(): String = {
+      val ptrDir = new java.io.File(s"$store/_ptr")
+      val vs = Option(ptrDir.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^v(\\d+)$".r.findFirstMatchIn(f.getName).map(m => (m.group(1).toLong, f)))
+      if (vs.isEmpty) "" else {
+        val content = new String(java.nio.file.Files.readAllBytes(
+          vs.maxBy(_._1)._2.toPath), "UTF-8").trim.split("\\s+")
+        if (content.length > 2) content(2) else vs.maxBy(_._1)._1.toString
+      }
+    }
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -99,7 +113,7 @@ object Soak {
         val deltaDirs = Option(new java.io.File(s"$store/delta").list())
           .map(_.count(_.startsWith("batch="))).getOrElse(0)
         val storeFiles = countFiles(new java.io.File(store))
-        snapshots.put(e.progress.batchId, (deltaDirs, storeFiles))
+        snapshots.put(e.progress.batchId, (deltaDirs, storeFiles, tierList()))
       }
     }
     spark.streams.addListener(listener)
@@ -119,13 +133,13 @@ object Soak {
     val rows = q.recentProgress.toSeq
       .sortBy(_.batchId)
       .map { p =>
-        val (dd, sf) = snapshots.getOrDefault(p.batchId, (-1, -1))
+        val (dd, sf, tiers) = snapshots.getOrDefault(p.batchId, (-1, -1, "?"))
         val ms = Option(p.durationMs.get("triggerExecution"))
           .map(_.longValue).getOrElse(-1L)
-        (p.batchId, p.numInputRows, ms, dd, sf)
+        (p.batchId, p.numInputRows, ms, dd, sf, tiers)
       }
-    val json = rows.map { case (b, n, ms, dd, sf) =>
-      s"""{"batch":$b,"rows":$n,"wallMs":$ms,"deltaDirs":$dd,"storeFiles":$sf}"""
+    val json = rows.map { case (b, n, ms, dd, sf, tiers) =>
+      s"""{"batch":$b,"rows":$n,"wallMs":$ms,"deltaDirs":$dd,"storeFiles":$sf,"tiers":"$tiers"}"""
     }.mkString("[\n  ", ",\n  ", "\n]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/soak.json"), json)
 
