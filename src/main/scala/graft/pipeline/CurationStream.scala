@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.ops.{Dedup, Text}
+import graft.ops.{Classify, Dedup, Text}
 
 /** Streaming corpus curation — the training-data analog of the medallion
   * flow, composed from the SAME operator library the batch queries use
@@ -61,6 +61,46 @@ object CurationStream {
         runTag = IdempotentSink.tagFor(checkpoint))
     curated(input, cfg).writeStream
       .queryName("curation_stream")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
+  /** [[curated]] with the rule-based score swapped for a TRAINED
+    * classifier's calibrated score ([[graft.ops.Classify]]) — the
+    * train-in-batch / serve-in-stream split a production quality gate
+    * runs: training is the batch side's aggregation-only GD (bounded
+    * sample, driver holds the weight vector), serving is a stateless
+    * per-row projection with the weights baked into the streaming plan
+    * as literals. Because the scoring expression tree is identical in
+    * both modes (same codegen'd built-ins, no state, no UDF), a doc's
+    * streamed score is BIT-IDENTICAL to its batch score — asserted by
+    * the parity spec. `cfg.minQuality` now thresholds the calibrated
+    * probability (0.5 = the model's own decision boundary). */
+  def curatedTrained(docs: DataFrame, model: Classify.TrainedLogistic,
+                     cfg: CurationConfig): DataFrame = {
+    val scrubbed = docs.withColumn("text", Text.scrub(col("text"), cfg.scrubRules))
+    scrubbed
+      .withColumn("quality",
+        Classify.score(Classify.qualityFeatures(col("text")), model))
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ingest_ts", cfg.watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+  }
+
+  /** [[start]] with the trained-model gate of [[curatedTrained]]. */
+  def startTrained(spark: SparkSession, input: DataFrame,
+                   model: Classify.TrainedLogistic, cfg: CurationConfig,
+                   cleanPath: String, rejectedPath: String, checkpoint: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>
+      DualSink.write(batch.toDF(), col("quality") >= cfg.minQuality,
+        cleanPath, rejectedPath, partitionCols = Nil, batchId,
+        runTag = IdempotentSink.tagFor(checkpoint))
+    curatedTrained(input, model, cfg).writeStream
+      .queryName("curation_trained_stream")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch(fn)

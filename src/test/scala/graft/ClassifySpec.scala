@@ -59,6 +59,43 @@ class ClassifySpec extends SparkSuite {
     assert(bad == 0, "scores must lie strictly inside (0,1)")
   }
 
+  test("train-in-batch / serve-in-stream: streamed scores are bit-identical to batch scores") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.CurationStream
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val model = Classify.trainLogistic(
+      docs.select(Classify.qualityFeatures($"text").as("features"),
+        Classify.seedQualityLabel($"text").as("label")),
+      "features", "label", iters = 10, lr = 2.0)
+    val batchScores = docs.select($"doc_id",
+      Classify.score(Classify.qualityFeatures($"text"), model).as("q"))
+
+    val clean = tmpDir("tq-clean"); val rejected = tmpDir("tq-rej")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val rows = docs.as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, t, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")) }
+    input.addData(rows: _*)
+    val cfg = CurationStream.CurationConfig(minQuality = 0.5)
+    val q = CurationStream.startTrained(spark,
+      input.toDF().toDF("doc_id", "text", "ingest_ts"), model, cfg,
+      clean, rejected, tmpDir("tq-cp"))
+    try q.awaitTermination() finally q.stop()
+
+    val streamed = spark.read.parquet(clean)
+      .unionByName(spark.read.parquet(rejected))
+      .select($"doc_id", $"quality")
+    assert(streamed.count() == rows.size, "stream must route every doc")
+    // bit-identical: same literal expression tree in both modes, so
+    // strict double equality, not a tolerance
+    val mismatched = streamed.join(batchScores, "doc_id")
+      .where($"quality" =!= $"q").count()
+    assert(mismatched == 0, s"$mismatched docs scored differently in-stream")
+    val wrongSide = spark.read.parquet(clean).where($"quality" < 0.5).count() +
+      spark.read.parquet(rejected).where($"quality" >= 0.5).count()
+    assert(wrongSide == 0, "routing must follow the calibrated threshold")
+  }
+
   test("scoring is a stateless projection: no shuffle below the score column") {
     val docs = Tables.documents(spark, sf)
     val m = Classify.trainLogistic(
