@@ -93,6 +93,7 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))),
+    "interleave_bits" -> (exprs => InterleaveBits(exprs(0), exprs(1))),
     "minhash_sigs" -> literalIntBuilder("minhash_sigs", "k")(MinHashSignature.apply),
     "simhash_sig" -> (exprs => SimHashSignature(exprs(0))),
     "array_top_count" -> (exprs => ArrayTopCount(exprs(0))),
@@ -124,6 +125,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val classNames = Map(
     "array_dot" -> classOf[ArrayDotProduct].getName,
+    "interleave_bits" -> classOf[InterleaveBits].getName,
     "minhash_sigs" -> classOf[MinHashSignature].getName,
     "simhash_sig" -> classOf[SimHashSignature].getName,
     "array_top_count" -> classOf[ArrayTopCount].getName,

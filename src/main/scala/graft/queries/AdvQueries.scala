@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{AsOf, Classify, Exact, Normalize, RangeJoin, Shard, Sketches, Windows}
+import graft.ops.{AsOf, Classify, Exact, Layout, Normalize, RangeJoin, Shard, Sketches, Windows}
 
 /** Advanced relational surface: as-of join, rollup, conditional pivot,
   * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
@@ -247,6 +247,24 @@ object AdvQueries {
       .orderBy($"shard", $"pos")
   }
 
+  /** Z-order clustering key ([[Layout.zValue]] over [[Layout.rankBucket]]
+    * ranks): the native `InterleaveBits` Morton interleave that
+    * [[Layout.zOrderWrite]] sorts by. Every step is integer-exact and
+    * engine-portable (shift-based ranks, `length(bin(range))` for the
+    * shift amount), so the oracle recomputes the full clustering key —
+    * a drifting spread mask or a rank off-by-one reds the hash. */
+  private val q81: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_id", $"user_id")
+    val r = ev.agg(min($"user_id"), max($"user_id"),
+      min($"event_id"), max($"event_id")).head()
+    val rx = Layout.rankBucket($"user_id", r.getLong(0), r.getLong(1), 16)
+    val ry = Layout.rankBucket($"event_id", r.getLong(2), r.getLong(3), 16)
+    ev.select($"event_id", $"user_id", rx.as("rx"), ry.as("ry"),
+        Layout.zValue(rx, ry).as("z"))
+      .orderBy($"z", $"event_id")
+  }
+
   /** Trailing 5-event moving average of value per user — per-key rolling
     * feature backfill (one hash-partition by user + sort; decimal-exact
     * frame sum). */
@@ -402,7 +420,8 @@ object AdvQueries {
     "q73_knn_ivfpq"       -> q73,
     "q74_knn_ivf_saved"   -> q74,
     "q79_quality_classifier" -> q79,
-    "q80_shard_export"    -> q80)
+    "q80_shard_export"    -> q80,
+    "q81_zorder_key"      -> q81)
 
   // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
   // ln γ literals are printed from the exact Scala doubles so both engines
@@ -451,6 +470,26 @@ object AdvQueries {
         |SELECT event_type, day, quantile, round(bucket_est, 6) AS est, n_values
         |FROM cp WHERE rn = 1
         |ORDER BY event_type, day NULLS FIRST, quantile""".stripMargin,
+    "q81_zorder_key" -> {
+      // 16 bits per dimension -> 32 disjoint-bit terms; + is | on
+      // disjoint bits, and every term is BIGINT arithmetic
+      val zTerms = (0 until 16).map(i =>
+        s"(((rx >> $i) & 1) << ${2 * i}) + (((ry >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH r AS (SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+        |    min(event_id) AS ylo, max(event_id) AS yhi FROM events),
+        |s AS (SELECT xlo, ylo,
+        |    length(bin(xhi - xlo)) - 16 AS sx,
+        |    length(bin(yhi - ylo)) - 16 AS sy FROM r),
+        |k AS (SELECT e.event_id, e.user_id,
+        |    CASE WHEN s.sx >= 0 THEN (e.user_id - s.xlo) >> s.sx
+        |         ELSE (e.user_id - s.xlo) << (-s.sx) END AS rx,
+        |    CASE WHEN s.sy >= 0 THEN (e.event_id - s.ylo) >> s.sy
+        |         ELSE (e.event_id - s.ylo) << (-s.sy) END AS ry
+        |  FROM events e CROSS JOIN s)
+        |SELECT event_id, user_id, rx, ry, $zTerms AS z
+        |FROM k ORDER BY z, event_id""".stripMargin
+    },
     "q80_shard_export" ->
       """WITH a AS (
         |  SELECT doc_id,
