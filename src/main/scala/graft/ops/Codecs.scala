@@ -89,6 +89,46 @@ object Codecs {
     } catch { case _: Exception => None }
   }
 
+  /** Perceptual difference-hash (dHash) over the REAL decoded pixels:
+    * decode → bilinear-scale to a 9×8 grayscale thumbnail → one bit per
+    * adjacent-pixel horizontal gradient (left < right), 64 bits total.
+    * Near-identical images (re-encodes, mild resizes, small edits) land
+    * within a few bits of Hamming distance; unrelated images sit near
+    * 32. That contract presumes natural-image structure — gradients
+    * that survive resampling; pure noise re-rolls its thumbnail under
+    * rescale (measured Hamming ~17 for a resized noise image) and is
+    * outside perceptual hashing's domain. This is the
+    * candidate-then-verify contract
+    * [[graft.ops.Dedup.hammingPairs64]] consumes. Deterministic for a
+    * given JVM's Java2D raster pipeline (this container's), which is
+    * what golden-pinning requires; cross-platform runs should re-pin.
+    * `None` if the payload isn't a decodable image. */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { src =>
+        val dst = new BufferedImage(9, 8, BufferedImage.TYPE_BYTE_GRAY)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        val r = dst.getRaster
+        var h = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (r.getSample(x, y, 0) < r.getSample(x + 1, y, 0)) h |= (1L << bit)
+            bit += 1; x += 1
+          }
+          y += 1
+        }
+        h
+      }
+    } catch { case _: Exception => None }
+
   // ----------------------------------------------------------------- audio
 
   /** Deterministic RIFF/WAVE, PCM signed 16-bit little-endian: `nSamples`

@@ -818,12 +818,21 @@ object Dedup {
     * equi-join per chunk finds all such pairs without a cross join.
     * Exact Hamming distance (bit_count of xor) filters candidates. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame =
+    hammingPairs64(simhashSignatures(df, idCol, textCol), maxHamming, chunks)
+
+  /** All pairs within `maxHamming` of each other over ANY (doc, sig)
+    * frame of 64-bit signatures — the pigeonhole core behind
+    * [[simhashPairs]], reused verbatim by perceptual-hash image dedup
+    * ([[Multimodal.imageNearDupPairs]]). Output: (doc_a, doc_b, hamming)
+    * with doc_a < doc_b. */
+  def hammingPairs64(sigFrame: DataFrame,
+                     maxHamming: Int, chunks: Int): DataFrame = {
     // pigeonhole completeness: distance <= maxHamming flips at most
     // maxHamming chunks, so some chunk is untouched ONLY if there are
     // strictly more chunks than flips
     require(maxHamming >= 0 && maxHamming < chunks,
-      s"simhashPairs needs 0 <= maxHamming < chunks for complete candidate " +
+      s"hammingPairs64 needs 0 <= maxHamming < chunks for complete candidate " +
         s"generation (got maxHamming=$maxHamming, chunks=$chunks)")
     val bitsPerChunk = 64 / chunks
     // SIGNATURE-DEDUPLICATED candidate generation (same reasoning as the
@@ -833,7 +842,7 @@ object Dedup {
     // signatures and expands afterwards. With duplicate multiplicity m
     // the chunk-bucket self-join would otherwise cost m²× (measured
     // 41–69 s vs ~4 s on a 10×-duplicated corpus at sf0.1×10).
-    val members = simhashSignatures(df, idCol, textCol)
+    val members = sigFrame
       .transform(Staged(_))
     // distinct signatures feed the chunk self-join (both sides); stage
     // the tiny frame rather than rely on cross-subtree exchange reuse

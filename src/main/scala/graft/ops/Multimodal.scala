@@ -199,4 +199,31 @@ object Multimodal {
     * features. */
   def featuresOf(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] =
     extractFeatures(attachMedia(docs))
+
+  /** Perceptual hash of every decodable image record
+    * ([[Codecs.dHash]]: real decode → 9×8 grayscale → gradient bits).
+    * Partition-wise map like every codec pass here — the binary column
+    * never shuffles; only (doc_id, 1 long) leaves the scan. Non-images
+    * and undecodable payloads yield no row (same contract as frame
+    * sampling: dedup over media that can't be decoded is undefined). */
+  def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.media_type == "image")
+          Codecs.dHash(r.content).map(h => (r.doc_id, h))
+        else None
+      }
+    }.toDF("doc", "sig")
+  }
+
+  /** Image near-dup pairs by perceptual hash: dHash per image, then the
+    * SAME pigeonhole candidate machinery the text SimHash path uses
+    * ([[Dedup.hammingPairs64]]) — bucket by hash chunks, verify with
+    * exact `bit_count(xor)`. Scale shape is the text path's: candidate
+    * generation is banded, the 100-TB binary payload stays in its scan
+    * partitions, and the pairing runs over 8-byte signatures. */
+  def imageNearDupPairs(media: Dataset[MediaRecord],
+                        maxHamming: Int = 10, chunks: Int = 16): DataFrame =
+    Dedup.hammingPairs64(imageDHash(media), maxHamming, chunks)
 }

@@ -182,6 +182,20 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Perceptual image hashes ([[Multimodal.imageDHash]]): every image
+    * payload really decoded, thumbnailed 9×8 grayscale, gradient-hashed
+    * to 64 bits — the signature [[Multimodal.imageNearDupPairs]] runs
+    * Hamming banding over. Not SQL-expressible (ImageIO decode), so
+    * golden-pinned; the semantic properties (resize-stability,
+    * unrelated-image separation, planted-pair retrieval) live in
+    * MultimodalSpec. */
+  private val q82: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.imageDHash(Multimodal.attachMedia(Tables.documents(s, d)))
+      .select($"doc".as("doc_id"), $"sig".as("dhash"))
+      .orderBy($"doc_id")
+  }
+
   /** Media TRANSFORM pipeline (q67 checks decode; this checks the
     * transforms): images are resized 10×10 through the real codec
     * (decode → bilinear scale → PNG re-encode → re-decode), videos are
@@ -534,7 +548,8 @@ object ExtQueries {
     "q31_binary_meta"       -> q31,
     "q32_embed_neardup"     -> q32,
     "q67_media_decode"      -> q67,
-    "q69_media_pipeline"    -> q69)
+    "q69_media_pipeline"    -> q69,
+    "q82_image_dhash"       -> q82)
 
   // shared by q24 (direct exact path) and q76 (routed entry point)
   private val ngramJaccardSql =

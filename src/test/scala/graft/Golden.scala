@@ -23,7 +23,8 @@ object Golden {
     "q25_minhash_pairs", "q26_simhash_pairs", "q28_knn_lsh",
     "q29_winnow_fp", "q32_embed_neardup", "q38_approx_sketches",
     "q41_knn_ivf", "q45_embed_clusters", "q47_sketch_rollup",
-    "q73_knn_ivfpq", "q74_knn_ivf_saved", "q79_quality_classifier")
+    "q73_knn_ivfpq", "q74_knn_ivf_saved", "q79_quality_classifier",
+    "q82_image_dhash")
 
   val sfDir = "/root/testdata/sf0.01"
 

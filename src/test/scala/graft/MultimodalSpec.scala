@@ -195,4 +195,50 @@ class MultimodalSpec extends SparkSuite {
     assert(ff.forall(f => f.width.contains(16) && f.height.contains(12) && f.channels.contains(3)))
     assert(ff.forall(_.frame_idx % 3 == 0))
   }
+
+  // dHash presumes natural-image structure: gradients that survive
+  // resampling. xorshift noise (encodePng) is the adversarial case -- a
+  // thumbnail of re-resampled noise re-rolls every gradient -- so the
+  // semantic tests use smooth synthetic images built right here.
+  private def structuredPng(w: Int, h: Int, fx: Double, fy: Double,
+                            phase: Double): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((math.sin(x * fx + phase) + math.cos(y * fy)) * 63 + 128).toInt
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: resize-stable, unrelated images far apart, corrupt payloads None") {
+    val a = structuredPng(64, 48, 0.15, 0.2, 0)
+    val aSmall = Codecs.resizeImage(a, 48, 36).get
+    val b = structuredPng(64, 48, 0.45, 0.07, 1.7)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val ha = Codecs.dHash(a).get
+    val hs = Codecs.dHash(aSmall).get
+    val hb = Codecs.dHash(b).get
+    assert(ham(ha, hs) <= 10,
+      s"resized copy drifted to Hamming ${ham(ha, hs)}")
+    assert(ham(ha, hb) >= 16,
+      s"unrelated images only Hamming ${ham(ha, hb)} apart")
+    assert(Codecs.dHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageNearDupPairs: planted perceptual duplicate found, nothing spurious") {
+    val recs = Seq(
+      graft.ops.MediaRecord(1L, "image", structuredPng(64, 48, 0.15, 0.2, 0)),
+      graft.ops.MediaRecord(2L, "image",
+        Codecs.resizeImage(structuredPng(64, 48, 0.15, 0.2, 0), 56, 42).get),
+      graft.ops.MediaRecord(3L, "image", structuredPng(64, 48, 0.45, 0.07, 1.7)),
+      graft.ops.MediaRecord(4L, "image", structuredPng(64, 48, 0.05, 0.6, 0.4)),
+      graft.ops.MediaRecord(5L, "video", Codecs.encodeVideo(16, 12, 3, seed = 5)),
+      graft.ops.MediaRecord(6L, "image", "corrupt".getBytes("UTF-8")))
+    val pairs = Multimodal.imageNearDupPairs(recs.toDS(), maxHamming = 10, chunks = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
