@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{AsOf, Classify, Exact, Layout, Normalize, RangeJoin, Shard, Sketches, Windows}
+import graft.ops.{AsOf, Bpe, Classify, Exact, Layout, Normalize, RangeJoin, Shard, Sketches, Windows}
 
 /** Advanced relational surface: as-of join, rollup, conditional pivot,
   * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
@@ -265,6 +265,19 @@ object AdvQueries {
       .orderBy($"z", $"event_id")
   }
 
+  /** BPE tokenizer training ([[Bpe.train]]): 50 merges learned from the
+    * corpus word-frequency table, one aggregation job per merge, driver
+    * holding only the merge list. Iterative — not SQL-expressible — so
+    * the learned vocabulary is golden-pinned (exact long pair counts +
+    * lexicographic tie-break make it bit-stable across partitionings,
+    * spec-asserted); BpeSpec carries the hand-checked merge order and
+    * encode round-trip. */
+  private val q83: Q = (s, d) => {
+    import s.implicits._
+    Bpe.mergeTable(Tables.documents(s, d), "text", nMerges = 50)
+      .orderBy($"rank")
+  }
+
   /** Trailing 5-event moving average of value per user — per-key rolling
     * feature backfill (one hash-partition by user + sort; decimal-exact
     * frame sum). */
@@ -421,7 +434,8 @@ object AdvQueries {
     "q74_knn_ivf_saved"   -> q74,
     "q79_quality_classifier" -> q79,
     "q80_shard_export"    -> q80,
-    "q81_zorder_key"      -> q81)
+    "q81_zorder_key"      -> q81,
+    "q83_bpe_vocab"       -> q83)
 
   // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
   // ln γ literals are printed from the exact Scala doubles so both engines
