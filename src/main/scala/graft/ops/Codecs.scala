@@ -172,6 +172,80 @@ object Codecs {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /** Acoustic fingerprint over REAL decoded PCM (a chromaprint-shaped
+    * reduction): `AudioSystem` decode → mono mix → 33 equal frames →
+    * per-frame spectral energy in 2 fixed bands (Goertzel at 0.02 and
+    * 0.10 cycles/sample) → one bit per (frame transition, band):
+    * energy rose vs the previous frame. 32 transitions × 2 bands =
+    * 64 bits for [[graft.ops.Dedup.hammingPairs64]].
+    *
+    * Uniform gain scales every energy by c², so the rose/fell
+    * comparisons — and the fingerprint — are volume-invariant up to
+    * quantization (spec-asserted within a few bits). `None` if the
+    * payload isn't decodable 16-bit PCM or is too short to frame. */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian) return None
+        val raw = ais.readAllBytes()
+        val ch = f.getChannels
+        val nFrames = raw.length / (2 * ch)
+        val frames = 33
+        val perFrame = nFrames / frames
+        if (perFrame < 2) return None
+        // mono mix into doubles, one pass
+        val mono = new Array[Double](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            s += ((raw(off) & 0xff) | (raw(off + 1) << 8)).toShort.toDouble
+            c += 1
+          }
+          mono(i) = s / ch
+          i += 1
+        }
+        val bands = Array(0.02, 0.10) // cycles per sample
+        val e = Array.ofDim[Double](frames, bands.length)
+        var fi = 0
+        while (fi < frames) {
+          var b = 0
+          while (b < bands.length) {
+            // Goertzel power at the band frequency over this frame
+            val w = 2.0 * math.Pi * bands(b)
+            val coeff = 2.0 * math.cos(w)
+            var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+            var n = fi * perFrame
+            val end = n + perFrame
+            while (n < end) {
+              s0 = mono(n) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              n += 1
+            }
+            e(fi)(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            b += 1
+          }
+          fi += 1
+        }
+        var h = 0L
+        var bit = 0
+        fi = 1
+        while (fi < frames) {
+          var b = 0
+          while (b < bands.length) {
+            if (e(fi)(b) > e(fi - 1)(b)) h |= (1L << bit)
+            bit += 1; b += 1
+          }
+          fi += 1
+        }
+        Some(h)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
   // ----------------------------------------------------------------- video
 
   private val VideoMagic = "GVC1".getBytes("US-ASCII")

@@ -217,6 +217,27 @@ object Multimodal {
     }.toDF("doc", "sig")
   }
 
+  /** Acoustic fingerprint of every decodable audio record
+    * ([[Codecs.audioFingerprint]]): same partition-wise shape as
+    * [[imageDHash]] — PCM never shuffles, 8 bytes per clip leave the
+    * scan. */
+  def audioFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.media_type == "audio")
+          Codecs.audioFingerprint(r.content).map(h => (r.doc_id, h))
+        else None
+      }
+    }.toDF("doc", "sig")
+  }
+
+  /** Audio near-dup pairs: acoustic fingerprints through the shared
+    * Hamming pigeonhole core ([[Dedup.hammingPairs64]]). */
+  def audioNearDupPairs(media: Dataset[MediaRecord],
+                        maxHamming: Int = 10, chunks: Int = 16): DataFrame =
+    Dedup.hammingPairs64(audioFingerprints(media), maxHamming, chunks)
+
   /** Image near-dup pairs by perceptual hash: dHash per image, then the
     * SAME pigeonhole candidate machinery the text SimHash path uses
     * ([[Dedup.hammingPairs64]]) — bucket by hash chunks, verify with

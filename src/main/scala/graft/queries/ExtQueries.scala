@@ -196,6 +196,19 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Acoustic fingerprints ([[Multimodal.audioFingerprints]]): every
+    * audio payload really decoded (AudioSystem), mono-mixed, Goertzel
+    * band energies per frame, 64 rose/fell bits — the audio analog of
+    * q82's dHash, feeding the same Hamming pairing. Golden-pinned
+    * (AudioSystem decode is not SQL-expressible); volume-invariance and
+    * planted-pair retrieval live in MultimodalSpec. */
+  private val q84: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.audioFingerprints(Multimodal.attachMedia(Tables.documents(s, d)))
+      .select($"doc".as("doc_id"), $"sig".as("audio_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** Media TRANSFORM pipeline (q67 checks decode; this checks the
     * transforms): images are resized 10×10 through the real codec
     * (decode → bilinear scale → PNG re-encode → re-decode), videos are
@@ -549,7 +562,8 @@ object ExtQueries {
     "q32_embed_neardup"     -> q32,
     "q67_media_decode"      -> q67,
     "q69_media_pipeline"    -> q69,
-    "q82_image_dhash"       -> q82)
+    "q82_image_dhash"       -> q82,
+    "q84_audio_fp"          -> q84)
 
   // shared by q24 (direct exact path) and q76 (routed entry point)
   private val ngramJaccardSql =

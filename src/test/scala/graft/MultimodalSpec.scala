@@ -241,4 +241,47 @@ class MultimodalSpec extends SparkSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("audioFingerprint: volume-invariant, distinct clips far apart, corrupt None") {
+    val a = Codecs.encodeWav(1, 8000, 4096, seed = 11)
+    // uniform gain: halve every PCM sample in the canonical 44-byte-header
+    // RIFF our encoder emits — energies scale by c^2, comparisons survive
+    val half = a.clone()
+    var i = 44
+    while (i + 1 < half.length) {
+      val v = (((half(i) & 0xff) | (half(i + 1) << 8)).toShort / 2).toShort
+      half(i) = (v & 0xff).toByte; half(i + 1) = ((v >> 8) & 0xff).toByte
+      i += 2
+    }
+    val b = Codecs.encodeWav(1, 8000, 4096, seed = 12)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val ha = Codecs.audioFingerprint(a).get
+    val hh = Codecs.audioFingerprint(half).get
+    val hb = Codecs.audioFingerprint(b).get
+    assert(ham(ha, hh) <= 4, s"gain-scaled copy drifted to Hamming ${ham(ha, hh)}")
+    assert(ham(ha, hb) >= 16, s"unrelated clips only Hamming ${ham(ha, hb)} apart")
+    assert(Codecs.audioFingerprint("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Codecs.audioFingerprint(Codecs.encodeWav(1, 8000, 30, seed = 1)).isEmpty,
+      "too short to frame must be None, not garbage bits")
+  }
+
+  test("audioNearDupPairs: planted gain-scaled duplicate found, nothing spurious") {
+    val base = Codecs.encodeWav(2, 8000, 4096, seed = 21)
+    val scaled = base.clone()
+    var i = 44
+    while (i + 1 < scaled.length) {
+      val v = (((scaled(i) & 0xff) | (scaled(i + 1) << 8)).toShort / 2).toShort
+      scaled(i) = (v & 0xff).toByte; scaled(i + 1) = ((v >> 8) & 0xff).toByte
+      i += 2
+    }
+    val recs = Seq(
+      graft.ops.MediaRecord(1L, "audio", base),
+      graft.ops.MediaRecord(2L, "audio", scaled),
+      graft.ops.MediaRecord(3L, "audio", Codecs.encodeWav(2, 8000, 4096, seed = 22)),
+      graft.ops.MediaRecord(4L, "audio", Codecs.encodeWav(1, 8000, 4096, seed = 23)),
+      graft.ops.MediaRecord(5L, "image", Codecs.encodePng(16, 16, seed = 5)))
+    val pairs = Multimodal.audioNearDupPairs(recs.toDS(), maxHamming = 10, chunks = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
