@@ -238,6 +238,31 @@ object Multimodal {
                         maxHamming: Int = 10, chunks: Int = 16): DataFrame =
     Dedup.hammingPairs64(audioFingerprints(media), maxHamming, chunks)
 
+  /** Per-frame perceptual hashes of every video: real frame slice
+    * ([[Codecs.videoFrames]]) → PNG decode → [[Codecs.dHash]]. One row
+    * per decodable frame; the frame-hash index video retrieval builds. */
+  def videoFrameHashes(media: Dataset[MediaRecord], everyN: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    sampleFrames(media, everyN).mapPartitions { it =>
+      it.flatMap(f => Codecs.dHash(f.frame).map(h => (f.doc_id, f.frame_idx, h)))
+    }.toDF("doc", "frame_idx", "sig")
+  }
+
+  /** Video near-dup pairs: two videos pair when ANY sampled frame pair
+    * lands within `maxHamming` — the shared-scene criterion. Frame
+    * hashes go through the same pigeonhole core; a video's own frames
+    * never pair it with itself, and per video pair the BEST (minimum)
+    * frame distance plus the matching-frame-pair count are kept. */
+  def videoNearDupPairs(media: Dataset[MediaRecord], everyN: Int = 1,
+                        maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
+    val frames = videoFrameHashes(media, everyN).select(col("doc"), col("sig"))
+    Dedup.hammingPairs64(frames, maxHamming, chunks)
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"),
+        count(lit(1)).as("n_frame_pairs"))
+  }
+
   /** Image near-dup pairs by perceptual hash: dHash per image, then the
     * SAME pigeonhole candidate machinery the text SimHash path uses
     * ([[Dedup.hammingPairs64]]) — bucket by hash chunks, verify with

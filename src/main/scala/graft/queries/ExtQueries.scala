@@ -209,6 +209,17 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-frame video perceptual hashes ([[Multimodal.videoFrameHashes]]):
+    * every frame sliced from its GVC1 container, PNG-decoded, dHashed —
+    * the frame index [[Multimodal.videoNearDupPairs]] joins on.
+    * Golden-pinned like q82/q84. */
+  private val q85: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.videoFrameHashes(Multimodal.attachMedia(Tables.documents(s, d)))
+      .select($"doc".as("doc_id"), $"frame_idx", $"sig".as("dhash"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** Media TRANSFORM pipeline (q67 checks decode; this checks the
     * transforms): images are resized 10×10 through the real codec
     * (decode → bilinear scale → PNG re-encode → re-decode), videos are
@@ -563,7 +574,8 @@ object ExtQueries {
     "q67_media_decode"      -> q67,
     "q69_media_pipeline"    -> q69,
     "q82_image_dhash"       -> q82,
-    "q84_audio_fp"          -> q84)
+    "q84_audio_fp"          -> q84,
+    "q85_video_frame_hashes" -> q85)
 
   // shared by q24 (direct exact path) and q76 (routed entry point)
   private val ngramJaccardSql =

@@ -284,4 +284,21 @@ class MultimodalSpec extends SparkSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("videoNearDupPairs: prefix-sharing videos pair at Hamming 0, others don't") {
+    // same seed => identical frame sequence prefix; different seed =>
+    // unrelated noise frames (dHash ~32 apart with overwhelming odds)
+    val recs = Seq(
+      graft.ops.MediaRecord(1L, "video", Codecs.encodeVideo(16, 12, 5, seed = 9)),
+      graft.ops.MediaRecord(2L, "video", Codecs.encodeVideo(16, 12, 3, seed = 9)),
+      graft.ops.MediaRecord(3L, "video", Codecs.encodeVideo(16, 12, 4, seed = 77)),
+      graft.ops.MediaRecord(4L, "audio", Codecs.encodeWav(1, 8000, 256, seed = 4)))
+    val pairs = Multimodal.videoNearDupPairs(recs.toDS(), everyN = 1,
+        maxHamming = 6, chunks = 8)
+      .select("doc_a", "doc_b", "hamming", "n_frame_pairs")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), s"got ${pairs.toSeq}")
+    assert(pairs.head._3 == 0, "shared prefix frames must match at Hamming 0")
+    assert(pairs.head._4 >= 3, "all three shared frames should pair")
+  }
 }
