@@ -113,7 +113,25 @@ object GraftFunctions {
     // (only the aggregate side, bloom_filter_agg, is in the registry).
     // Value side must be xxhash64(col) — the sketch stores longs.
     "bloom_might_contain" -> (exprs =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))),
+    // (text, array<string> literal of "left right" merge pairs in rank
+    // order) — the merge table is model data evaluated at analysis time,
+    // never a per-row argument
+    "bpe_encode" -> { exprs =>
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"bpe_encode expects 2 arguments (string col, merge-pair array literal), got ${exprs.length}")
+      if (!exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "bpe_encode: merges must be a foldable array<string> literal")
+      val merges = exprs(1).eval() match {
+        case a: ArrayData =>
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"bpe_encode: merges must evaluate to array<string>, got $other")
+      }
+      BpeEncode(exprs(0), merges)
+    })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
@@ -133,7 +151,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "token_entropy" -> classOf[TokenEntropy].getName,
     "topk_freq" -> classOf[FrequentItemsSketch].getName,
     "bloom_might_contain" ->
-      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName)
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    "bpe_encode" -> classOf[BpeEncode].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.builders.foreach { case (name, builder) =>

@@ -120,20 +120,43 @@ object Bpe {
                  minCount: Long = 2L, memo: Boolean = true): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
-      textCol, nMerges, minCount)
-    val model =
-      if (memo) modelMemo.computeIfAbsent(key, _ => train(df, textCol, nMerges, minCount))
-      else train(df, textCol, nMerges, minCount)
+    val model = trainedModel(df, textCol, nMerges, minCount, memo)
     model.merges.map(m => (m.rank, m.left, m.right, m.merged, m.count))
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
 
-  /** Map-side BPE encode of a text column under a trained model: per
-    * partition, each word's symbols merge lowest-rank-first (the
-    * standard encode algorithm) against the broadcast rank map. Output
-    * column `bpe_tokens` (array<string>). */
+  /** The memoized train-once path behind [[mergeTable]] (keyed like the
+    * IVF cache: canonicalized corpus plan + hyperparameters), exposed so
+    * [[encode]] callers reuse the same fitted model instead of paying
+    * the merge loop per query. */
+  def trainedModel(df: DataFrame, textCol: String, nMerges: Int,
+                   minCount: Long = 2L, memo: Boolean = true): BpeModel = {
+    val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
+      textCol, nMerges, minCount)
+    if (memo) modelMemo.computeIfAbsent(key, _ => train(df, textCol, nMerges, minCount))
+    else train(df, textCol, nMerges, minCount)
+  }
+
+  /** Map-side BPE encode of a text column under a trained model: each
+    * word's symbols merge lowest-rank-first (the standard encode
+    * algorithm). Output column `bpe_tokens` (array<string>).
+    *
+    * Computed by the native [[graft.functions.BpeEncode]] expression
+    * (whole-stage-codegen resident; the rank map rides along as a
+    * codegen reference object) — the tokenizer-apply scan is the hot
+    * path of a training-data export, so it must not carry a ScalaUDF
+    * serialization boundary. [[encodeUdf]] is the builtins-only
+    * reference implementation; BpeSpec asserts bit equality. */
   def encode(df: DataFrame, textCol: String, model: BpeModel): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("bpe_tokens",
+      call_function("bpe_encode", col(textCol),
+        lit(model.merges.map(m => m.left + " " + m.right).toArray)))
+  }
+
+  /** The ScalaUDF reference form of [[encode]] — kept as the cross-check
+    * path for the native expression, never on the query surface. */
+  private[graft] def encodeUdf(df: DataFrame, textCol: String, model: BpeModel): DataFrame = {
     val s = df.sparkSession
     val ranks: Map[(String, String), Int] =
       model.merges.map(m => (m.left, m.right) -> m.rank).toMap

@@ -962,4 +962,62 @@ object Dedup {
       .select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Segment-level keep-first dedup — the CCNet/RefinedWeb move applied
+    * at tile granularity: the corpus keeps exactly ONE copy of every
+    * duplicated text segment and each document is REWRITTEN with its
+    * non-surviving segments removed (contrast [[dropSpanDuplicated]],
+    * which drops whole documents, and [[spanDupCoverage]], which only
+    * measures). The segmentation is non-overlapping `k`-token tiles
+    * (the corpus here has no newline paragraphs to hash, so the tile
+    * plays CCNet's paragraph role; the trailing partial tile is a
+    * segment too — CCNet hashes short paragraphs like any other).
+    *
+    * Keep rule: a tile occurrence survives iff it is the corpus-wide
+    * FIRST occurrence of its content, first = min (doc, position) —
+    * total and deterministic under any partitioning. Computed as
+    * `min(struct(doc, pos))` per tile key, which Catalyst plans as a
+    * two-phase hash aggregate (map-side partials — a tile duplicated
+    * 10⁶× shuffles one candidate row per map partition, not 10⁶ rows),
+    * then a semi-shaped equi-join back on the tile key. The two
+    * shuffles (tile key, then doc for reassembly) are both narrow:
+    * the first carries (key, doc, pos), the second only the KEPT tiles.
+    *
+    * `tileKey` defaults to `xxhash64` (8-byte shuffle key at 100 TB;
+    * a collision can only mis-drop ~df²/2⁶⁴ tiles); the oracle surface
+    * passes `md5` so DuckDB recomputes identical keys.
+    *
+    * Output: one row per input doc — `n_tiles`, `n_kept`, and
+    * `cleaned_text` (surviving tiles rejoined in document order; empty
+    * string when nothing survives).
+    *
+    * Reference anchor: the reference's dedup is row-level
+    * (`silver_transform.py` dropDuplicates analog); this is north-star
+    * curation surface (Wenzek et al. 2020 §4.2's paragraph dedup). */
+  def tileDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8,
+                         tileKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1, s"tile length k must be >= 1, got $k")
+    val toks = df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("t"))
+    val tiles = toks
+      .select($"doc", $"t",
+        explode(sequence(lit(0), ceil(size($"t") / lit(k.toDouble)).cast("int") - 1))
+          .as("pos"))
+      .select($"doc", $"pos",
+        concat_ws(" ", slice($"t", $"pos" * k + 1, lit(k))).as("tile"))
+      .withColumn("h", tileKey($"tile"))
+    val firsts = tiles.groupBy($"h")
+      .agg(min(struct($"doc", $"pos")).as("first"))
+    tiles.join(firsts, Seq("h"))
+      .withColumn("kept", $"doc" === $"first.doc" && $"pos" === $"first.pos")
+      .groupBy($"doc")
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(when($"kept", struct($"pos", $"tile")))),
+            x => x.getField("tile")),
+          " ").as("cleaned_text"))
+      .withColumnRenamed("doc", idCol)
+  }
 }

@@ -82,6 +82,67 @@ object Sampling {
     df.withColumn(outCol, labeled)
   }
 
+  /** Token-budget corpus mixing: per group (source/domain), keep the
+    * deterministic greedy prefix of documents — in seeded-hash order —
+    * whose running token total stays within `budget`. This is the "mix
+    * each domain at N tokens" step of training-data assembly (domain
+    * weights in tokens, not row fractions: the unit the training run
+    * actually consumes), reproducible bit-for-bit from (corpus, seed).
+    *
+    * Keep rule: order each group's docs by the seed-salted 60-bit md5
+    * key ([[Shard.orderKey]], ties on id); doc kept iff its running
+    * token sum (inclusive) ≤ budget.
+    *
+    * Spark shape, sized for 100 TB — the naive form is ONE window
+    * partitioned by group (a whole domain's running sum on one task:
+    * the classic window-skew cliff). Instead the running sum is
+    * decomposed by the hash key's own radix: bucket = top 8 bits of the
+    * order key (bucket order IS a prefix of hash order, so within-group
+    * order never crosses buckets out of sequence):
+    *
+    *  1. per-(group, bucket) token totals — tiny aggregate, map-side
+    *     partials;
+    *  2. running bucket totals per group — a window over ≤256 rows per
+    *     group, broadcast back;
+    *  3. buckets whose prefix already exceeds the budget are PRUNED
+    *     before any per-row work (at 100 TB with a budget that keeps
+    *     1% of a domain, ~99% of rows never reach a window);
+    *  4. the per-row running sum runs inside (group, bucket) partitions
+    *     — 256× finer than the naive window, and only over live
+    *     buckets.
+    *
+    * Output: (group, id, n_tok, cum_tok, ord) for every kept doc —
+    * `cum_tok` is the group's running total at this doc (≤ budget, by
+    * construction), `ord` the permutation key (order by it to read the
+    * sample in admission order). Engine-portable: DuckDB recomputes
+    * `ord` exactly (same md5 discipline as [[Shard]]), so the oracle
+    * verifies the bucketed decomposition against its own naive
+    * single-window form. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, budget: Long,
+                        seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive: $budget")
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        size(Text.tokens(col(textCol))).cast("long").as("n_tok"),
+        Shard.orderKey(col(idCol), seed).as("ord"))
+      .withColumn("bucket", shiftright(col("ord"), 52).cast("int"))
+    val bucketCums = base.groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("n_tok")).as("b_tok"))
+      .withColumn("cum_end",
+        sum(col("b_tok")).over(Window.partitionBy(col("grp")).orderBy(col("bucket"))))
+      .withColumn("cum_prev", col("cum_end") - col("b_tok"))
+      .select(col("grp"), col("bucket"), col("cum_prev"))
+    val live = base.join(broadcast(bucketCums), Seq("grp", "bucket"))
+      .where(col("cum_prev") < budget)
+    val wIn = Window.partitionBy(col("grp"), col("bucket"))
+      .orderBy(col("ord"), col("id"))
+    live.withColumn("cum_tok", col("cum_prev") + sum(col("n_tok")).over(wIn))
+      .where(col("cum_tok") <= budget)
+      .select(col("grp").as(groupCol), col("id").as(idCol),
+        col("n_tok"), col("cum_tok"), col("ord"))
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g.
     * downsample dominant languages, keep the tail whole). Strata missing
     * from the map use `defaultFraction`. The per-row decision is a single

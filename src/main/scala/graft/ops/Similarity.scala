@@ -522,4 +522,60 @@ object Similarity {
       .where($"cosine" >= minCosine)
       .select($"train_id", $"eval_id", $"cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication scoped by
+    * k-means clusters — cluster the embeddings, find near-duplicate
+    * pairs ONLY within a cluster, and for every such pair drop the
+    * member closer (in cosine) to its cluster centroid, keeping the
+    * outlier (the paper's §3 keep-rule: prototypical members are the
+    * redundant ones; the far-from-centroid copy carries the most
+    * marginal information). Deterministic end-to-end: the shared
+    * [[trainedIvf]] centroids (sample-bounded, seeded), an id
+    * tie-break on equal centroid-cosines, and a drop decision that is
+    * a pure function of the pair.
+    *
+    * Scale posture: the cluster IS the candidate generator — pair cost
+    * is Σ|cell|², bounded by choosing nCells so cells stay ~10⁴–10⁵
+    * rows at the target corpus (the paper runs 50k clusters over 5B
+    * embeddings); nothing compares across cells, and the per-cell
+    * self-join is an equi-join on `cell`, not a cross join. Contrast
+    * [[nearDupPairs]] (LSH buckets — recall depends on hyperplane
+    * luck): SemDeDup's cluster scoping is the variant that also yields
+    * the keep-rule's "prototype vs outlier" structure for free.
+    *
+    * Output: one row per input embedding — (id, cell, cent_cos
+    * [rounded 6dp], n_near [in-cell near-dup partners], dropped).
+    * Downstream curation keeps `!dropped`. */
+  def semDedup(df: DataFrame, nCells: Int = 8,
+               minCosine: Double = 0.3): DataFrame = {
+    val index = trainedIvf(df, nCells)
+    val centCosArr = array(index.centroidStructs.map { case (c, n2) =>
+      dot(transform($"emb", (x: Column) => x / $"norm"), typedLit(c)) /
+        lit(math.sqrt(math.max(n2, 1e-300)))
+    }: _*)
+    val assigned = assignCells(df, index)
+      .withColumn("cent_cos", element_at(centCosArr, $"cell" + 1))
+    val a = assigned.select($"cell", $"id".as("id_a"), $"emb".as("emb_a"),
+      $"norm".as("norm_a"), $"cent_cos".as("cc_a"))
+    val b = assigned.select($"cell", $"id".as("id_b"), $"emb".as("emb_b"),
+      $"norm".as("norm_b"), $"cent_cos".as("cc_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .where($"id_a" < $"id_b")
+      .where(cosine($"emb_a", $"emb_b", $"norm_a", $"norm_b") >= minCosine)
+      .select($"id_a", $"id_b", $"cc_a", $"cc_b")
+    // the pair member nearer its centroid is dropped; ties drop the
+    // larger id so the decision is total
+    val dropped = pairs.select(
+      when(struct($"cc_a", $"id_a") > struct($"cc_b", $"id_b"), $"id_a")
+        .otherwise($"id_b").as("id")).distinct()
+    val nNear = pairs.select($"id_a".as("id"))
+      .unionAll(pairs.select($"id_b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("n_near"))
+    assigned.select($"id", $"cell", round($"cent_cos", 6).as("cent_cos"))
+      .join(nNear, Seq("id"), "left")
+      .join(dropped.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select($"id", $"cell", $"cent_cos",
+        coalesce($"n_near", lit(0L)).as("n_near"),
+        coalesce($"dropped", lit(false)).as("dropped"))
+  }
 }

@@ -263,6 +263,53 @@ object Text {
         round(sum($"lp").cast("double") / count(lit(1)), 6).as("logprob"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, §3 — hashed n-gram
+    * importance resampling, reduced here to the unigram feature family):
+    * each document scores the mean log-likelihood RATIO of its tokens
+    * under a target-domain unigram LM vs the raw-corpus unigram LM,
+    *
+    *   weight(d) = (1/|d|) Σ_tok [ ln p_target(tok) − ln p_raw(tok) ]
+    *
+    * with add-one smoothing over the SHARED vocabulary (the raw corpus's
+    * — the target is a subset, so every target token is in-vocabulary
+    * and both distributions are supported everywhere). High weight =
+    * "looks like the target domain"; downstream, resampling by these
+    * weights (e.g. [[Sampling.deterministicSample]] gated on a weight
+    * threshold) tilts a raw corpus toward a quality/domain target
+    * without training a classifier.
+    *
+    * `targetPred` selects the target-domain rows from `df` itself (the
+    * usual DSIR setup scores a big raw crawl against a small trusted
+    * subset — curated sources, high-quality split).
+    *
+    * Plan shape: one explode feeding BOTH frequency aggregates (raw, and
+    * conditionally-counted target — a single shuffle on token, partials
+    * map-side), scalar totals broadcast, one join back, one per-doc
+    * aggregation. Same cross-engine float discipline as
+    * [[unigramLogProb]]: per-token log-ratios rounded to 9 dp and summed
+    * as DECIMAL(18,9), so the sum is reduction-order-independent. */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, targetPred: Column): org.apache.spark.sql.DataFrame = {
+    val d189 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"),
+      targetPred.as("is_target"))
+    val freq = toks.groupBy($"tok").agg(
+      count(lit(1)).as("n_r"),
+      sum(when($"is_target", 1L).otherwise(0L)).as("n_t"))
+    val totals = freq.agg(
+      sum($"n_r").as("__nr_total"), sum($"n_t").as("__nt_total"),
+      count(lit(1)).as("__vocab"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr", round(
+        log(($"n_t" + 1) / ($"__nt_total" + $"__vocab").cast("double")) -
+          log(($"n_r" + 1) / ($"__nr_total" + $"__vocab").cast("double")), 9)
+        .cast(d189))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"lr").cast("double") / count(lit(1)), 6).as("dsir_weight"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * k-gram, slide a window of `w` hashes, keep each window's minimum.
     * Guarantees any shared run of ≥ w+k-1 tokens yields a shared

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.{AsOf, Bpe, Classify, Exact, Layout, Normalize, RangeJoin, Shard, Sketches, Windows}
+import graft.ops.{AsOf, Bpe, Classify, Dedup, Exact, Layout, Normalize, RangeJoin, Sampling, Shard, Similarity, Sketches, Text, Windows}
 
 /** Advanced relational surface: as-of join, rollup, conditional pivot,
   * exact distinct counts, exact-arithmetic correlation. All oracle-backed.
@@ -278,6 +278,72 @@ object AdvQueries {
       .orderBy($"rank")
   }
 
+  /** CCNet-style segment-level keep-first dedup
+    * ([[Dedup.tileDedupKeepFirst]]): one surviving copy of every
+    * duplicated 8-token tile corpus-wide, documents rewritten without
+    * the dropped copies. md5 tile keys on this oracle surface so DuckDB
+    * replays the identical keep-first rule (row_number over the same
+    * key). */
+  private val q86: Q = (s, d) => {
+    import s.implicits._
+    Dedup.tileDedupKeepFirst(Tables.documents(s, d), "doc_id", "text",
+        k = 8, tileKey = md5(_))
+      .orderBy($"doc_id")
+  }
+
+  /** SemDeDup ([[Similarity.semDedup]]): k-means-cluster-scoped semantic
+    * dedup with the keep-the-outlier rule. k-means is iterative (not
+    * SQL-expressible) so the output is golden-pinned; OpsSpec carries
+    * the pair-rule invariants. */
+  private val q87: Q = (s, d) => {
+    import s.implicits._
+    Similarity.semDedup(
+        Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding"),
+        nCells = 8, minCosine = 0.3)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy($"vec_id")
+  }
+
+  /** BPE ENCODE under the q83-trained model ([[Bpe.encode]] — the apply
+    * half of the tokenizer story; the model memo means this query pays
+    * zero training after q83). Iterative greedy merges per word — not
+    * SQL-expressible — so golden-pinned; BpeSpec holds the detokenize
+    * round-trip proof. */
+  private val q88: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val model = Bpe.trainedModel(docs, "text", nMerges = 50)
+    Bpe.encode(docs.select($"doc_id", $"text"), "text", model)
+      .select($"doc_id",
+        Text.tokenCount($"text").as("n_words"),
+        size($"bpe_tokens").as("n_bpe_tokens"),
+        array_join(slice($"bpe_tokens", 1, 8), " ").as("bpe_head"))
+      .orderBy($"doc_id")
+  }
+
+  /** DSIR importance weights ([[Text.dsirWeights]]): per-doc mean
+    * log-likelihood ratio of a target-domain unigram LM (here source
+    * 'src0' plays the trusted subset) vs the raw corpus. Decimal-exact
+    * summation, so fully oracle-checkable. */
+  private val q89: Q = (s, d) => {
+    import s.implicits._
+    Text.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        targetPred = $"source" === "src0")
+      .orderBy($"doc_id")
+  }
+
+  /** Token-budget domain mixing ([[Sampling.tokenBudgetSample]]): each
+    * source capped at 800 tokens by the seeded-permutation greedy
+    * prefix. The oracle recomputes the SAME sample with its naive
+    * single-window cumsum — verifying the scale-side bucketed
+    * decomposition against the defining rule. */
+  private val q90: Q = (s, d) => {
+    import s.implicits._
+    Sampling.tokenBudgetSample(Tables.documents(s, d), "doc_id", "text",
+        "source", budget = 800L, seed = "mix7")
+      .orderBy($"source", $"ord", $"doc_id")
+  }
+
   /** Trailing 5-event moving average of value per user — per-key rolling
     * feature backfill (one hash-partition by user + sort; decimal-exact
     * frame sum). */
@@ -435,7 +501,12 @@ object AdvQueries {
     "q79_quality_classifier" -> q79,
     "q80_shard_export"    -> q80,
     "q81_zorder_key"      -> q81,
-    "q83_bpe_vocab"       -> q83)
+    "q83_bpe_vocab"       -> q83,
+    "q86_tile_dedup"      -> q86,
+    "q87_semdedup"        -> q87,
+    "q88_bpe_encode"      -> q88,
+    "q89_dsir_weights"    -> q89,
+    "q90_token_budget"    -> q90)
 
   // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
   // ln γ literals are printed from the exact Scala doubles so both engines
@@ -504,6 +575,48 @@ object AdvQueries {
         |SELECT event_id, user_id, rx, ry, $zTerms AS z
         |FROM k ORDER BY z, event_id""".stripMargin
     },
+    "q86_tile_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        unnest(generate_series(0, (len(w) + 7) // 8 - 1)) AS i FROM t),
+        |tl AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |        array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS tile
+        |      FROM c),
+        |k AS (SELECT doc_id, pos, tile,
+        |        row_number() OVER (PARTITION BY md5(tile) ORDER BY doc_id, pos) AS rn
+        |      FROM tl)
+        |SELECT doc_id, count(*) AS n_tiles,
+        |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN tile END, ' ' ORDER BY pos), '')
+        |    AS cleaned_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q89_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS n_r,
+        |        sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_t
+        |      FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n_r) AS DOUBLE) AS nr, CAST(sum(n_t) AS DOUBLE) AS nt,
+        |        CAST(count(*) AS DOUBLE) AS v FROM f),
+        |s AS (SELECT doc_id,
+        |    CAST(round(ln((n_t + 1) / (nt + v)) - ln((n_r + 1) / (nr + v)), 9)
+        |      AS DECIMAL(18,9)) AS lr
+        |  FROM t JOIN f USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(lr) AS DOUBLE) / count(*), 6) AS dsir_weight
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q90_token_budget" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat('mix7 ',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tok, ord,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM t)
+        |SELECT source, doc_id, n_tok, cum_tok, ord
+        |FROM c WHERE cum_tok <= 800 ORDER BY source, ord, doc_id""".stripMargin,
     "q80_shard_export" ->
       """WITH a AS (
         |  SELECT doc_id,

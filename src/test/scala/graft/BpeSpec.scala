@@ -54,6 +54,24 @@ class BpeSpec extends SparkSuite {
       "encoding with 40 merges must compress below character count")
   }
 
+  test("native bpe_encode expression is bit-identical to the ScalaUDF reference") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = Bpe.train(docs, "text", nMerges = 40)
+    val native = Bpe.encode(docs, "text", model)
+      .select($"doc_id", $"bpe_tokens").orderBy($"doc_id").collect().toSeq
+    val viaUdf = Bpe.encodeUdf(docs, "text", model)
+      .select($"doc_id", $"bpe_tokens").orderBy($"doc_id").collect().toSeq
+    assert(native == viaUdf)
+    // edge rows the corpus doesn't cover: null text, empty text, repeated
+    // spaces (empty words degenerate to a bare </w> symbol)
+    val edges = Seq((0L, null), (1L, ""), (2L, "a  b")).toDF("doc_id", "text")
+    val en = Bpe.encode(edges, "text", model)
+      .select($"doc_id", $"bpe_tokens").orderBy($"doc_id").collect().toSeq
+    val eu = Bpe.encodeUdf(edges, "text", model)
+      .select($"doc_id", $"bpe_tokens").orderBy($"doc_id").collect().toSeq
+    assert(en == eu)
+  }
+
   test("training is deterministic across runs and partitionings") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Bpe.train(docs, "text", nMerges = 20).merges

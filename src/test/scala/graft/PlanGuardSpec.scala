@@ -26,16 +26,22 @@ class PlanGuardSpec extends SparkSuite {
     "q27_knn_cosine",     // candidates × broadcast(query vectors), k queries
     "q57_tfidf_terms",    // term frame × broadcast(1-row corpus count)
     "q71_unigram_logprob", // token frame × broadcast(1-row token total)
-    "q75_embed_decontam") // train scan × broadcast(eval vectors), small eval side
+    "q75_embed_decontam",  // train scan × broadcast(eval vectors), small eval side
+    "q89_dsir_weights")    // token frame × broadcast(1-row totals/vocab)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+      val exec = fn(spark, sf).queryExecution.sparkPlan
+      val plan = exec.toString
       val cart = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !allowBnlj(name)
       // a ScalaUDF node is a per-row serialization boundary opaque to
-      // codegen — the whole surface is built from native expressions
-      val sudf = plan.contains("ScalaUDF")
+      // codegen — the whole surface is built from native expressions.
+      // Walk the actual expression trees: physical plans print ScalaUDF
+      // as just "UDF(...)", so a string match never fires (it let the
+      // q88 prototype's UDF through until the native rewrite)
+      val sudf = exec.find(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))).nonEmpty
       if (cart || bnlj || sudf)
         Some(s"$name: ${Seq(
           if (cart) Some("CartesianProduct") else None,
