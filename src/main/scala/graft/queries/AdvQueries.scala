@@ -344,6 +344,45 @@ object AdvQueries {
       .orderBy($"source", $"ord", $"doc_id")
   }
 
+  /** Curation capstone v2 — the round-7 operator family composed
+    * end-to-end as ONE deterministic, fully oracle-checkable pipeline
+    * (q42 composed the round-1 family; this is its training-data-export
+    * successor):
+    *
+    *   1. DSIR gate ([[Text.dsirWeights]] ≥ 0): keep docs that look at
+    *      least as target-like as the raw corpus;
+    *   2. tile-level keep-first dedup REWRITE of the survivors
+    *      ([[Dedup.tileDedupKeepFirst]]), dropping docs whose content
+    *      was entirely claimed by earlier copies;
+    *   3. token-budget admission per source on the CLEANED text
+    *      ([[Sampling.tokenBudgetSample]], 500 tokens/source);
+    *   4. deterministic shuffled shard assignment of the admitted
+    *      sample ([[Shard.shardAssign]]) — the export order a training
+    *      run would consume.
+    *
+    * Budget admission and shard placement use DIFFERENT seeds: the same
+    * permutation for both would correlate "which docs got in" with
+    * "where they landed", reintroducing the ordering bias the shard
+    * shuffle exists to break. */
+  private val q91: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val gated = docs.join(
+      Text.dsirWeights(docs, "doc_id", "text", $"source" === "src0")
+        .where($"dsir_weight" >= 0.0).select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.tileDedupKeepFirst(gated, "doc_id", "text",
+        k = 8, tileKey = md5(_))
+      .where($"cleaned_text" =!= "")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+    val admitted = Sampling.tokenBudgetSample(cleaned, "doc_id", "cleaned_text",
+        "source", budget = 500L, seed = "cap7")
+      .select($"doc_id", $"source", $"n_tok", $"cum_tok")
+    Shard.shardAssign(admitted, "doc_id", nShards = 4, seed = "cap7s")
+      .select($"shard", $"pos", $"doc_id", $"source", $"n_tok", $"cum_tok")
+      .orderBy($"shard", $"pos")
+  }
+
   /** Trailing 5-event moving average of value per user — per-key rolling
     * feature backfill (one hash-partition by user + sort; decimal-exact
     * frame sum). */
@@ -506,7 +545,8 @@ object AdvQueries {
     "q87_semdedup"        -> q87,
     "q88_bpe_encode"      -> q88,
     "q89_dsir_weights"    -> q89,
-    "q90_token_budget"    -> q90)
+    "q90_token_budget"    -> q90,
+    "q91_curation_v2"     -> q91)
 
   // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
   // ln γ literals are printed from the exact Scala doubles so both engines
@@ -617,6 +657,52 @@ object AdvQueries {
         |  FROM t)
         |SELECT source, doc_id, n_tok, cum_tok, ord
         |FROM c WHERE cum_tok <= 800 ORDER BY source, ord, doc_id""".stripMargin,
+    "q91_curation_v2" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS n_r,
+        |        sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_t
+        |      FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n_r) AS DOUBLE) AS nr, CAST(sum(n_t) AS DOUBLE) AS nt,
+        |        CAST(count(*) AS DOUBLE) AS v FROM f),
+        |sc AS (SELECT doc_id,
+        |    round(CAST(sum(CAST(round(ln((n_t + 1) / (nt + v))
+        |      - ln((n_r + 1) / (nr + v)), 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      / count(*), 6) AS w
+        |  FROM t JOIN f USING (tok) CROSS JOIN tot GROUP BY doc_id),
+        |gated AS (SELECT d.doc_id, d.source, d.text
+        |  FROM documents d JOIN sc USING (doc_id) WHERE sc.w >= 0.0),
+        |tw AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM gated),
+        |c AS (SELECT doc_id, source, w,
+        |        unnest(generate_series(0, (len(w) + 7) // 8 - 1)) AS i FROM tw),
+        |tl AS (SELECT doc_id, source, CAST(i AS INTEGER) AS pos,
+        |        array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS tile
+        |      FROM c),
+        |k AS (SELECT doc_id, source, pos, tile,
+        |        row_number() OVER (PARTITION BY md5(tile) ORDER BY doc_id, pos) AS rn
+        |      FROM tl),
+        |cl AS (SELECT doc_id, source,
+        |        coalesce(string_agg(CASE WHEN rn = 1 THEN tile END, ' ' ORDER BY pos), '')
+        |          AS ct
+        |      FROM k GROUP BY doc_id, source),
+        |ne AS (SELECT doc_id, source,
+        |        CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tok,
+        |        CAST(concat('0x', substr(md5(concat('cap7 ',
+        |          CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
+        |      FROM cl WHERE ct <> ''),
+        |bu AS (SELECT doc_id, source, n_tok, ord,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |      FROM ne),
+        |ad AS (SELECT doc_id, source, n_tok, cum_tok,
+        |        CAST(concat('0x', substr(md5(concat('cap7s ',
+        |          CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord2
+        |      FROM bu WHERE cum_tok <= 500)
+        |SELECT CAST(ord2 % 4 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY ord2 % 4 ORDER BY ord2, doc_id) - 1
+        |    AS BIGINT) AS pos,
+        |  doc_id, source, n_tok, cum_tok
+        |FROM ad ORDER BY shard, pos""".stripMargin,
     "q80_shard_export" ->
       """WITH a AS (
         |  SELECT doc_id,
