@@ -153,6 +153,45 @@ class StateStoreMatrixSpec extends SparkSuite {
         assert(got == want && got.nonEmpty, s"[$label] got=$got want=$want")
       }
     }
+
+    test(s"flatMapGroupsWithState budget admission under $label equals batch sampler") {
+      withProvider(provider) {
+        implicit val sqlCtx = spark.sqlContext
+        val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        val in = MemoryStream[graft.pipeline.DocArrival]
+        val q = graft.pipeline.BudgetAdmission.admitted(in.toDS(), 300L)
+          .writeStream.format("memory").queryName(s"ssm_ba_${label.take(4)}")
+          .outputMode("append").start()
+        try {
+          // two micro-batches split by doc_id parity — admission must
+          // still respect the per-source budget across the boundary
+          val all = graft.pipeline.BudgetAdmission
+            .arrivals(docs, "doc_id", "text", "source", "ssm").collect()
+          in.addData(all.filter(_.doc_id % 2 == 0).toSeq)
+          q.processAllAvailable()
+          in.addData(all.filter(_.doc_id % 2 == 1).toSeq)
+          q.processAllAvailable()
+          val admitted = spark.table(s"ssm_ba_${label.take(4)}")
+            .as[graft.pipeline.AdmittedDoc].collect()
+          val perSource = admitted.groupBy(_.source).view.mapValues(_.map(_.n_tok).sum)
+          assert(admitted.nonEmpty && perSource.values.forall(_ <= 300L),
+            s"[$label] budget exceeded: ${perSource.toMap}")
+          // the prefix clock must agree with a driver-side replay of the
+          // same two-batch arrival order
+          val replay = (all.filter(_.doc_id % 2 == 0).sortBy(r => (r.ord, r.doc_id)) ++
+              all.filter(_.doc_id % 2 == 1).sortBy(r => (r.ord, r.doc_id)))
+            .groupBy(_.source).toSeq.flatMap { case (src, rs) =>
+              var cum = 0L
+              rs.toSeq.flatMap { r =>
+                cum += r.n_tok
+                if (cum <= 300L) Some((r.doc_id, src, r.n_tok, cum)) else None
+              }
+            }.toSet
+          assert(admitted.map(a => (a.doc_id, a.source, a.n_tok, a.cum_tok)).toSet
+            == replay, s"[$label] streamed set diverges from replay")
+        } finally q.stop()
+      }
+    }
   }
 
   test("rocksdb provider actually engaged (state store metrics name it)") {
