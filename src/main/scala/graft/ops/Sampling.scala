@@ -82,6 +82,31 @@ object Sampling {
     df.withColumn(outCol, labeled)
   }
 
+  /** Deterministic upsampling with explicit repetition epochs — the
+    * other half of the mixing contract ([[mixCorpora]] caps weights at
+    * 1.0 and says "repeat data explicitly to upsample"; this is that
+    * explicit form, the "Wikipedia at 2.3 epochs" move of LLaMA-style
+    * mixtures): every row appears in epochs 0 .. ⌊weight⌋−1 whole, plus
+    * a final fractional epoch it joins iff its seed-salted content hash
+    * clears the fractional threshold. Membership is a pure row function
+    * (row, epoch, seed) — reproducible across engines and partitionings,
+    * auditable per row, and a map-side generate + filter in the plan (no
+    * shuffle; output volume is weight × input by construction). The
+    * epoch column lets the downstream shard/export step interleave
+    * repetitions deterministically instead of colocating copies. */
+  def upsampleEpochs(df: DataFrame, keyCol: String, weight: Double,
+                     seed: String = "epoch"): DataFrame = {
+    require(weight > 0.0, s"weight must be positive: $weight")
+    val full = math.floor(weight).toInt
+    val frac = weight - full
+    val nEpochs = if (frac > 1e-12) full + 1 else full
+    df.select(col("*"),
+        explode(sequence(lit(0), lit(nEpochs - 1))).as("epoch"))
+      .where(col("epoch") < full ||
+        md5(concat_ws(" ", lit(seed), col("epoch").cast("string"),
+          col(keyCol).cast("string"))) < lit(hexThreshold(frac)))
+  }
+
   /** Token-budget corpus mixing: per group (source/domain), keep the
     * deterministic greedy prefix of documents — in seeded-hash order —
     * whose running token total stays within `budget`. This is the "mix

@@ -263,6 +263,53 @@ object Text {
         round(sum($"lp").cast("double") / count(lit(1)), 6).as("logprob"))
   }
 
+  /** Interpolated bigram LM scoring — the distributed reduction of
+    * KenLM-style perplexity filtering (CCNet scores docs with a 5-gram
+    * KenLM; the honest in-engine form is an interpolated bigram model,
+    * the largest order whose statistics stay exact at corpus scale):
+    * each document scores the mean log of
+    *
+    *   p(w_i | w_{i-1}) = λ · n(w_{i-1} w_i)/n(w_{i-1}) + (1−λ) · n(w_i)/N
+    *
+    * with the document's FIRST token scored by the unigram term alone
+    * (no history). Interpolation (not backoff-with-discount) keeps the
+    * estimator a pure ratio of exact counts — no tuned discounts — and
+    * never zero on observed text. Low scores = improbable token
+    * transitions: gibberish, shuffled text, boilerplate stitching.
+    *
+    * Plan shape: one 2-shingle explode feeds the bigram counts, the
+    * unigram pass reuses [[unigramLogProb]]'s shape, both join back to
+    * the positional token stream; totals ride a broadcast 1-row frame.
+    * Same cross-engine float discipline as [[unigramLogProb]]: each
+    * per-position log is rounded to 9 dp and summed as DECIMAL(18,9). */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1): $lambda")
+    val d189 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val prevCur = df.select(col(idCol),
+        posexplode(shingles(col(textCol), 2)).as(Seq("bpos", "bg")))
+      .select(col(idCol), ($"bpos" + 1).as("pos"), $"bg",
+        substring_index($"bg", " ", 1).as("prev"))
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("n_u"))
+    val big = prevCur.groupBy($"bg").agg(count(lit(1)).as("n_bg"))
+    val total = uni.agg(sum($"n_u").as("__n_total"))
+    val scored = toks
+      .join(prevCur.select(col(idCol), $"pos", $"bg", $"prev"), Seq(idCol, "pos"), "left")
+      .join(uni, Seq("tok"))
+      .join(uni.select($"tok".as("prev"), $"n_u".as("n_prev")), Seq("prev"), "left")
+      .join(big, Seq("bg"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("p_uni", $"n_u" / $"__n_total".cast("double"))
+      .withColumn("p", when($"bg".isNull, $"p_uni")
+        .otherwise(lit(lambda) * ($"n_bg" / $"n_prev".cast("double")) +
+          lit(1.0 - lambda) * $"p_uni"))
+      .withColumn("lp", round(log($"p"), 9).cast(d189))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"lp").cast("double") / count(lit(1)), 6).as("bigram_logprob"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, §3 — hashed n-gram
     * importance resampling, reduced here to the unigram feature family):
     * each document scores the mean log-likelihood RATIO of its tokens

@@ -54,11 +54,15 @@ object BudgetAdmission {
   /** Project a raw (idCol, textCol, groupCol) document frame — static or
     * streaming — onto [[DocArrival]]: token count and the seed-salted
     * order key, both map-side (same [[Shard.orderKey]] the batch sampler
-    * uses, so single-batch parity is exact). */
+    * uses, so single-batch parity is exact). NULL-text rows are dropped
+    * here, explicitly: a NULL token count would poison the primitive
+    * encoder mid-stream, and "charge zero tokens" would let contentless
+    * rows consume admission slots — neither is an admission semantic. */
   def arrivals(df: DataFrame, idCol: String, textCol: String,
                groupCol: String, seed: String): Dataset[DocArrival] = {
     implicit val enc = Encoders.product[DocArrival]
-    df.select(
+    df.where(col(textCol).isNotNull)
+      .select(
         col(idCol).cast("long").as("doc_id"),
         col(groupCol).cast("string").as("source"),
         Text.tokenCount(col(textCol)).cast("long").as("n_tok"),

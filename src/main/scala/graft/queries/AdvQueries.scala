@@ -344,6 +344,28 @@ object AdvQueries {
       .orderBy($"source", $"ord", $"doc_id")
   }
 
+  /** Interpolated bigram LM scoring ([[Text.bigramLogProb]]) — the
+    * engine-exact reduction of KenLM-style perplexity filtering; docs
+    * with improbable token transitions score low. λ = 0.75, first token
+    * unigram-only. Decimal-exact summation, fully oracle-checkable. */
+  private val q92: Q = (s, d) => {
+    import s.implicits._
+    Text.bigramLogProb(Tables.documents(s, d), "doc_id", "text", lambda = 0.75)
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic epoch upsampling ([[Sampling.upsampleEpochs]]): the
+    * corpus at 2.3 epochs — two whole copies plus a 30% hash-gated
+    * third; membership replayed exactly by the oracle. */
+  private val q93: Q = (s, d) => {
+    import s.implicits._
+    Sampling.upsampleEpochs(
+        Tables.documents(s, d).select($"doc_id", $"source"),
+        "doc_id", weight = 2.3)
+      .select($"doc_id", $"source", $"epoch")
+      .orderBy($"doc_id", $"epoch")
+  }
+
   /** Curation capstone v2 — the round-7 operator family composed
     * end-to-end as ONE deterministic, fully oracle-checkable pipeline
     * (q42 composed the round-1 family; this is its training-data-export
@@ -546,7 +568,9 @@ object AdvQueries {
     "q88_bpe_encode"      -> q88,
     "q89_dsir_weights"    -> q89,
     "q90_token_budget"    -> q90,
-    "q91_curation_v2"     -> q91)
+    "q91_curation_v2"     -> q91,
+    "q92_bigram_logprob"  -> q92,
+    "q93_epoch_upsample"  -> q93)
 
   // q68's oracle re-runs the DDSketch construction in DuckDB; the γ and
   // ln γ literals are printed from the exact Scala doubles so both engines
@@ -657,6 +681,35 @@ object AdvQueries {
         |  FROM t)
         |SELECT source, doc_id, n_tok, cum_tok, ord
         |FROM c WHERE cum_tok <= 800 ORDER BY source, ord, doc_id""".stripMargin,
+    "q92_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, w[i] AS tok,
+        |          CASE WHEN i > 1 THEN w[i-1] END AS prev
+        |        FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+        |uni AS (SELECT tok, count(*) AS n_u FROM tok GROUP BY tok),
+        |big AS (SELECT prev, tok, count(*) AS n_bg FROM tok
+        |        WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |tot AS (SELECT CAST(sum(n_u) AS DOUBLE) AS n FROM uni),
+        |s AS (SELECT doc_id,
+        |    CAST(round(ln(CASE WHEN tk.prev IS NULL THEN u.n_u / n
+        |      ELSE 0.75 * (b.n_bg / CAST(pu.n_u AS DOUBLE)) + 0.25 * (u.n_u / n)
+        |      END), 9) AS DECIMAL(18,9)) AS lp
+        |  FROM tok tk JOIN uni u USING (tok)
+        |  LEFT JOIN uni pu ON pu.tok = tk.prev
+        |  LEFT JOIN big b ON b.prev = tk.prev AND b.tok = tk.tok
+        |  CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS bigram_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q93_epoch_upsample" -> {
+      val thr = graft.ops.Sampling.hexThreshold(2.3 - 2)
+      s"""WITH e AS (SELECT doc_id, source,
+        |    unnest(generate_series(0, 2)) AS epoch FROM documents)
+        |SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM e
+        |WHERE epoch < 2 OR md5(concat('epoch ', CAST(epoch AS VARCHAR), ' ',
+        |  CAST(doc_id AS VARCHAR))) < '$thr'
+        |ORDER BY doc_id, epoch""".stripMargin
+    },
     "q91_curation_v2" ->
       """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

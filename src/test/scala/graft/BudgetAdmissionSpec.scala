@@ -38,6 +38,13 @@ class BudgetAdmissionSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("arrivals drops NULL-text rows instead of poisoning the primitive encoder") {
+    val df = Seq((1L, Option("a b"), "s"), (2L, Option.empty[String], "s"))
+      .toDF("doc_id", "text", "source")
+    val a = BudgetAdmission.arrivals(df, "doc_id", "text", "source", "x").collect()
+    assert(a.map(_.doc_id).toSeq == Seq(1L) && a.head.n_tok == 2L)
+  }
+
   test("budget state survives micro-batches; prefix closes the source") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DocArrival]

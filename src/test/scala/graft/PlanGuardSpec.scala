@@ -28,7 +28,8 @@ class PlanGuardSpec extends SparkSuite {
     "q71_unigram_logprob", // token frame × broadcast(1-row token total)
     "q75_embed_decontam",  // train scan × broadcast(eval vectors), small eval side
     "q89_dsir_weights",    // token frame × broadcast(1-row totals/vocab)
-    "q91_curation_v2")     // same 1-row totals join inside its DSIR gate
+    "q91_curation_v2",     // same 1-row totals join inside its DSIR gate
+    "q92_bigram_logprob")  // token frame × broadcast(1-row corpus total)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -120,6 +120,55 @@ class TrainingDataOpsSpec extends SparkSuite {
     assert(out.agg(sum($"n_tok")).head().getLong(0) == 170L)
   }
 
+  // ---------------------------------------------------- bigramLogProb
+
+  test("bigramLogProb: common transitions outscore rare ones; first token is unigram-scored") {
+    // corpus stats: n(a)=n(b)=5, N=10; n(a b)=4, n(b a)=3 — so "a b"
+    // must outscore "b a" (same unigrams, different transition)
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val got = Text.bigramLogProb(docs, "doc_id", "text", lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(2L)._1 == 2 && got(3L)._1 == 2)
+    assert(got(2L)._2 > got(3L)._2, s"expected p(a b) > p(b a): $got")
+    // hand check doc 2: (ln(0.5) + ln(0.75*4/5 + 0.25*0.5)) / 2, 9dp-rounded terms
+    val want2 = (BigDecimal(math.log(0.5)).setScale(9, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(math.log(0.75 * 4.0 / 5.0 + 0.25 * 0.5))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toDouble / 2
+    assert(math.abs(got(2L)._2 - (math.rint(want2 * 1e6) / 1e6)) < 1e-9,
+      s"got ${got(2L)._2}, want ~$want2")
+  }
+
+  test("bigramLogProb is partitioning-invariant on a real corpus") {
+    val docs = Tables.documents(spark, sf)
+    val a = Text.bigramLogProb(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq
+    val b = Text.bigramLogProb(docs.repartition(11), "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  // --------------------------------------------------- upsampleEpochs
+
+  test("upsampleEpochs: whole epochs complete, fractional epoch hash-gated, all deterministic") {
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val n = docs.count()
+    val up = Sampling.upsampleEpochs(docs, "doc_id", weight = 2.3)
+    val byEpoch = up.groupBy($"epoch").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byEpoch(0) == n && byEpoch(1) == n, "whole epochs must be complete copies")
+    assert(byEpoch(2) > 0 && byEpoch(2) < n, "fractional epoch must be a strict subset")
+    // ~30% with a content hash; allow generous slack on a small corpus
+    assert(math.abs(byEpoch(2).toDouble / n - 0.3) < 0.15, s"epoch-2 frac ${byEpoch(2)}/$n")
+    // integer weight: exactly two copies, no epoch 2
+    assert(Sampling.upsampleEpochs(docs, "doc_id", 2.0).count() == 2 * n)
+    // membership is partitioning-invariant
+    val x = up.orderBy($"doc_id", $"epoch").collect().toSeq
+    val y = Sampling.upsampleEpochs(docs.repartition(9), "doc_id", 2.3)
+      .orderBy($"doc_id", $"epoch").collect().toSeq
+    assert(x == y)
+  }
+
   // ------------------------------------------------------- semDedup
 
   test("semDedup drops the near-centroid member of every near-dup pair") {
