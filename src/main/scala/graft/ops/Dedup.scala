@@ -315,12 +315,48 @@ object Dedup {
     jaccardRouteDecision(df, idCol, textCol, n, sampleDocs,
       sparseVocabRatio, maxCandidateEstimate).route
 
+  /** Decide-once memo for [[jaccardRouteDecision]], keyed exactly like
+    * the IVF train-once memo: (canonicalized plan, file-listing
+    * fingerprint, decision parameters). Repeated runs over an unchanged
+    * corpus — q42/q43/q76 in one bench sweep, every steady-state rerun —
+    * reuse the routing decision instead of re-paying the sample aggregate
+    * and the dense-branch `count()`. The file-listing component
+    * invalidates the memo the moment the parquet files underneath are
+    * rewritten, so a changed corpus re-decides. Cleared wholesale past a
+    * small bound, same as the IVF cache. */
+  private val RouteCacheMax = 256
+  private val routeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long,
+      String, String, Int, Int, Double, Double), JaccardRoute]()
+
+  /** Observable decision count — lets specs assert one decision per
+    * (plan, listing) key. */
+  private[graft] val routeDecisionCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** See [[jaccardAutoRoute]]; this form also returns the decision's
-    * measured inputs (corpus size, candidate estimate). */
+    * measured inputs (corpus size, candidate estimate). Memoized per
+    * (plan, file listing, params) — see [[routeCache]]. */
   def jaccardRouteDecision(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, sampleDocs: Int = 2048,
                            sparseVocabRatio: Double = 0.5,
                            maxCandidateEstimate: Double = 1e11): JaccardRoute = {
+    val key = (df.queryExecution.analyzed.canonicalized,
+      Similarity.fileFingerprint(df), idCol, textCol, n, sampleDocs,
+      sparseVocabRatio, maxCandidateEstimate)
+    if (routeCache.size() > RouteCacheMax) routeCache.clear()
+    routeCache.computeIfAbsent(key, _ => {
+      routeDecisionCount.incrementAndGet()
+      jaccardRouteDecisionUncached(df, idCol, textCol, n, sampleDocs,
+        sparseVocabRatio, maxCandidateEstimate)
+    })
+  }
+
+  private def jaccardRouteDecisionUncached(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, sampleDocs: Int,
+      sparseVocabRatio: Double,
+      maxCandidateEstimate: Double): JaccardRoute = {
     val s = df.select(col(idCol).as("doc"), col(textCol).as("t")).limit(sampleDocs)
     val r = s.select(explode(array_distinct(Text.shingles($"t", n))).as("sh"))
       .groupBy($"sh").agg(count(lit(1)).as("df"))

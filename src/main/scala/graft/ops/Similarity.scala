@@ -384,8 +384,10 @@ object Similarity {
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Int), PqIndex]()
 
-  /** (path, len, mtime)-hash over every file-backed scan in the plan. */
-  private def fileFingerprint(df: DataFrame): Long = {
+  /** (path, len, mtime)-hash over every file-backed scan in the plan.
+    * Shared with [[Dedup.jaccardRouteDecision]]'s memo — one staleness
+    * discipline for every decide-once-per-corpus cache in the library. */
+  private[ops] def fileFingerprint(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
     val perScan = df.queryExecution.analyzed.collect {

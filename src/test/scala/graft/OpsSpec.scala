@@ -454,6 +454,30 @@ class OpsSpec extends SparkSuite {
       s"oracle corpus unexpectedly routed to $fixtureRoute")
   }
 
+  test("jaccardRouteDecision memoizes per (plan, file listing) key") {
+    val dir = tmpDir("routememo")
+    (0L until 50L).map(i => (i, s"alpha beta gamma delta doc$i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    def docs = spark.read.parquet(s"$dir/docs")
+    val c0 = Dedup.routeDecisionCount.get()
+    val first = Dedup.jaccardRouteDecision(docs, "doc_id", "text")
+    assert(Dedup.routeDecisionCount.get() == c0 + 1, "first call must decide")
+    val second = Dedup.jaccardRouteDecision(docs, "doc_id", "text")
+    assert(Dedup.routeDecisionCount.get() == c0 + 1,
+      "identical (plan, listing, params) must reuse the memoized decision")
+    assert(second == first)
+    // different params → different key → fresh decision
+    Dedup.jaccardRouteDecision(docs, "doc_id", "text", sampleDocs = 1024)
+    assert(Dedup.routeDecisionCount.get() == c0 + 2)
+    // rewriting the files underneath (same path, same plan) must
+    // invalidate — the stale-decision trap a plan-only key would have
+    (0L until 50L).map(i => (i, s"w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    Dedup.jaccardRouteDecision(docs, "doc_id", "text")
+    assert(Dedup.routeDecisionCount.get() == c0 + 3,
+      "a rewritten file listing must re-decide")
+  }
+
   test("connectedComponents merges transitive chains to min-id labels") {
     // chain 1-2-3-4 (diameter 3, needs multi-round propagation) + pair 9-7
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("doc_a", "doc_b")
