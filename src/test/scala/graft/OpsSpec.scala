@@ -936,6 +936,33 @@ class OpsSpec extends SparkSuite {
     assert(base.exceptAll(shuffled).isEmpty && shuffled.exceptAll(base).isEmpty)
   }
 
+  test("sketch family holds on the documents table (events-independent evidence)") {
+    // round 7 lost the whole sketch family's round evidence to an
+    // events-LOADER change; this pins the operators on a second table so
+    // no single loader regression can blind the family again
+    val docs = Tables.documents(spark, sf)
+    val dd = ops.Sketches.ddQuantiles(docs, "lang", "n_chars", Seq(0.5))
+      .join(docs.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.5)").as("exact")), Seq("lang"))
+      .collect()
+    assert(dd.nonEmpty)
+    dd.foreach { r =>
+      val (est, exact) = (r.getAs[Double]("est"), r.getAs[Double]("exact"))
+      assert(math.abs(est - exact) <= math.max(0.02 * math.abs(exact), 1e-9),
+        s"lang=${r.getAs[String]("lang")}: dd-est $est vs exact $exact")
+    }
+    val hll = docs.groupBy("lang")
+      .agg(approx_count_distinct(col("source")).as("approx"),
+        countDistinct(col("source")).as("exact"))
+      .collect()
+    hll.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      // the default-rsd estimator sits right at 5% for the tiny source
+      // cardinality here (19 vs 20) — 10% bounds the small-N regime
+      assert(math.abs(a - e) / e <= 0.10, s"approx distinct off: $a vs $e")
+    }
+  }
+
   test("ddQuantiles is partitioning-invariant (merge-order independence)") {
     val ev = Tables.events(spark, sf)
     val base = ops.Sketches.ddQuantiles(ev, "event_type", "value", Seq(0.5, 0.95, 0.99))
