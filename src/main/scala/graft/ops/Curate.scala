@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-curation gates a large-scale training-data pipeline runs before
+  * anything expensive touches a document: PII redaction and rule-based
+  * quality gating (the Gopher-style heuristic filters). Both are pure
+  * map-side column expressions — no shuffle, no UDF, whole-stage
+  * codegen — so they compose with any scan at any scale and Catalyst
+  * pushes surviving filters into the source.
+  *
+  * Reference anchor: the reference pipeline has no text-curation surface
+  * (its DQ rules are numeric range checks, `silver_enrichment.py:50-57`);
+  * north-star training-data scope. The rule set follows the published
+  * Gopher/MassiveText heuristics (Rae et al. 2021, table A1) reduced to
+  * the signals the synthetic corpus carries.
+  */
+object Curate {
+
+  /** PII patterns, deliberately in the regex subset Java and RE2 share
+    * (character classes, bounded repetition, non-capturing groups, \b):
+    * the DuckDB oracle replays the same literals verbatim. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re  = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Redact emails, phone numbers and IPv4 addresses from `textCol`:
+    * adds `clean_text` plus per-kind match counts. Replacement order
+    * matters and is fixed — emails first (their domains contain dots an
+    * IP pattern could claim), then phones, then IPs — so the counts are
+    * of the ORIGINAL text and the masks never cascade. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_email", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_phone", regexp_count(t, lit(PhoneRe)))
+      .withColumn("n_ip", regexp_count(t, lit(Ipv4Re)))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+  }
+
+  /** Scale-path perplexity bucketing: the q97 exact global ntile is a
+    * single-partition sort — fine for a corpus report, fatal at 100 TB.
+    * This variant computes approximate tercile BOUNDARIES with the
+    * equi-width histogram sketch ([[Sketches.histQuantiles]] — the
+    * absolute-error tool; DDSketch's relative-error buckets collapse on
+    * tightly-clustered log-prob scores) and buckets map-side against the
+    * two broadcast thresholds: the corpus is scanned, never globally
+    * sorted. Disagreement with the exact ntile is confined to docs in
+    * the boundary buckets — width (hi−lo)/nBuckets — plus rank ties
+    * (duplicate texts share a score; the ntile splits them arbitrarily,
+    * a threshold cannot). CurateSpec pins agreement + adjacency. `head`
+    * = best model fit (highest log-prob), as in q97. */
+  def pplBucketsScaled(df: DataFrame, idCol: String, textCol: String,
+                       lambda: Double = 0.75, nBuckets: Int = 4096): DataFrame = {
+    val qs = Seq(1.0 / 3, 2.0 / 3)
+    val scored = Text.bigramLogProb(df, idCol, textCol, lambda)
+    val bnd = Sketches.histQuantiles(scored, Nil, "bigram_logprob", qs, nBuckets)
+      .agg(max(when(col("quantile") === qs.head, col("est"))).as("t_lo"),
+        max(when(col("quantile") === qs(1), col("est"))).as("t_hi"))
+    scored.crossJoin(broadcast(bnd))
+      .select(col(idCol), col("n_tokens"), col("bigram_logprob"),
+        when(col("bigram_logprob") >= col("t_hi"), "head")
+          .when(col("bigram_logprob") >= col("t_lo"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  /** The default stopword list for [[gopherGate]] — the function words
+    * present in the synthetic vocabulary. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in")
+
+  /** Gopher-style rule gate: per-document quality metrics plus a
+    * composite pass verdict and the comma-joined list of failed rules
+    * (fixed rule order, so the reasons string is deterministic).
+    *
+    * Metrics (all builtins, decimal-rounded for cross-engine parity):
+    * `n_words`; `mean_wlen` = non-space chars / words; `stop_frac` =
+    * fraction of words in [[Stopwords]]. Rules: `minWords ≤ n_words ≤
+    * maxWords`, `minMeanWlen ≤ mean_wlen ≤ maxMeanWlen`,
+    * `stop_frac ≥ minStopFrac` — the MassiveText posture that a real
+    * document has sentence-like word lengths and carries function
+    * words. */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String,
+                 minWords: Int = 20, maxWords: Int = 100000,
+                 minMeanWlen: Double = 4.0, maxMeanWlen: Double = 10.0,
+                 minStopFrac: Double = 0.02): DataFrame = {
+    val words: Column = Text.tokens(col(textCol))
+    val nWords = size(words)
+    val meanWlen = round(
+      length(regexp_replace(col(textCol), " ", "")).cast("double") / nWords, 6)
+    val stopFrac = round(
+      size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / nWords, 6)
+    val wordsOk = nWords.between(minWords, maxWords)
+    val wlenOk = meanWlen.between(minMeanWlen, maxMeanWlen)
+    val stopOk = stopFrac >= minStopFrac
+    df.select(col(idCol), nWords.cast("long").as("n_words"), meanWlen.as("mean_wlen"),
+        stopFrac.as("stop_frac"),
+        (wordsOk && wlenOk && stopOk).as("passes"),
+        concat_ws(",",
+          when(!wordsOk, lit("n_words")),
+          when(!wlenOk, lit("mean_wlen")),
+          when(!stopOk, lit("stop_frac"))).as("fail_reasons"))
+  }
+}

@@ -168,6 +168,48 @@ object Sampling {
         col("n_tok"), col("cum_tok"), col("ord"))
   }
 
+  /** Per-group admission rates for temperature-scaled mixing: rate_g ∝
+    * n_g^(α−1), normalized so the expected admitted total is
+    * `targetFraction` of the corpus, capped at 1. α < 1 flattens the
+    * group distribution toward uniform (the multilingual-sampling rule
+    * of mBERT/XLM-R: dominant groups downsample hardest, tail groups
+    * keep more), α = 1 is proportional sampling. Rates are rounded to
+    * 9 dp so the DuckDB oracle reproduces them bit-identically despite
+    * libm ulp differences.
+    *
+    * Scale shape: one aggregate whose cardinality is the group taxonomy
+    * (dozens–thousands), never the corpus. */
+  def temperatureRates(df: DataFrame, groupCol: String, alpha: Double,
+                       targetFraction: Double): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("nn"),
+      sum(pow(col("n"), alpha)).as("sw"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        round(least(lit(1.0),
+          lit(targetFraction) * col("nn") * pow(col("n"), alpha) / col("sw") / col("n")),
+          9).as("rate"))
+  }
+
+  /** Temperature-scaled deterministic mix: admit each row iff its salted
+    * content hash clears its group's [[temperatureRates]] rate. The
+    * threshold is derived from the rate IN-PLAN (floor(rate·2⁶⁰) as a
+    * 15-nibble hex string compared against the digest prefix), because
+    * the rates are data — no driver round-trip, and the whole admission
+    * is the broadcast-join + map-side filter shape: the corpus is
+    * scanned once and never shuffled. */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+                     alpha: Double, targetFraction: Double,
+                     seed: String): DataFrame = {
+    val rates = temperatureRates(df, groupCol, alpha, targetFraction)
+    val digest = substring(
+      md5(concat(lit(seed + " "), col(keyCol).cast("string"))), 1, 15)
+    val thr = lpad(lower(conv(
+      floor(col("rate") * lit(math.pow(2, 60))).cast("long"), 10, 16)), 15, "0")
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(col("rate") >= 1.0 || digest < thr)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g.
     * downsample dominant languages, keep the tail whole). Strata missing
     * from the map use `defaultFraction`. The per-row decision is a single

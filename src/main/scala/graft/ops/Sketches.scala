@@ -99,6 +99,57 @@ object Sketches {
       .orderBy(gcols :+ col("quantile"): _*)
   }
 
+  /** Per-group equi-width histogram quantiles — the ABSOLUTE-error
+    * counterpart of [[ddQuantiles]]. DDSketch's buckets are geometric in
+    * |v|, so its γ-relative guarantee collapses on a distribution that
+    * clusters tightly far from zero: a ±α·|v| band can swallow the whole
+    * observed range (exactly the shape of per-doc LM log-prob scores —
+    * measured: both terciles of a [−3.62, −3.31] score corpus landed in
+    * one DDSketch bucket). The histogram spends `nBuckets` uniformly
+    * over the observed per-group [min, max], so rank error is bounded by
+    * one bucket's mass at width (hi−lo)/nBuckets regardless of where the
+    * range sits.
+    *
+    * Two scans, both scale-clean: a per-group (min, max) aggregate
+    * (taxonomy-sized, broadcast back) and a map-side bucket projection
+    * into a (group, bucket) count — the cumulative probe then runs over
+    * ≤ nBuckets rows per group. Deterministic: membership is a pure
+    * function of the value and its group's range. Output (group...,
+    * quantile, est, n_values); `est` is the UPPER edge of the bucket
+    * where the cumulative count crosses q·(n−1), so `v >= est`
+    * thresholding cleanly excludes the crossing bucket's interior. */
+  def histQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    qs: Seq[Double], nBuckets: Int = 4096): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles $qs")
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val v = col(valueCol).cast("double")
+    val gcols = groupCols.map(col)
+    val nn = df.where(col(valueCol).isNotNull)
+    val stats = nn.groupBy(gcols: _*)
+      .agg(min(v).as("__lo"), max(v).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / lit(nBuckets.toDouble)
+    val bucket = when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(lit((nBuckets - 1).toLong),
+        floor((v - col("__lo")) / width)))
+    val counts = nn.join(broadcast(stats), groupCols)
+      .groupBy(gcols :+ col("__lo") :+ col("__hi") :+ bucket.as("__b"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val cum = sum(col("cnt")).over(
+      Window.partitionBy(gcols: _*).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val total = sum(col("cnt")).over(Window.partitionBy(gcols: _*))
+    val est = col("__lo") + (col("__b") + 1) * width
+    val cumulated = counts.select(gcols :+ col("__b") :+ cum.as("cum") :+
+      total.as("n_values") :+ est.as("bucket_est"): _*)
+    cumulated
+      .select(col("*"), explode(array(qs.map(lit): _*)).as("quantile"))
+      .where(col("cum") > col("quantile") * (col("n_values") - 1))
+      .groupBy(gcols :+ col("quantile"): _*)
+      .agg(min_by(col("bucket_est"), col("__b")).as("est"),
+        max(col("n_values")).as("n_values"))
+      .orderBy(gcols :+ col("quantile"): _*)
+  }
+
   /** Per-group DDSketch quantiles: one output row per (group, q) with the
     * γ-relative estimate and the group's non-null value count. Output:
     * (groupCol, quantile, est, n_values), ordered by (groupCol, quantile).

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Curate, Sampling, Text}
+
+/** Round-8 curation-surface queries: PII redaction, temperature-scaled
+  * source mixing, Gopher-rule quality gating, CCNet-style perplexity
+  * bucketing. Every entry is fully oracle-checkable — the operators are
+  * built from engine-portable expressions (shared regex subset, md5
+  * thresholds, decimal rounding) precisely so DuckDB can replay them. */
+object CurateQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** PII redaction ([[Curate.redactPii]]). The synthetic corpus carries
+    * no PII, so the query plants deterministic email/phone/IPv4 strings
+    * derived from (doc_id, source) — both engines build the identical
+    * augmented text, then redact: the operator is exercised on real
+    * matches and the oracle checks mask placement AND counts. Map-side
+    * only; at 100 TB this is a pure scan transform. */
+  private val q94: Q = (s, d) => {
+    import s.implicits._
+    val aug = Tables.documents(s, d).select($"doc_id",
+      concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@"), $"source", lit(".org call "),
+        (pmod($"doc_id", lit(900)) + 100).cast("string"), lit("-555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
+        lit(" from "), pmod($"doc_id", lit(256)).cast("string"), lit("."),
+        pmod($"doc_id" * 7, lit(256)).cast("string"), lit("."),
+        pmod($"doc_id" * 11, lit(256)).cast("string"), lit("."),
+        pmod($"doc_id" * 13, lit(256)).cast("string")).as("text"))
+    Curate.redactPii(aug, "text")
+      .select($"doc_id", $"clean_text",
+        $"n_email".cast("long").as("n_email"),
+        $"n_phone".cast("long").as("n_phone"),
+        $"n_ip".cast("long").as("n_ip"))
+      .orderBy($"doc_id")
+  }
+
+  /** Temperature-scaled language mixing ([[Sampling.temperatureMix]]),
+    * α = 0.5 at a 50% token... row target: the dominant language (en,
+    * ~44% of the corpus) admits at a lower rate than the tail languages
+    * — the mBERT/XLM-R multilingual sampling rule, deterministic and
+    * engine-replayable. One taxonomy-sized aggregate + broadcast join +
+    * map-side hash filter; the corpus never shuffles. */
+  private val q95: Q = (s, d) => {
+    import s.implicits._
+    Sampling.temperatureMix(
+        Tables.documents(s, d).select($"doc_id", $"lang"),
+        "doc_id", "lang", alpha = 0.5, targetFraction = 0.5, seed = "mix")
+      .select($"doc_id", $"lang", $"rate")
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher-rule quality gate ([[Curate.gopherGate]]): per-doc metrics,
+    * composite verdict, deterministic fail-reason list. Thresholds are
+    * calibrated so the fixture corpus splits (short docs fail n_words,
+    * low-stopword docs fail stop_frac). Pure map-side expressions. */
+  private val q96: Q = (s, d) => {
+    import s.implicits._
+    Curate.gopherGate(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing: [[Text.bigramLogProb]] scores
+    * every doc, then a global 3-way ntile splits head/middle/tail by
+    * model fit (head = most probable under the corpus LM — CCNet keeps
+    * head/middle for training). NOTE: the unpartitioned ntile is a
+    * single-partition window — fine for a corpus-profile report (same
+    * posture as q56); the 100 TB path computes approximate tercile
+    * boundaries from the score distribution (q38's sketch machinery)
+    * and buckets map-side. */
+  private val q97: Q = (s, d) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"bigram_logprob".desc, $"doc_id")
+    Text.bigramLogProb(Tables.documents(s, d), "doc_id", "text", lambda = 0.75)
+      .withColumn("b", ntile(3).over(w))
+      .select($"doc_id", $"n_tokens", $"bigram_logprob",
+        when($"b" === 1, "head").when($"b" === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  /** The 100 TB face of q97: DDSketch tercile boundaries + map-side
+    * bucketing ([[Curate.pplBucketsScaled]]) — no global sort anywhere.
+    * Deterministic (DDSketch is merge-order-independent), golden-pinned;
+    * no oracle because the boundary replay would duplicate q68/q70's
+    * DDSketch SQL at triple length for no new signal. */
+  private val q98: Q = (s, d) => {
+    import s.implicits._
+    Curate.pplBucketsScaled(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q94_pii_redact"      -> q94,
+    "q95_temperature_mix" -> q95,
+    "q96_gopher_gate"     -> q96,
+    "q97_ppl_buckets"     -> q97,
+    "q98_ppl_buckets_scaled" -> q98)
+
+  val oracle: Map[String, String] = Map(
+    "q94_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' ||
+        |    source || '.org call ' ||
+        |    CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from ' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 11) % 256 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 13) % 256 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${Curate.EmailRe}', '<EMAIL>', 'g'),
+        |    '${Curate.PhoneRe}', '<PHONE>', 'g'),
+        |    '${Curate.Ipv4Re}', '<IP>', 'g') AS clean_text,
+        |  len(regexp_extract_all(text, '${Curate.EmailRe}')) AS n_email,
+        |  len(regexp_extract_all(text, '${Curate.PhoneRe}')) AS n_phone,
+        |  len(regexp_extract_all(text, '${Curate.Ipv4Re}')) AS n_ip
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "q95_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, sum(pow(n, 0.5)) AS sw FROM c),
+        |r AS (SELECT lang,
+        |    round(least(1.0, 0.5 * nn * pow(n, 0.5) / sw / n), 9) AS rate
+        |  FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE r.rate >= 1.0 OR
+        |  substr(md5('mix ' || CAST(d.doc_id AS VARCHAR)), 1, 15) <
+        |  printf('%015x', CAST(floor(r.rate * power(2, 60)) AS BIGINT))
+        |ORDER BY d.doc_id""".stripMargin,
+    "q96_gopher_gate" ->
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |      len(string_split(text, ' ')), 6) AS mean_wlen,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) AS DOUBLE) /
+        |      len(string_split(text, ' ')), 6) AS stop_frac
+        |  FROM documents),
+        |v AS (SELECT doc_id, n_words, mean_wlen, stop_frac,
+        |    n_words BETWEEN 20 AND 100000 AS words_ok,
+        |    mean_wlen BETWEEN 4.0 AND 10.0 AS wlen_ok,
+        |    stop_frac >= 0.02 AS stop_ok
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_wlen, stop_frac,
+        |  words_ok AND wlen_ok AND stop_ok AS passes,
+        |  concat_ws(',',
+        |    CASE WHEN NOT words_ok THEN 'n_words' END,
+        |    CASE WHEN NOT wlen_ok THEN 'mean_wlen' END,
+        |    CASE WHEN NOT stop_ok THEN 'stop_frac' END) AS fail_reasons
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "q97_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, w[i] AS tok,
+        |          CASE WHEN i > 1 THEN w[i-1] END AS prev
+        |        FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+        |uni AS (SELECT tok, count(*) AS n_u FROM tok GROUP BY tok),
+        |big AS (SELECT prev, tok, count(*) AS n_bg FROM tok
+        |        WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |tot AS (SELECT CAST(sum(n_u) AS DOUBLE) AS n FROM uni),
+        |s AS (SELECT doc_id,
+        |    CAST(round(ln(CASE WHEN tk.prev IS NULL THEN u.n_u / n
+        |      ELSE 0.75 * (b.n_bg / CAST(pu.n_u AS DOUBLE)) + 0.25 * (u.n_u / n)
+        |      END), 9) AS DECIMAL(18,9)) AS lp
+        |  FROM tok tk JOIN uni u USING (tok)
+        |  LEFT JOIN uni pu ON pu.tok = tk.prev
+        |  LEFT JOIN big b ON b.prev = tk.prev AND b.tok = tk.tok
+        |  CROSS JOIN tot),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS bigram_logprob
+        |  FROM s GROUP BY doc_id),
+        |nt AS (SELECT doc_id, n_tokens, bigram_logprob,
+        |    ntile(3) OVER (ORDER BY bigram_logprob DESC, doc_id) AS b
+        |  FROM sc)
+        |SELECT doc_id, n_tokens, bigram_logprob,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS ppl_bucket
+        |FROM nt ORDER BY doc_id""".stripMargin)
+}

@@ -25,7 +25,8 @@ object Golden {
     "q41_knn_ivf", "q45_embed_clusters", "q47_sketch_rollup",
     "q73_knn_ivfpq", "q74_knn_ivf_saved", "q79_quality_classifier",
     "q82_image_dhash", "q83_bpe_vocab", "q84_audio_fp",
-    "q85_video_frame_hashes", "q87_semdedup", "q88_bpe_encode")
+    "q85_video_frame_hashes", "q87_semdedup", "q88_bpe_encode",
+    "q98_ppl_buckets_scaled")
 
   val sfDir = "/root/testdata/sf0.01"
 

@@ -963,6 +963,48 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("histQuantiles: absolute-error bound holds where DDSketch collapses") {
+    // wide distribution: the guarantee is on the ORDER STATISTIC (the
+    // interpolated percentile can sit past a bucket edge across a value
+    // gap): v[⌊q(n−1)⌋] lies in the crossing bucket (est − w, est]
+    val ev = Tables.events(spark, sf).where(col("value").isNotNull)
+    val sortedByType = ev.select(col("event_type"), col("value").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val hq = ops.Sketches.histQuantiles(ev, Seq("event_type"), "value",
+        Seq(0.5), nBuckets = 4096).collect()
+    hq.foreach { r =>
+      val vs = sortedByType(r.getAs[String]("event_type"))
+      val w = (vs.last - vs.head) / 4096
+      val vRank = vs(math.floor(0.5 * (vs.length - 1)).toInt)
+      val est = r.getAs[Double]("est")
+      assert(vRank > est - w - 1e-9 && vRank <= est + 1e-9,
+        s"${r.getAs[String]("event_type")}: rank value $vRank outside " +
+          s"(est-w, est] = (${est - w}, $est]")
+    }
+    // tightly-clustered far from zero — the case where DDSketch's
+    // γ-relative buckets swallow the whole range: histogram stays exact
+    // to bucket width, DDSketch does not
+    val clustered = (0 until 1000).map(i => ("g", -3.5 + i * 0.0003))
+      .toDF("g", "v")
+    val h = ops.Sketches.histQuantiles(clustered, Seq("g"), "v", Seq(1.0 / 3, 2.0 / 3))
+      .collect().map(r => r.getAs[Double]("quantile") -> r.getAs[Double]("est")).toMap
+    val width = 0.0003 * 999 / 4096
+    assert(math.abs(h(1.0 / 3) - (-3.5 + 333 * 0.0003)) <= width + 1e-9)
+    assert(math.abs(h(2.0 / 3) - (-3.5 + 666 * 0.0003)) <= width + 1e-9)
+    val dd = ops.Sketches.ddQuantiles(clustered, "g", "v", Seq(1.0 / 3, 2.0 / 3))
+      .collect().map(r => r.getAs[Double]("quantile") -> r.getAs[Double]("est"))
+    val ddErr = dd.map { case (q, est) =>
+      math.abs(est - (-3.5 + math.floor(q * 999) * 0.0003)) }.max
+    assert(ddErr > 10 * width, "DDSketch's relative buckets should be " +
+      s"orders coarser than the histogram here (ddErr $ddErr vs width " +
+      s"$width) — the motivating failure for histQuantiles")
+    // partitioning-invariance (pure function of the multiset)
+    val a = ops.Sketches.histQuantiles(clustered, Seq("g"), "v", Seq(0.5))
+    val b = ops.Sketches.histQuantiles(clustered.repartition(17), Seq("g"), "v", Seq(0.5))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("ddQuantiles is partitioning-invariant (merge-order independence)") {
     val ev = Tables.events(spark, sf)
     val base = ops.Sketches.ddQuantiles(ev, "event_type", "value", Seq(0.5, 0.95, 0.99))

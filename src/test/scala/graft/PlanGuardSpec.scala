@@ -29,7 +29,10 @@ class PlanGuardSpec extends SparkSuite {
     "q75_embed_decontam",  // train scan × broadcast(eval vectors), small eval side
     "q89_dsir_weights",    // token frame × broadcast(1-row totals/vocab)
     "q91_curation_v2",     // same 1-row totals join inside its DSIR gate
-    "q92_bigram_logprob")  // token frame × broadcast(1-row corpus total)
+    "q92_bigram_logprob",  // token frame × broadcast(1-row corpus total)
+    "q95_temperature_mix", // taxonomy counts × broadcast(1-row totals)
+    "q97_ppl_buckets",     // q92's scoring shape under the ntile
+    "q98_ppl_buckets_scaled") // scores × broadcast(1-row tercile bounds)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
