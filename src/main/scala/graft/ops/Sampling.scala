@@ -210,6 +210,33 @@ object Sampling {
       .where(col("rate") >= 1.0 || digest < thr)
   }
 
+  /** Leakage-free split assignment: hash-split by NEAR-DUP CLUSTER, not
+    * by document. A plain per-doc [[splitAssign]] puts near-duplicates
+    * on both sides of a train/val boundary — the evaluation then scores
+    * memorization, the classic contamination-through-duplication leak
+    * (the reason Lee et al.'s "Deduplicating Training Data ..." dedup
+    * before splitting). Here every document keyed by its duplicate
+    * cluster (`clusters` = (doc_id, component_id), e.g. from
+    * [[Dedup.connectedComponents]]; docs absent from it are singleton
+    * clusters keyed by their own id) draws ONE split per cluster, so a
+    * cluster can never straddle a boundary by construction.
+    *
+    * Scale shape: one left join onto the cluster map (shuffle bounded by
+    * the near-dup pair volume — the cluster frame is tiny next to the
+    * corpus) + the same map-side threshold conditional as
+    * [[splitAssign]]. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       splits: Seq[(String, Double)],
+                       outCol: String = "split"): DataFrame = {
+    val cc = clusters.select(col("doc_id").as("__cc_doc"),
+      col("component_id").as("__cc_comp"))
+    splitAssign(
+      df.join(cc, col(idCol) === col("__cc_doc"), "left")
+        .withColumn("split_key", coalesce(col("__cc_comp"), col(idCol)))
+        .drop("__cc_doc", "__cc_comp"),
+      "split_key", splits, outCol)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g.
     * downsample dominant languages, keep the tail whole). Strata missing
     * from the map use `defaultFraction`. The per-row decision is a single

@@ -95,12 +95,31 @@ object CurateQueries {
       .orderBy($"doc_id")
   }
 
+  /** Leakage-free train/val/test split ([[Sampling.leakageFreeSplit]]):
+    * near-dup clusters (q43's exact-Jaccard connected components) draw
+    * ONE split per cluster, so duplicated documents can never sit on
+    * both sides of a train/val boundary — the contamination-through-
+    * duplication leak a per-doc hash split has. Oracle replays the
+    * recursive component walk + the same md5 thresholds. */
+  private val q99: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = graft.ops.Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text")
+      .select($"doc_a", $"doc_b")
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+    Sampling.leakageFreeSplit(docs, "doc_id", cc,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split_key", $"split")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q94_pii_redact"      -> q94,
     "q95_temperature_mix" -> q95,
     "q96_gopher_gate"     -> q96,
     "q97_ppl_buckets"     -> q97,
-    "q98_ppl_buckets_scaled" -> q98)
+    "q98_ppl_buckets_scaled" -> q98,
+    "q99_leakage_free_split" -> q99)
 
   val oracle: Map[String, String] = Map(
     "q94_pii_redact" ->
@@ -156,6 +175,38 @@ object CurateQueries {
         |    CASE WHEN NOT wlen_ok THEN 'mean_wlen' END,
         |    CASE WHEN NOT stop_ok THEN 'stop_frac' END) AS fail_reasons
         |FROM v ORDER BY doc_id""".stripMargin,
+    "q99_leakage_free_split" -> {
+      val t1 = graft.ops.Sampling.hexThreshold(0.8)
+      val t2 = graft.ops.Sampling.hexThreshold(0.8 + 0.1)
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w) - 2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pp AS (SELECT doc_a, doc_b FROM p
+        |       JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |       WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pp UNION SELECT doc_b, doc_a FROM pp),
+        |walk(node, label) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node),
+        |cc AS (SELECT node AS doc_id, min(label) AS component_id
+        |       FROM walk GROUP BY node),
+        |keyed AS (SELECT d.doc_id,
+        |    coalesce(cc.component_id, d.doc_id) AS split_key
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN md5(CAST(split_key AS VARCHAR)) < '$t1' THEN 'train'
+        |       WHEN md5(CAST(split_key AS VARCHAR)) < '$t2' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin
+    },
     "q97_ppl_buckets" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tok AS (SELECT doc_id, w[i] AS tok,

@@ -112,6 +112,34 @@ class CurateSpec extends SparkSuite {
     assert(minHead >= maxTail)
   }
 
+  test("leakageFreeSplit: no near-dup cluster straddles a split boundary") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.ops.Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text")
+      .select($"doc_a", $"doc_b")
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+    val out = graft.ops.Sampling.leakageFreeSplit(docs, "doc_id", cc,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // the invariant that per-doc splitting violates: one split per cluster
+    val straddling = out.join(cc, Seq("doc_id"))
+      .groupBy($"component_id")
+      .agg(countDistinct($"split").as("n_splits"))
+      .where($"n_splits" > 1)
+    assert(straddling.isEmpty, "a near-dup cluster crossed a split boundary")
+    // and the contrast: the plain per-doc split DOES leak on this corpus
+    // (it has seeded duplicate pairs whose members hash apart)
+    val perDoc = graft.ops.Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val leaked = perDoc.join(cc, Seq("doc_id"))
+      .groupBy($"component_id")
+      .agg(countDistinct($"split").as("n_splits"))
+      .where($"n_splits" > 1)
+    assert(!leaked.isEmpty,
+      "fixture should demonstrate the per-doc leak this operator removes")
+    // every doc keeps exactly one row and singletons key by their own id
+    assert(out.count() == docs.count())
+    assert(out.where($"split_key" === $"doc_id").count() > 0)
+  }
+
   test("temperatureMix is deterministic and tracks its rates") {
     val df = ((1L to 800L).map((_, "a")) ++ (801L to 950L).map((_, "b")) ++
       (951L to 1000L).map((_, "c"))).toDF("id", "g")
