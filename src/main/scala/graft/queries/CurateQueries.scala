@@ -113,7 +113,30 @@ object CurateQueries {
       .orderBy($"doc_id")
   }
 
+  /** Corpus data card: the per-language datasheet row a curation run
+    * publishes next to its output (docs, token volume, exact-dup rate,
+    * quality-gate pass rate, char volume) — Gebru et al.'s "Datasheets
+    * for Datasets" reduced to the signals this corpus carries. One scan
+    * plus a taxonomy-sized aggregate; every column is engine-portable
+    * arithmetic the oracle replays. */
+  private val q100: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val gate = Curate.gopherGate(docs, "doc_id", "text")
+      .select($"doc_id", $"passes")
+    docs.join(gate, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount($"text")).cast("long").as("total_tokens"),
+        countDistinct(md5($"text")).as("distinct_texts"),
+        sum(when($"passes", 1L).otherwise(0L)).as("n_gopher_pass"),
+        sum($"n_chars").cast("long").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q100_data_card"      -> q100,
     "q94_pii_redact"      -> q94,
     "q95_temperature_mix" -> q95,
     "q96_gopher_gate"     -> q96,
@@ -122,6 +145,28 @@ object CurateQueries {
     "q99_leakage_free_split" -> q99)
 
   val oracle: Map[String, String] = Map(
+    "q100_data_card" ->
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |      len(string_split(text, ' ')), 6) AS mean_wlen,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) AS DOUBLE) /
+        |      len(string_split(text, ' ')), 6) AS stop_frac
+        |  FROM documents),
+        |v AS (SELECT doc_id,
+        |    (n_words BETWEEN 20 AND 100000) AND
+        |    (mean_wlen BETWEEN 4.0 AND 10.0) AND
+        |    (stop_frac >= 0.02) AS passes
+        |  FROM m)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT md5(d.text)) AS distinct_texts,
+        |  CAST(sum(CASE WHEN v.passes THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gopher_pass,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN v USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q94_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id,
         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' ||
