@@ -200,8 +200,18 @@ object Sampling {
     * scanned once and never shuffled. */
   def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
                      alpha: Double, targetFraction: Double,
-                     seed: String): DataFrame = {
-    val rates = temperatureRates(df, groupCol, alpha, targetFraction)
+                     seed: String): DataFrame =
+    admitAtRates(df, keyCol, groupCol,
+      temperatureRates(df, groupCol, alpha, targetFraction), seed)
+
+  /** The admission half of [[temperatureMix]], split out so a STREAM can
+    * admit against rates a batch job published (computing the rates
+    * aggregates the corpus, which a stream cannot do) — a stateless
+    * stream-static broadcast join + map-side filter, the same
+    * train-in-batch/serve-in-stream discipline as the quality
+    * classifier. `rates` is (groupCol, rate). */
+  def admitAtRates(df: DataFrame, keyCol: String, groupCol: String,
+                   rates: DataFrame, seed: String): DataFrame = {
     val digest = substring(
       md5(concat(lit(seed + " "), col(keyCol).cast("string"))), 1, 15)
     val thr = lpad(lower(conv(
