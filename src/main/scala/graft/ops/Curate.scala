@@ -84,30 +84,39 @@ object Curate {
     *
     * Metrics (all builtins, decimal-rounded for cross-engine parity):
     * `n_words`; `mean_wlen` = non-space chars / words; `stop_frac` =
-    * fraction of words in [[Stopwords]]. Rules: `minWords ≤ n_words ≤
-    * maxWords`, `minMeanWlen ≤ mean_wlen ≤ maxMeanWlen`,
-    * `stop_frac ≥ minStopFrac` — the MassiveText posture that a real
-    * document has sentence-like word lengths and carries function
-    * words. */
+    * fraction of words in [[Stopwords]]; `top_word_frac` = the most
+    * frequent word's share of the document. Rules: `minWords ≤ n_words
+    * ≤ maxWords`, `minMeanWlen ≤ mean_wlen ≤ maxMeanWlen`, `stop_frac ≥
+    * minStopFrac`, `top_word_frac ≤ maxTopWordFrac` (the published
+    * Gopher value 0.2) — the MassiveText posture that a real document
+    * has sentence-like word lengths, carries function words, and is not
+    * one token stuttered. The top-word count is an O(distinct·words)
+    * array fold per row — still map-side, no shuffle. */
   def gopherGate(df: DataFrame, idCol: String, textCol: String,
                  minWords: Int = 20, maxWords: Int = 100000,
                  minMeanWlen: Double = 4.0, maxMeanWlen: Double = 10.0,
-                 minStopFrac: Double = 0.02): DataFrame = {
+                 minStopFrac: Double = 0.02,
+                 maxTopWordFrac: Double = 0.2): DataFrame = {
     val words: Column = Text.tokens(col(textCol))
     val nWords = size(words)
     val meanWlen = round(
       length(regexp_replace(col(textCol), " ", "")).cast("double") / nWords, 6)
     val stopFrac = round(
       size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / nWords, 6)
+    val topFrac = round(
+      array_max(transform(array_distinct(words),
+        d => size(filter(words, w => w === d)))).cast("double") / nWords, 6)
     val wordsOk = nWords.between(minWords, maxWords)
     val wlenOk = meanWlen.between(minMeanWlen, maxMeanWlen)
     val stopOk = stopFrac >= minStopFrac
+    val topOk = topFrac <= maxTopWordFrac
     df.select(col(idCol), nWords.cast("long").as("n_words"), meanWlen.as("mean_wlen"),
-        stopFrac.as("stop_frac"),
-        (wordsOk && wlenOk && stopOk).as("passes"),
+        stopFrac.as("stop_frac"), topFrac.as("top_word_frac"),
+        (wordsOk && wlenOk && stopOk && topOk).as("passes"),
         concat_ws(",",
           when(!wordsOk, lit("n_words")),
           when(!wlenOk, lit("mean_wlen")),
-          when(!stopOk, lit("stop_frac"))).as("fail_reasons"))
+          when(!stopOk, lit("stop_frac")),
+          when(!topOk, lit("top_word_frac"))).as("fail_reasons"))
   }
 }

@@ -152,12 +152,16 @@ object CurateQueries {
         |      len(string_split(text, ' ')), 6) AS mean_wlen,
         |    round(CAST(len(list_filter(string_split(text, ' '),
         |        x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) AS DOUBLE) /
-        |      len(string_split(text, ' ')), 6) AS stop_frac
+        |      len(string_split(text, ' ')), 6) AS stop_frac,
+        |    round(CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+        |        d -> len(list_filter(string_split(text, ' '), x -> x = d)))) AS DOUBLE) /
+        |      len(string_split(text, ' ')), 6) AS top_word_frac
         |  FROM documents),
         |v AS (SELECT doc_id,
         |    (n_words BETWEEN 20 AND 100000) AND
         |    (mean_wlen BETWEEN 4.0 AND 10.0) AND
-        |    (stop_frac >= 0.02) AS passes
+        |    (stop_frac >= 0.02) AND
+        |    (top_word_frac <= 0.2) AS passes
         |  FROM m)
         |SELECT d.lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
@@ -206,19 +210,24 @@ object CurateQueries {
         |      len(string_split(text, ' ')), 6) AS mean_wlen,
         |    round(CAST(len(list_filter(string_split(text, ' '),
         |        x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) AS DOUBLE) /
-        |      len(string_split(text, ' ')), 6) AS stop_frac
+        |      len(string_split(text, ' ')), 6) AS stop_frac,
+        |    round(CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+        |        d -> len(list_filter(string_split(text, ' '), x -> x = d)))) AS DOUBLE) /
+        |      len(string_split(text, ' ')), 6) AS top_word_frac
         |  FROM documents),
-        |v AS (SELECT doc_id, n_words, mean_wlen, stop_frac,
+        |v AS (SELECT doc_id, n_words, mean_wlen, stop_frac, top_word_frac,
         |    n_words BETWEEN 20 AND 100000 AS words_ok,
         |    mean_wlen BETWEEN 4.0 AND 10.0 AS wlen_ok,
-        |    stop_frac >= 0.02 AS stop_ok
+        |    stop_frac >= 0.02 AS stop_ok,
+        |    top_word_frac <= 0.2 AS top_ok
         |  FROM m)
-        |SELECT doc_id, n_words, mean_wlen, stop_frac,
-        |  words_ok AND wlen_ok AND stop_ok AS passes,
+        |SELECT doc_id, n_words, mean_wlen, stop_frac, top_word_frac,
+        |  words_ok AND wlen_ok AND stop_ok AND top_ok AS passes,
         |  concat_ws(',',
         |    CASE WHEN NOT words_ok THEN 'n_words' END,
         |    CASE WHEN NOT wlen_ok THEN 'mean_wlen' END,
-        |    CASE WHEN NOT stop_ok THEN 'stop_frac' END) AS fail_reasons
+        |    CASE WHEN NOT stop_ok THEN 'stop_frac' END,
+        |    CASE WHEN NOT top_ok THEN 'top_word_frac' END) AS fail_reasons
         |FROM v ORDER BY doc_id""".stripMargin,
     "q99_leakage_free_split" -> {
       val t1 = graft.ops.Sampling.hexThreshold(0.8)

@@ -31,18 +31,22 @@ class CurateSpec extends SparkSuite {
   }
 
   test("gopherGate: each rule fires independently, reasons in fixed order") {
-    val mk = (n: Int, w: String) => Seq.fill(n)(w).mkString(" ")
+    // 29 distinct 5-char words + "the": every metric in range
+    val diverse = (0 until 29).map(i => f"word$i%02d").mkString(" ") + " the"
     val rows = Seq(
-      // 30 words, wlen 5, has stopwords -> passes
-      (1L, mk(29, "spark") + " the"),
-      // too short
-      (2L, mk(5, "spark") + " the"),
-      // word length too small (all "ab"), stopword present
-      (3L, mk(29, "ab") + " a"),
-      // no stopwords
-      (4L, mk(30, "spark")),
-      // everything wrong: short AND long words AND no stopwords
-      (5L, mk(5, "incomprehensibilities"))).toDF("doc_id", "text")
+      (1L, diverse),
+      // too short (6 diverse words incl a stopword)
+      (2L, "word1 word2 word3 word4 word5 the"),
+      // word length too small (distinct 2-char words + stopword "a")
+      (3L, (0 until 29).map(i => ('a' + i % 26).toChar.toString +
+        ('a' + i / 26).toChar).mkString(" ") + " a"),
+      // no stopwords (distinct words otherwise fine)
+      (4L, (0 until 30).map(i => f"term$i%02d").mkString(" ")),
+      // one token stuttered: top_word_frac 25/30 >> 0.2, all else fine
+      (5L, Seq.fill(25)("spark").mkString(" ") + " " +
+        (0 until 4).map(i => f"fill$i%02d").mkString(" ") + " the"),
+      // everything wrong: short, tiny words, no stopword, stuttered
+      (6L, "zz zz zz")).toDF("doc_id", "text")
     val got = Curate.gopherGate(rows, "doc_id", "text")
       .select($"doc_id", $"passes", $"fail_reasons")
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
@@ -52,7 +56,9 @@ class CurateSpec extends SparkSuite {
       (2L, false, "n_words"),
       (3L, false, "mean_wlen"),
       (4L, false, "stop_frac"),
-      (5L, false, "n_words,mean_wlen,stop_frac")), got.mkString("\n"))
+      (5L, false, "top_word_frac"),
+      (6L, false, "n_words,mean_wlen,stop_frac,top_word_frac")),
+      got.mkString("\n"))
   }
 
   test("temperatureRates flatten toward uniform as alpha drops") {
