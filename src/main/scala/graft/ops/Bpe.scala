@@ -247,9 +247,13 @@ object Bpe {
                    minCount: Long = 2L, memo: Boolean = true): BpeModel = {
     val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
       textCol, nMerges, minCount)
+    // same wholesale-clear bound as the IVF/route memos: a long-lived
+    // driver training many distinct corpora must not accumulate models
+    if (modelMemo.size() > ModelMemoMax) modelMemo.clear()
     if (memo) modelMemo.computeIfAbsent(key, _ => train(df, textCol, nMerges, minCount))
     else train(df, textCol, nMerges, minCount)
   }
+  private val ModelMemoMax = 64
 
   /** Map-side BPE encode of a text column under a trained model: each
     * word's symbols merge lowest-rank-first (the standard encode
