@@ -61,6 +61,17 @@ class CurateSpec extends SparkSuite {
       got.mkString("\n"))
   }
 
+  test("topWordCount (sorted-run fold) equals the naive distinct×filter scan") {
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text") union Seq("", "a", "a a a", "b a b a b",
+        "x y z x y z z").toDF("text")
+    val cmp = texts.select(
+      Curate.topWordCount(graft.ops.Text.tokens($"text")).as("fold"),
+      Curate.topWordCountNaive(graft.ops.Text.tokens($"text")).as("naive"))
+    assert(cmp.where($"fold" =!= $"naive").isEmpty,
+      "fold and naive top-word counts must agree on every row")
+  }
+
   test("temperatureRates flatten toward uniform as alpha drops") {
     // skewed: group a 800 rows, b 150, c 50
     val df = ((1L to 800L).map((_, "a")) ++ (801L to 950L).map((_, "b")) ++
