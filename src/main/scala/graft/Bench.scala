@@ -177,12 +177,17 @@ object Bench {
         s""""sweep2_wall_sec":$secondWallSec,"sweep2_queries":${second.size},""" +
         s""""sf":"$sfDir"}"""
     println(line)
-    // also a file artifact: the driver captures a log tail, which has
-    // truncated the head of this (long) line before — BENCH_r03 lost
-    // q01-q05 and the parsed total that way
-    val out = java.nio.file.Paths.get("target/bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    // also a file artifact: the driver captures only a 2000-char log tail
+    // and sbt appends a [success] trailer after the JSON line, so the
+    // stdout line alone has NEVER survived into the round artifact intact
+    // (BENCH_r01-r07 all carry "parsed": null). Write the full JSON to a
+    // TRACKED path too — perf/ is committed, target/ is gitignored — so
+    // every per-query number the round-end records cite exists in-tree.
+    for (p <- Seq("target/bench.json", "perf/bench_last.json")) {
+      val out = java.nio.file.Paths.get(p)
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -31,11 +31,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries ++
-      graft.queries.AdvQueries.queries ++ graft.queries.CurateQueries.queries
+      graft.queries.AdvQueries.queries ++ graft.queries.CurateQueries.queries ++
+      graft.queries.ExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle ++
-      graft.queries.AdvQueries.oracle ++ graft.queries.CurateQueries.oracle
+      graft.queries.AdvQueries.oracle ++ graft.queries.CurateQueries.oracle ++
+      graft.queries.ExtraQueries.oracle
 }

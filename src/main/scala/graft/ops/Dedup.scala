@@ -1056,4 +1056,61 @@ object Dedup {
           " ").as("cleaned_text"))
       .withColumnRenamed("doc", idCol)
   }
+
+  /** Soft dedup: keep at most `cap` copies of each distinct content, in a
+    * deterministic seed-salted hash order (which copies survive must not
+    * depend on partitioning or arrival order). Exact dedup (cap=1) is
+    * sometimes too aggressive for training corpora — natural duplication
+    * carries signal, catastrophic duplication drowns it — so the standard
+    * compromise (e.g. the "keep a bounded number of copies" option in
+    * CCNet-style pipelines) caps the multiplicity instead.
+    *
+    * Plan: rank within the content-hash group by the salted order key and
+    * filter. The window partitions by the 32-char md5, never the text, so
+    * the shuffle is narrow; group sizes are duplicate multiplicities
+    * (small by nature — a pathological mega-duplicate is exactly what the
+    * cap is for, and even then the group holds only its copies, not the
+    * corpus). Output = input columns + `copy_rank` (1-based). */
+  def softDedupCap(df: DataFrame, idCol: String, textCol: String,
+                   cap: Int, seed: String): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val ranked = df
+      .withColumn("__fp", md5(col(textCol)))
+      .withColumn("__ord", Shard.orderKey(col(idCol), seed))
+      .withColumn("copy_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"__fp")
+          .orderBy($"__ord", col(idCol))))
+    ranked.where($"copy_rank" <= cap).drop("__fp", "__ord")
+  }
+
+  /** Cross-source duplication matrix: for every unordered source pair
+    * (a ≤ b), how many duplicate pairs share identical content across
+    * them — the data-card number that tells a curation run WHERE its
+    * duplication comes from (mirror sites, cross-source scrapes) before
+    * deciding what to drop.
+    *
+    * Plan: never a text self-join. The corpus collapses once to
+    * (content-hash, source, copies) — narrow rows, two-phase aggregate —
+    * and the pair counts come from joining that tiny frame with itself
+    * per hash: a group with nₐ copies in source a and n_b in source b
+    * contributes nₐ·n_b pairs (nₐ·(nₐ−1)/2 within a source). Per-hash
+    * work is |sources-present|², bounded by the taxonomy, not the corpus. */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+                           sourceCol: String): DataFrame = {
+    val bySrc = df.groupBy(md5(col(textCol)).as("fp"),
+        col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("n"))
+    val a = bySrc.select($"fp", $"src".as("source_a"), $"n".as("na"))
+    val b = bySrc.select($"fp", $"src".as("source_b"), $"n".as("nb"))
+    a.join(b, Seq("fp"))
+      .where($"source_a" <= $"source_b")
+      .select($"source_a", $"source_b",
+        // n·(n−1) is even, so the long division is exact — no double hop
+        when($"source_a" === $"source_b",
+          ($"na" * ($"na" - 1) / lit(2)).cast("long"))
+          .otherwise($"na" * $"nb").as("pairs"))
+      .groupBy($"source_a", $"source_b")
+      .agg(sum($"pairs").as("dup_pairs"))
+      .where($"dup_pairs" > 0)
+  }
 }

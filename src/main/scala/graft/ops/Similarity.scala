@@ -580,4 +580,44 @@ object Similarity {
         coalesce($"n_near", lit(0L)).as("n_near"),
         coalesce($"dropped", lit(false)).as("dropped"))
   }
+
+  /** Per-dimension corpus statistics of an embedding column: (dim, n,
+    * mean, std) with the decimal-exact (n, Σx, Σx²) components of
+    * [[Normalize.zscore]], so the derived doubles are identical on any
+    * engine and partitioning. posexplode → two-phase aggregate: the
+    * shuffle carries per-(partition, dim) partial sums — `dim` rows per
+    * map task — never vectors. std is the sample (n−1) deviation; NULL
+    * when the dimension is constant (the caller must not divide by it). */
+  def dimStats(df: DataFrame, embCol: String): DataFrame = {
+    val e = df.select(posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "v")))
+    // DECIMAL(28,12), not Exact's (18,4): embedding components are ~0.1 so
+    // their squares are ~0.01 — a 1e-4 quantum would carry only two
+    // significant digits into the variance. 12 fractional digits keep the
+    // square exact-ish while 16 integral digits still absorb ~1e15 rows.
+    val fine = "decimal(28,12)"
+    e.groupBy($"dim").agg(
+        count($"v").cast("double").as("n"),
+        sum($"v".cast(fine)).cast("double").as("sx"),
+        sum(($"v" * $"v").cast(fine)).cast("double").as("sxx"))
+      .select($"dim", $"n", ($"sx" / $"n").as("mean"),
+        when($"n" >= 2 &&
+          ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1.0) > 0,
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1.0))).as("std"))
+  }
+
+  /** Whitening (per-dimension standardization) of an embedding corpus —
+    * the preprocessing step that makes Euclidean/PQ geometry honest when
+    * dimensions have wildly different scales (PCA-whitening's diagonal
+    * little sibling; see Jégou et al.'s observations on uneven energy
+    * across dimensions in PQ). Output is flat (id, dim, z): z-scored
+    * against the CORPUS stats, which travel as a broadcast dim-sized
+    * frame — the embedding table itself is never shuffled. Constant
+    * dimensions (std NULL) yield z = NULL. */
+  def whitenDims(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val stats = dimStats(df, embCol)
+    df.select(col(idCol).as("id"),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "v")))
+      .join(broadcast(stats), Seq("dim"))
+      .select($"id", $"dim", (($"v" - $"mean") / $"std").as("z"))
+  }
 }

@@ -159,4 +159,63 @@ object Sketches {
                   qs: Seq[Double], alpha: Double = 0.01): DataFrame =
     quantilesFromCounts(bucketCounts(df, Seq(groupCol), valueCol, alpha),
       Seq(groupCol), qs, alpha)
+
+  // --------------------------------------------------------------------
+  // CountMin sketch (Cormode & Muthukrishnan, "An improved data stream
+  // summary: the count-min sketch and its applications", J. Algorithms
+  // 55(1), 2005) in the same relational posture as DDSketch above: the
+  // sketch state is a (row, bucket) → count frame, inserts are a map-side
+  // projection + partial-aggregated groupBy (the shuffle carries at most
+  // depth×width narrow rows PER PARTITION, not per input row), merges are
+  // counter addition, and the point-query is a min over `depth` cells.
+  // Guarantees: estimate ≥ true count always (one-sided), and with
+  // depth=⌈ln 1/δ⌉, width=⌈e/ε⌉ the overshoot is ≤ ε·N w.p. 1−δ.
+  //
+  // Complements the exact frequency surface: Misra–Gries
+  // (functions.FrequentItems) answers "the heavy hitters and a lower
+  // bound"; CountMin answers point queries for ANY key with an upper
+  // bound, from additive state a streaming aggregation can maintain.
+  //
+  // Hashing is the repo's engine-portable md5 discipline (Shard.orderKey):
+  // bucket_r(k) = conv(md5(r + " " + k)[0,15), 16, 10) mod width — DuckDB
+  // replays it exactly, so the sketch itself is oracle-checkable.
+  // --------------------------------------------------------------------
+
+  /** Row-`r` bucket of `key` — deterministic, engine-portable. */
+  def cmsBucket(key: Column, row: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws(" ", lit(row), key.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(width.toLong))
+
+  /** The sketch "add": the depth×width counter matrix as a frame
+    * (r, bucket, cnt). Each input row contributes one increment per hash
+    * row (a map-side explode of `depth` precomputed cells); partial
+    * aggregation collapses to ≤ depth·width rows per partition before the
+    * single narrow shuffle. Additive: matrices from different partitions,
+    * micro-batches, or days merge by summing `cnt` on (r, bucket). */
+  def countMinCounts(df: DataFrame, keyCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"bad sketch shape $depth x $width")
+    val cells = array((0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(col(keyCol), r, width).as("bucket"))): _*)
+    df.where(col(keyCol).isNotNull)
+      .select(explode(cells).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a sketch frame for every key in `probes`: min over the
+    * `depth` cells the key hashes to (0 when a cell was never touched).
+    * The sketch is ≤ depth·width rows, so the join broadcasts — the probe
+    * side never shuffles. Output: probes columns + `cms_cnt`. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val probeCells = probes.select(col("*"), explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(col(keyCol), r, width).as("bucket"))): _*)).as("cell"))
+      .select(col("*"), col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+      .drop("cell")
+    val outCols = probes.columns
+    probeCells.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(outCols.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
+  }
 }

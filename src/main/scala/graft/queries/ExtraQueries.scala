@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Bpe, Dedup, Similarity, Sketches, Text}
+
+/** Round-8 second-wave queries: CountMin point queries, soft (cap-k)
+  * dedup, the cross-source duplication matrix, embedding whitening, and
+  * per-language tokenizer fertility. All but fertility (iterative BPE —
+  * not SQL-expressible, golden-pinned) are DuckDB-oracle-checked via the
+  * repo's engine-portable md5/decimal discipline. */
+object ExtraQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The synthetic corpus has zero exact duplicates at small SF, so the
+    * duplication queries plant them deterministically (q94's precedent for
+    * PII): every 7th doc gains a same-source copy, every 5th a copy under
+    * a synthetic 'mirror' source — both engines construct the identical
+    * augmented frame, so the dedup operators are exercised on real
+    * multiplicity and the oracle replays the same unions. */
+  private def augDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text", $"source")
+    val same = docs.where($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"source")
+    val cross = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text",
+        lit("mirror").as("source"))
+    docs.unionByName(same).unionByName(cross)
+  }
+
+  /** CountMin sketch point queries ([[Sketches.countMinCounts]]): build a
+    * deliberately tight 3×16 sketch over the token stream, then probe the
+    * top-10 true-frequency tokens — estimates are provably ≥ truth, and at
+    * this width collisions are visible, so the one-sided error is part of
+    * the checked output, not hidden. The top-10 ranking window runs over
+    * the vocabulary-sized frequency frame (bounded), never the token
+    * stream. */
+  private val q101: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+    val sketch = Sketches.countMinCounts(toks, "token", depth = 3, width = 16)
+    val tf = toks.groupBy($"token").agg(count(lit(1)).as("true_cnt"))
+    val top = tf
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"true_cnt".desc, $"token")))
+      .where($"rnk" <= 10).drop("rnk")
+    Sketches.cmsEstimate(sketch, top, "token", depth = 3, width = 16)
+      .orderBy($"true_cnt".desc, $"token")
+  }
+
+  /** Soft dedup ([[Dedup.softDedupCap]]): cap every content group at 2
+    * copies in seed-salted hash order. Docs divisible by 35 carry 3 copies
+    * in the augmented frame, so the cap actually cuts. */
+  private val q102: Q = (s, d) => {
+    import s.implicits._
+    Dedup.softDedupCap(augDup(s, d), "doc_id", "text", cap = 2, seed = "soft")
+      .select($"doc_id", $"source", $"copy_rank")
+      .orderBy($"doc_id")
+  }
+
+  /** Cross-source duplication matrix ([[Dedup.crossSourceDupMatrix]]):
+    * where the duplication comes from, as unordered source-pair duplicate
+    * counts — the planted 'mirror' source shows up as pure cross-source
+    * mass, the every-7th copies as within-source mass. */
+  private val q103: Q = (s, d) => {
+    import s.implicits._
+    Dedup.crossSourceDupMatrix(augDup(s, d), "text", "source")
+      .orderBy($"source_a", $"source_b")
+  }
+
+  /** Embedding whitening ([[Similarity.whitenDims]]): per-dimension
+    * corpus standardization, probed on the first 20 vectors. The stats
+    * frame is dim-sized and broadcast; the corpus never shuffles. */
+  private val q104: Q = (s, d) => {
+    import s.implicits._
+    Similarity.whitenDims(Tables.embeddings(s, d), "vec_id", "embedding")
+      .where($"id" < 20)
+      .select($"id".as("vec_id"), $"dim", round($"z", 6).as("z"))
+      .orderBy($"vec_id", $"dim")
+  }
+
+  /** Tokenizer fertility per language: BPE tokens emitted per whitespace
+    * word, from the corpus-trained 50-merge vocabulary (q83's model via
+    * the memo — zero retraining) and the native codegen encode. The
+    * number a tokenizer team watches per language before committing a
+    * vocab. Golden-pinned (iterative BPE has no SQL form). */
+  private val q105: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val model = Bpe.trainedModel(docs, "text", nMerges = 50)
+    Bpe.encode(docs.select($"doc_id", $"lang", $"text"), "text", model)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount($"text")).cast("long").as("n_words"),
+        sum(size($"bpe_tokens")).cast("long").as("n_bpe_tokens"))
+      .withColumn("fertility", round($"n_bpe_tokens" / $"n_words", 6))
+      .orderBy($"lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q101_countmin"    -> q101,
+    "q102_soft_dedup"  -> q102,
+    "q103_dup_matrix"  -> q103,
+    "q104_embed_whiten" -> q104,
+    "q105_fertility"   -> q105)
+
+  private val augDupSql =
+    """WITH aug AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents
+      |    WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text, 'mirror' FROM documents
+      |    WHERE doc_id % 5 = 0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q101_countmin" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS true_cnt FROM tok GROUP BY token),
+        |top AS (SELECT token, true_cnt FROM (
+        |    SELECT token, true_cnt,
+        |      row_number() OVER (ORDER BY true_cnt DESC, token) AS rnk FROM tf)
+        |  WHERE rnk <= 10),
+        |cells AS (SELECT t.r,
+        |    CAST('0x' || substr(md5(t.r || ' ' || k.token), 1, 15) AS BIGINT) % 16 AS bucket,
+        |    count(*) AS cnt
+        |  FROM tok k CROSS JOIN range(3) t(r) GROUP BY 1, 2)
+        |SELECT p.token, p.true_cnt, min(coalesce(c.cnt, 0)) AS cms_cnt
+        |FROM top p CROSS JOIN range(3) t(r)
+        |LEFT JOIN cells c ON c.r = t.r
+        |  AND c.bucket = CAST('0x' || substr(md5(t.r || ' ' || p.token), 1, 15) AS BIGINT) % 16
+        |GROUP BY p.token, p.true_cnt
+        |ORDER BY true_cnt DESC, token""".stripMargin,
+    "q102_soft_dedup" -> (augDupSql + """,
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY CAST('0x' || substr(md5('soft' || ' ' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |        doc_id) AS INTEGER) AS copy_rank
+        |  FROM aug)
+        |SELECT doc_id, source, copy_rank FROM r WHERE copy_rank <= 2
+        |ORDER BY doc_id""".stripMargin),
+    "q103_dup_matrix" -> (augDupSql + """,
+        |g AS (SELECT md5(text) AS fp, source AS src, count(*) AS n
+        |  FROM aug GROUP BY 1, 2),
+        |m AS (SELECT a.src AS source_a, b.src AS source_b,
+        |    CAST(sum(CASE WHEN a.src = b.src THEN a.n * (a.n - 1) // 2
+        |      ELSE a.n * b.n END) AS BIGINT) AS dup_pairs
+        |  FROM g a JOIN g b ON a.fp = b.fp AND a.src <= b.src
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, dup_pairs FROM m WHERE dup_pairs > 0
+        |ORDER BY source_a, source_b""".stripMargin),
+    "q104_embed_whiten" ->
+      """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS INTEGER) AS dim
+        |  FROM embeddings),
+        |st AS (SELECT dim, CAST(count(v) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM e GROUP BY dim)
+        |SELECT e.vec_id, e.dim,
+        |  round((e.v - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS z
+        |FROM e JOIN st USING (dim) WHERE e.vec_id < 20
+        |ORDER BY vec_id, dim""".stripMargin)
+}
