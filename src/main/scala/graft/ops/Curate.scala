@@ -137,4 +137,24 @@ object Curate {
           when(!stopOk, lit("stop_frac")),
           when(!topOk, lit("top_word_frac"))).as("fail_reasons"))
   }
+
+  /** Corpus snapshot diff — the versioning primitive of an iterating
+    * curation pipeline: between two corpus versions, which documents were
+    * added, removed, changed (same id, different content), or unchanged.
+    * Both sides collapse to (id, 32-char content hash) BEFORE the join,
+    * so the full-outer join — the one unavoidable shuffle, keyed on the
+    * id both sides are naturally bucketed by in a versioned layout —
+    * carries narrow rows, never document bodies. Output: id, old_fp,
+    * new_fp, status. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_fp"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when($"old_fp".isNull, "added")
+          .when($"new_fp".isNull, "removed")
+          .when($"old_fp" === $"new_fp", "unchanged")
+          .otherwise("changed"))
+  }
 }

@@ -101,12 +101,35 @@ object ExtraQueries {
       .orderBy($"lang")
   }
 
+  /** Corpus snapshot diff ([[graft.ops.Curate.corpusDiff]]): v2 is built
+    * deterministically from v1 — every 13th doc removed, every 7th
+    * surviving doc revised, every 17th re-added under a new id — and the
+    * diff report aggregates per status. The versioning primitive an
+    * iterating 100 TB curation pipeline runs between releases. */
+  private val q106: Q = (s, d) => {
+    import s.implicits._
+    val v1 = Tables.documents(s, d).select($"doc_id", $"text")
+    val v2 = v1.where($"doc_id" % 13 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text"))
+      .unionByName(v1.where($"doc_id" % 17 === 0)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          concat($"text", lit(" new")).as("text")))
+    graft.ops.Curate.corpusDiff(v1, v2, "doc_id", "text")
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"), min($"id").as("min_id"),
+        max($"id").as("max_id"))
+      .orderBy($"status")
+  }
+
   val queries: Map[String, Q] = Map(
     "q101_countmin"    -> q101,
     "q102_soft_dedup"  -> q102,
     "q103_dup_matrix"  -> q103,
     "q104_embed_whiten" -> q104,
-    "q105_fertility"   -> q105)
+    "q105_fertility"   -> q105,
+    "q106_corpus_diff" -> q106)
 
   private val augDupSql =
     """WITH aug AS (
@@ -163,5 +186,23 @@ object ExtraQueries {
         |SELECT e.vec_id, e.dim,
         |  round((e.v - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS z
         |FROM e JOIN st USING (dim) WHERE e.vec_id < 20
-        |ORDER BY vec_id, dim""".stripMargin)
+        |ORDER BY vec_id, dim""".stripMargin,
+    "q106_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' new' FROM v1 WHERE doc_id % 17 = 0),
+        |j AS (SELECT doc_id, a.fp AS old_fp, b.fp AS new_fp
+        |  FROM (SELECT doc_id, md5(text) AS fp FROM v1) a
+        |  FULL JOIN (SELECT doc_id, md5(text) AS fp FROM v2) b USING (doc_id)),
+        |st AS (SELECT doc_id, CASE WHEN old_fp IS NULL THEN 'added'
+        |    WHEN new_fp IS NULL THEN 'removed'
+        |    WHEN old_fp = new_fp THEN 'unchanged'
+        |    ELSE 'changed' END AS status FROM j)
+        |SELECT status, count(*) AS n_docs, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM st GROUP BY status ORDER BY status""".stripMargin)
 }

@@ -103,6 +103,16 @@ class ExtraOpsSpec extends SparkSuite {
     assert(z.exceptAll(z2).isEmpty && z2.exceptAll(z).isEmpty)
   }
 
+  test("corpusDiff: classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B!"), (4L, "d")).toDF("doc_id", "text")
+    val got = graft.ops.Curate.corpusDiff(v1, v2, "doc_id", "text")
+      .select($"id", $"status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")), got.toString)
+  }
+
   test("whitenDims: constant dimension yields NULL z, never Infinity") {
     val df = Seq((1L, Array(1.0, 5.0)), (2L, Array(2.0, 5.0)),
       (3L, Array(3.0, 5.0))).toDF("vec_id", "embedding")
