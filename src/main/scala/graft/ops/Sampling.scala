@@ -262,4 +262,32 @@ object Sampling {
     }
     df.where(pred)
   }
+
+  /** Weighted sampling without replacement — Efraimidis & Spirakis'
+    * A-ES scheme ("Weighted random sampling with a reservoir", IPL 2006):
+    * each row draws uᵢ ∈ (0,1] and the k largest uᵢ^(1/wᵢ) win, which is
+    * exactly a weighted without-replacement draw. The classic use: sample
+    * a fixed-size corpus slice where long/high-quality documents should
+    * be proportionally likelier, reproducibly.
+    *
+    * Determinism: uᵢ comes from the seed-salted 60-bit md5 key
+    * ([[Shard.orderKey]]) scaled to (0,1] — a pure row function, so the
+    * sample is identical across engines, partitionings and reruns, and
+    * DuckDB can replay the draw. Rows with NULL or non-positive weight
+    * are excluded (their sampling key is undefined).
+    *
+    * Scale: the global top-k plans as TakeOrderedAndProject — per-partition
+    * k-row heaps, k·P rows to a single merge, no full sort and no shuffle
+    * of the corpus. Output = input columns + `samp_key`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = col(weightCol).cast("double")
+    val u = (Shard.orderKey(col(idCol), seed) + 1).cast("double") /
+      lit(1152921504606846976.0) // 2^60: key ∈ [0, 2^60-1] → u ∈ (0, 1]
+    df.where(w.isNotNull && w > 0)
+      .withColumn("samp_key", pow(u, lit(1.0) / w))
+      .orderBy(col("samp_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -123,13 +123,64 @@ object ExtraQueries {
       .orderBy($"status")
   }
 
+  /** Weighted sampling without replacement ([[Sampling.weightedSample]],
+    * Efraimidis–Spirakis A-ES): 50 docs drawn ∝ n_chars, deterministic
+    * from the seed-salted hash draw; plans as TakeOrderedAndProject (no
+    * corpus sort or shuffle). Oracle replays the identical draw. */
+  private val q107: Q = (s, d) => {
+    import s.implicits._
+    graft.ops.Sampling.weightedSample(
+        Tables.documents(s, d).select($"doc_id", $"n_chars"),
+        "doc_id", "n_chars", k = 50, seed = "wrs")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Dedup impact report: what each dedup method WOULD remove from the
+    * same (augmented) corpus, in one query — the comparison card a
+    * curation team reads before picking a method at 100 TB. Exact counts
+    * whole non-survivor copies and their token volume; tile counts
+    * duplicated 8-token tiles ([[Dedup.tileDedupKeepFirst]]); span counts
+    * covered tokens and the docs the 30% ExactSubstr-style drop rule
+    * would take ([[Dedup.spanDupCoverage]]). Three bounded aggregates
+    * over the method frames, unioned — each method keeps its own
+    * candidate-bucketed plan. */
+  private val q108: Q = (s, d) => {
+    import s.implicits._
+    val aug = augDup(s, d)
+    val exact = aug
+      .withColumn("n_tok", Text.tokenCount($"text"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5($"text")).orderBy($"doc_id")))
+      .where($"rn" > 1)
+      .agg(count(lit(1)).as("docs_affected"),
+        coalesce(sum($"n_tok"), lit(0L)).cast("long").as("units_removed"))
+      .select(lit("exact").as("method"), $"docs_affected", $"units_removed",
+        lit("tokens").as("unit"))
+    val tile = Dedup.tileDedupKeepFirst(aug, "doc_id", "text", k = 8,
+        tileKey = md5(_))
+      .agg(sum(when($"n_kept" < $"n_tiles", 1L).otherwise(0L)).as("docs_affected"),
+        sum($"n_tiles" - $"n_kept").cast("long").as("units_removed"))
+      .select(lit("tile").as("method"), $"docs_affected", $"units_removed",
+        lit("tiles").as("unit"))
+    val span = Dedup.spanDupCoverage(aug, "doc_id", "text", k = 8,
+        spanKey = md5(_))
+      .agg(sum(when($"dup_ratio" > 0.3, 1L).otherwise(0L)).as("docs_affected"),
+        sum($"covered_tokens").cast("long").as("units_removed"))
+      .select(lit("span").as("method"), $"docs_affected", $"units_removed",
+        lit("tokens").as("unit"))
+    exact.unionByName(tile).unionByName(span).orderBy($"method")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_dedup_report" -> q108,
     "q101_countmin"    -> q101,
     "q102_soft_dedup"  -> q102,
     "q103_dup_matrix"  -> q103,
     "q104_embed_whiten" -> q104,
     "q105_fertility"   -> q105,
-    "q106_corpus_diff" -> q106)
+    "q106_corpus_diff" -> q106,
+    "q107_weighted_sample" -> q107)
 
   private val augDupSql =
     """WITH aug AS (
@@ -204,5 +255,53 @@ object ExtraQueries {
         |    ELSE 'changed' END AS status FROM j)
         |SELECT status, count(*) AS n_docs, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
-        |FROM st GROUP BY status ORDER BY status""".stripMargin)
+        |FROM st GROUP BY status ORDER BY status""".stripMargin,
+    "q107_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    CAST(CAST('0x' || substr(md5('wrs' || ' ' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT doc_id, n_chars FROM u
+        |  ORDER BY pow(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars FROM s ORDER BY doc_id""".stripMargin,
+    "q108_dedup_report" -> (augDupSql + """,
+        |exa AS (SELECT 'exact' AS method,
+        |    CAST(count(*) AS BIGINT) AS docs_affected,
+        |    CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS units_removed,
+        |    'tokens' AS unit
+        |  FROM (SELECT text, row_number() OVER (PARTITION BY md5(text)
+        |          ORDER BY doc_id) AS rn FROM aug)
+        |  WHERE rn > 1),
+        |tl0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+        |tl1 AS (SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) + 7) // 8 - 1)) AS i FROM tl0),
+        |tl2 AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS tile FROM tl1),
+        |tl3 AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY md5(tile) ORDER BY doc_id, pos) AS rn FROM tl2),
+        |tlagg AS (SELECT doc_id, count(*) AS n_tiles,
+        |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept FROM tl3 GROUP BY doc_id),
+        |til AS (SELECT 'tile' AS method,
+        |    CAST(sum(CASE WHEN n_kept < n_tiles THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+        |    CAST(sum(n_tiles - n_kept) AS BIGINT) AS units_removed,
+        |    'tiles' AS unit FROM tlagg),
+        |sp1 AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM aug),
+        |sp2 AS (SELECT doc_id, w, unnest(range(greatest(n_tokens - 7, 0))) AS pos FROM sp1),
+        |sp3 AS (SELECT doc_id, pos, md5(array_to_string(w[pos+1:pos+8], ' ')) AS h FROM sp2),
+        |spdup AS (SELECT h FROM sp3 GROUP BY h HAVING count(*) > 1),
+        |sphit AS (SELECT doc_id, pos FROM sp3 JOIN spdup USING (h)),
+        |spg AS (SELECT doc_id,
+        |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap FROM sphit),
+        |spc AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS BIGINT) AS covered
+        |  FROM spg GROUP BY doc_id),
+        |spcov AS (SELECT s1.doc_id, n_tokens, coalesce(covered, 0) AS covered
+        |  FROM sp1 s1 LEFT JOIN spc USING (doc_id)),
+        |spn AS (SELECT 'span' AS method,
+        |    CAST(sum(CASE WHEN covered / n_tokens > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+        |    CAST(sum(covered) AS BIGINT) AS units_removed,
+        |    'tokens' AS unit FROM spcov)
+        |SELECT * FROM exa UNION ALL SELECT * FROM til UNION ALL SELECT * FROM spn
+        |ORDER BY method""".stripMargin))
 }

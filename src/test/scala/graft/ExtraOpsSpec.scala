@@ -103,6 +103,30 @@ class ExtraOpsSpec extends SparkSuite {
     assert(z.exceptAll(z2).isEmpty && z2.exceptAll(z).isEmpty)
   }
 
+  test("weightedSample: deterministic, weight-biased, plans a top-k not a sort") {
+    val df = (1L to 300L).map(i => (i, if (i == 7L) 1e9 else 10.0))
+      .toDF("doc_id", "w")
+    val got = graft.ops.Sampling.weightedSample(df, "doc_id", "w", 20, "s")
+    // a weight 8 orders of magnitude above the field is all but certain
+    // to win one of 20 slots (P(miss) < 1e-7 per draw)
+    assert(got.where($"doc_id" === 7L).count() == 1)
+    val again = graft.ops.Sampling.weightedSample(
+      df.repartition(11), "doc_id", "w", 20, "s")
+    assert(got.select($"doc_id").exceptAll(again.select($"doc_id")).isEmpty,
+      "sample must not depend on partitioning")
+    // k >= n with positive weights returns everything; non-positive and
+    // NULL weights are excluded
+    val mixed = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0))
+      .toDF("doc_id", "w")
+      .unionByName(Seq((4L, Option.empty[Double])).toDF("doc_id", "w"))
+    val all = graft.ops.Sampling.weightedSample(mixed, "doc_id", "w", 10, "s")
+    assert(all.select($"doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // scale shape: global top-k must plan as TakeOrderedAndProject
+    val plan = graft.ops.Sampling.weightedSample(df, "doc_id", "w", 20, "s")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("corpusDiff: classifies added/removed/changed/unchanged") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val v2 = Seq((1L, "a"), (2L, "B!"), (4L, "d")).toDF("doc_id", "text")
