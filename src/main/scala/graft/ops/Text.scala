@@ -402,4 +402,37 @@ object Text {
       .select($"doc_id", $"fp")
       .distinct()
   }
+
+  /** Token-distribution drift between two corpus versions — per-token
+    * Population Stability Index contributions, the monitor a pipeline
+    * watches between releases to catch a scraper change or a filter
+    * regression before training does. PSIᵢ = (pᵢ − qᵢ)·ln(pᵢ/qᵢ), always
+    * ≥ 0, with add-one smoothing over the UNION vocabulary so a token
+    * absent from one side stays finite.
+    *
+    * Shape: each side collapses to its vocabulary-sized frequency frame
+    * (one explode + two-phase agg — the only shuffles, carrying token
+    * counts); the vocab-level outer join and the scalar totals broadcast.
+    * Decimal-rounded at 9dp ([[dsirWeights]]' discipline) so the doubles
+    * — and hence the drift ranking — are engine-exact. */
+  def tokenDrift(oldDf: org.apache.spark.sql.DataFrame,
+                 newDf: org.apache.spark.sql.DataFrame,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    def freq(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("c"))
+    val a = freq(oldDf).withColumnRenamed("c", "c_old")
+    val b = freq(newDf).withColumnRenamed("c", "c_new")
+    val j = a.join(b, Seq("token"), "full_outer")
+      .select($"token", coalesce($"c_old", lit(0L)).as("c_old"),
+        coalesce($"c_new", lit(0L)).as("c_new"))
+    val tot = j.agg(sum($"c_old").cast("double").as("n_old"),
+      sum($"c_new").cast("double").as("n_new"),
+      count(lit(1)).cast("double").as("v"))
+    val p = ($"c_old" + 1) / ($"n_old" + $"v")
+    val q = ($"c_new" + 1) / ($"n_new" + $"v")
+    j.join(broadcast(tot))
+      .select($"token", $"c_old", $"c_new",
+        round((p - q) * log(p / q), 9).cast("decimal(18,9)").as("psi"))
+  }
 }

@@ -106,16 +106,24 @@ object ExtraQueries {
     * surviving doc revised, every 17th re-added under a new id — and the
     * diff report aggregates per status. The versioning primitive an
     * iterating 100 TB curation pipeline runs between releases. */
+  /** The deterministic "next release" of the corpus shared by q106/q109:
+    * every 13th doc removed, every 7th survivor revised, every 17th
+    * re-added under a new id. */
+  private def v2Of(v1: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    v1.where(v1("doc_id") % 13 =!= 0)
+      .select(v1("doc_id"),
+        when(v1("doc_id") % 7 === 0, concat(v1("text"), lit(" rev2")))
+          .otherwise(v1("text")).as("text"))
+      .unionByName(v1.where(v1("doc_id") % 17 === 0)
+        .select((v1("doc_id") + 3000000L).as("doc_id"),
+          concat(v1("text"), lit(" new")).as("text")))
+  }
+
   private val q106: Q = (s, d) => {
     import s.implicits._
     val v1 = Tables.documents(s, d).select($"doc_id", $"text")
-    val v2 = v1.where($"doc_id" % 13 =!= 0)
-      .select($"doc_id",
-        when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
-          .otherwise($"text").as("text"))
-      .unionByName(v1.where($"doc_id" % 17 === 0)
-        .select(($"doc_id" + 3000000L).as("doc_id"),
-          concat($"text", lit(" new")).as("text")))
+    val v2 = v2Of(v1)
     graft.ops.Curate.corpusDiff(v1, v2, "doc_id", "text")
       .groupBy($"status")
       .agg(count(lit(1)).as("n_docs"), min($"id").as("min_id"),
@@ -172,7 +180,18 @@ object ExtraQueries {
     exact.unionByName(tile).unionByName(span).orderBy($"method")
   }
 
+  /** Token-distribution drift between releases ([[Text.tokenDrift]]):
+    * per-token PSI contributions v1 → v2, the between-release monitor.
+    * The planted " rev2"/" new" tokens surface as the top movers. */
+  private val q109: Q = (s, d) => {
+    import s.implicits._
+    val v1 = Tables.documents(s, d).select($"doc_id", $"text")
+    Text.tokenDrift(v1, v2Of(v1), "text")
+      .orderBy($"psi".desc, $"token")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q109_token_drift" -> q109,
     "q108_dedup_report" -> q108,
     "q101_countmin"    -> q101,
     "q102_soft_dedup"  -> q102,
@@ -303,5 +322,28 @@ object ExtraQueries {
         |    CAST(sum(covered) AS BIGINT) AS units_removed,
         |    'tokens' AS unit FROM spcov)
         |SELECT * FROM exa UNION ALL SELECT * FROM til UNION ALL SELECT * FROM spn
-        |ORDER BY method""".stripMargin))
+        |ORDER BY method""".stripMargin),
+    "q109_token_drift" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' new' FROM v1 WHERE doc_id % 17 = 0),
+        |fo AS (SELECT token, count(*) AS c_old FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS token FROM v1) GROUP BY token),
+        |fn AS (SELECT token, count(*) AS c_new FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS token FROM v2) GROUP BY token),
+        |jn AS (SELECT token, coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+        |  FROM fo FULL JOIN fn USING (token)),
+        |tot AS (SELECT CAST(sum(c_old) AS DOUBLE) AS n_old,
+        |    CAST(sum(c_new) AS DOUBLE) AS n_new,
+        |    CAST(count(*) AS DOUBLE) AS v FROM jn)
+        |SELECT token, c_old, c_new,
+        |  CAST(round(((c_old + 1) / (n_old + v) - (c_new + 1) / (n_new + v))
+        |    * ln(((c_old + 1) / (n_old + v)) / ((c_new + 1) / (n_new + v))), 9)
+        |    AS DECIMAL(18,9)) AS psi
+        |FROM jn, tot
+        |ORDER BY psi DESC, token""".stripMargin)
 }

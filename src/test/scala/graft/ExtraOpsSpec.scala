@@ -137,6 +137,25 @@ class ExtraOpsSpec extends SparkSuite {
       (3L, "removed"), (4L, "added")), got.toString)
   }
 
+  test("tokenDrift: zero on identical corpora, positive and ranked on drift") {
+    val v1 = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a a b f")).toDF("doc_id", "text")
+    val same = graft.ops.Text.tokenDrift(v1, v1, "text")
+    assert(same.where($"psi" =!= java.math.BigDecimal.ZERO).isEmpty,
+      "identical corpora must show zero PSI everywhere")
+    // v2 drops every 'a' and floods 'z': both ends must dominate the ranking
+    val v2 = Seq((1L, "z b c d"), (2L, "z b c e"), (3L, "z z b f")).toDF("doc_id", "text")
+    val drift = graft.ops.Text.tokenDrift(v1, v2, "text")
+    assert(drift.where($"psi" < java.math.BigDecimal.ZERO).isEmpty,
+      "PSI contributions are non-negative by construction")
+    val top2 = drift.orderBy($"psi".desc, $"token")
+      .limit(2).collect().map(_.getString(0)).toSet
+    assert(top2 == Set("a", "z"), top2.toString)
+    // partitioning invariance (decimal-rounded doubles)
+    val again = graft.ops.Text.tokenDrift(
+      v1.repartition(7), v2.repartition(5), "text")
+    assert(drift.exceptAll(again).isEmpty && again.exceptAll(drift).isEmpty)
+  }
+
   test("whitenDims: constant dimension yields NULL z, never Infinity") {
     val df = Seq((1L, Array(1.0, 5.0)), (2L, Array(2.0, 5.0)),
       (3L, Array(3.0, 5.0))).toDF("vec_id", "embedding")

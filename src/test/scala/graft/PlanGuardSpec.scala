@@ -32,7 +32,8 @@ class PlanGuardSpec extends SparkSuite {
     "q92_bigram_logprob",  // token frame × broadcast(1-row corpus total)
     "q95_temperature_mix", // taxonomy counts × broadcast(1-row totals)
     "q97_ppl_buckets",     // q92's scoring shape under the ntile
-    "q98_ppl_buckets_scaled") // scores × broadcast(1-row tercile bounds)
+    "q98_ppl_buckets_scaled", // scores × broadcast(1-row tercile bounds)
+    "q109_token_drift")    // vocab frame × broadcast(1-row totals)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
