@@ -190,7 +190,58 @@ object ExtraQueries {
       .orderBy($"psi".desc, $"token")
   }
 
+  /** Robust outlier detection: modified z-scores from per-group median +
+    * MAD (Iglewicz–Hoaglin's |0.6745·(x−med)/MAD| rule, expressed in the
+    * equivalent 1.4826·MAD normalization) — the outlier gate that, unlike
+    * q55's mean/σ z-score, a few extreme readings cannot drag. Two
+    * bounded aggregate passes (median, then MAD about it) re-attached by
+    * broadcast — the fact table never shuffles ([[graft.ops.Normalize]]'s
+    * rationale). Exact interpolated percentiles (q64's precedent) keep it
+    * oracle-checkable. */
+  private val q110: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"value")
+      .where($"value".isNotNull)
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val stats = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(min($"med").as("med"),
+        percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(
+        count(when(abs(($"value" - $"med") / (lit(1.4826) * $"mad")) > 3.5, 1))
+          .as("n_outliers"),
+        count($"value").as("n_values"),
+        round(min($"med"), 6).as("med"), round(min($"mad"), 6).as("mad"))
+      .orderBy($"event_type")
+  }
+
+  /** ANN recall report: IVF (q41's exact parameters) scored against the
+    * brute-force ground truth, per query — the eval a retrieval team runs
+    * before trusting an index. Golden-pinned (k-means has no SQL form);
+    * the IVF and brute-force results are themselves pinned by q41/q27. */
+  private val q111: Q = (s, d) => {
+    import s.implicits._
+    val e = Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+    val qs = e.where($"id" < 10)
+    val bf = Similarity.knnBruteForce(qs, e, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val ivf = Similarity.knnIvf(qs, e, k = 5, nCells = 16, nProbe = 4)
+      .select($"query_id", $"neighbor_id")
+    val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+    qs.select($"id".as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id",
+        (coalesce($"n_hit", lit(0L)) / 5.0).as("recall_at_5"))
+      .orderBy($"query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q110_mad_outliers" -> q110,
+    "q111_ann_recall"  -> q111,
     "q109_token_drift" -> q109,
     "q108_dedup_report" -> q108,
     "q101_countmin"    -> q101,
@@ -345,5 +396,19 @@ object ExtraQueries {
         |    * ln(((c_old + 1) / (n_old + v)) / ((c_new + 1) / (n_new + v))), 9)
         |    AS DECIMAL(18,9)) AS psi
         |FROM jn, tot
-        |ORDER BY psi DESC, token""".stripMargin)
+        |ORDER BY psi DESC, token""".stripMargin,
+    "q110_mad_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY event_type),
+        |s AS (SELECT e.event_type, min(med) AS med,
+        |    quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM e JOIN m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_type,
+        |  count(*) FILTER (WHERE abs((value - med) / (1.4826 * mad)) > 3.5)
+        |    AS n_outliers,
+        |  count(value) AS n_values,
+        |  round(min(med), 6) AS med, round(min(mad), 6) AS mad
+        |FROM e JOIN s USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin)
 }

@@ -33,7 +33,8 @@ class PlanGuardSpec extends SparkSuite {
     "q95_temperature_mix", // taxonomy counts × broadcast(1-row totals)
     "q97_ppl_buckets",     // q92's scoring shape under the ntile
     "q98_ppl_buckets_scaled", // scores × broadcast(1-row tercile bounds)
-    "q109_token_drift")    // vocab frame × broadcast(1-row totals)
+    "q109_token_drift",    // vocab frame × broadcast(1-row totals)
+    "q111_ann_recall")     // q27's brute-force ground truth inside the recall eval
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
