@@ -93,4 +93,46 @@ object FrequencyMonitor {
         .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
     }
   }
+
+  /** Sketch-based distribution drift per window: PSI of each window's
+    * cell distribution against the whole-horizon baseline, averaged over
+    * the `depth` hash rows. The point is the STATE BOUND: token-level
+    * drift ([[graft.ops.Text.tokenDrift]]) needs the vocabulary; this
+    * needs only the depth×width matrix the monitor already sinks, so it
+    * works over key domains (urls, ids) no vocabulary can hold — cell
+    * distributions are hash projections of the key distribution, so a
+    * key-mix shift moves them (by the same argument sketches estimate
+    * frequencies). Domain = the horizon's observed cells, add-one
+    * smoothed; a window matching the baseline mix scores ≈ 0, a shifted
+    * window scores high. Everything here is vocabulary-free aggregates
+    * over ≤ depth·width rows per window. */
+  def cellDrift(spark: SparkSession, sinkPath: String): DataFrame = {
+    val cells = spark.read.parquet(sinkPath)
+      .groupBy(col("window_start"), col("window_end"), col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val base = cells.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("base_cnt"))
+    val bTot = base.groupBy(col("r")).agg(sum(col("base_cnt")).as("b_tot"),
+      count(lit(1)).as("n_cells"))
+    val windows = cells.select(col("window_start"), col("window_end")).distinct()
+    // full (window × observed-cell) domain so absent cells still contribute
+    val domain = windows.crossJoin(broadcast(base))
+    val wTot = cells.groupBy(col("window_start"), col("window_end"), col("r"))
+      .agg(sum(col("cnt")).as("w_tot"))
+    val joined = domain
+      .join(cells, Seq("window_start", "window_end", "r", "bucket"), "left")
+      .join(broadcast(wTot), Seq("window_start", "window_end", "r"), "left")
+      .join(broadcast(bTot), Seq("r"))
+      .select(col("window_start"), col("window_end"), col("r"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("w_tot"), lit(0L)).as("w_tot"),
+        col("base_cnt"), col("b_tot"), col("n_cells"))
+    val p = (col("cnt") + 1) / (col("w_tot") + col("n_cells"))
+    val q = (col("base_cnt") + 1) / (col("b_tot") + col("n_cells"))
+    joined
+      .groupBy(col("window_start"), col("window_end"), col("r"))
+      .agg(sum((p - q) * log(p / q)).as("psi_r"))
+      .groupBy(col("window_start"), col("window_end"))
+      .agg(avg(col("psi_r")).as("psi"))
+  }
 }

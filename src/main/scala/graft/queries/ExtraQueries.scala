@@ -239,7 +239,28 @@ object ExtraQueries {
       .orderBy($"query_id")
   }
 
+  /** Shard manifest: the integrity datasheet an export publishes next to
+    * its shards — per shard, doc count, token volume, and an order-exact
+    * content checksum (md5 of the id sequence in shuffle position order).
+    * A re-run or a different engine must reproduce every checksum, which
+    * is exactly what the oracle asserts. One shard-partitioned sort (the
+    * q80 placement) + a per-shard fold. */
+  private val q112: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    graft.ops.Shard.shardAssign(docs, "doc_id", nShards = 8, seed = "man")
+      .withColumn("n_tok", Text.tokenCount($"text"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").cast("long").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"pos", $"doc_id"))),
+            x => x.getField("doc_id").cast("string")), ",")).as("checksum"))
+      .orderBy($"shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q112_shard_manifest" -> q112,
     "q110_mad_outliers" -> q110,
     "q111_ann_recall"  -> q111,
     "q109_token_drift" -> q109,
@@ -410,5 +431,18 @@ object ExtraQueries {
         |  count(value) AS n_values,
         |  round(min(med), 6) AS med, round(min(mad), 6) AS mad
         |FROM e JOIN s USING (event_type)
-        |GROUP BY e.event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
+    "q112_shard_manifest" ->
+      """WITH a AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat('man ',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tok, CAST(ord % 8 AS INTEGER) AS shard,
+        |    row_number() OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id) AS pos
+        |  FROM a)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin)
 }

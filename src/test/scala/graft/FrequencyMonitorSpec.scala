@@ -62,6 +62,35 @@ class FrequencyMonitorSpec extends SparkSuite {
     assert(rolled.exceptAll(wantAll).isEmpty && wantAll.exceptAll(rolled).isEmpty)
   }
 
+  test("cellDrift: stable windows score near zero, a shifted mix scores high") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = tmpDir("fm-drift-sink")
+    val cp = tmpDir("fm-drift-cp")
+    val cfg = FreqConfig(windowDur = "1 minute", watermark = "2 minutes",
+      keyCol = "event_type", depth = 3, width = 32)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    // windows 0 and 1 share the baseline mix; window 2 is a new key
+    // flooding in — the scraper-change shape
+    def mix(min: Int) = (1 to 20).map(i =>
+      (ts(min, i), if (i % 4 == 0) "click" else "view"))
+    val flood = (1 to 20).map(i => (ts(2, i), "weird_new_key"))
+    input.addData(mix(0) ++ mix(1) ++ flood :+ ((ts(6, 0), "view")): _*)
+    val q1 = FrequencyMonitor.start(spark, df, cfg, sink, cp)
+    try q1.awaitTermination() finally q1.stop()
+    input.addData((ts(12, 0), "view"))
+    val q2 = FrequencyMonitor.start(spark, df, cfg, sink, cp)
+    try q2.awaitTermination() finally q2.stop()
+
+    val drift = FrequencyMonitor.cellDrift(spark, sink)
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(2)).toMap
+    assert(drift.contains(ts(0, 0)) && drift.contains(ts(2, 0)), drift.toString)
+    // the flooded window must score well above both baseline windows
+    assert(drift(ts(2, 0)) > 2 * drift(ts(0, 0)) &&
+      drift(ts(2, 0)) > 2 * drift(ts(1, 0)),
+      s"drift scores: $drift")
+  }
+
   test("streaming state is the cell matrix, not per-key rows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
