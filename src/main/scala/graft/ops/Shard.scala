@@ -77,4 +77,33 @@ object Shard {
       .write.partitionBy("shard").mode("overwrite").parquet(path)
     path
   }
+
+  /** Integrity manifest of a placement: per shard, row count and the md5
+    * checksum of the key sequence in shuffle position order. A re-run,
+    * another engine, or a read-back of the written files must reproduce
+    * every checksum (ShardSpec proves the read-back; the q112 oracle
+    * proves DuckDB). Per-shard fold over the placement — the checksum
+    * concatenation is bounded by shard size, and shard count is chosen so
+    * shards are file-sized. */
+  def manifest(df: DataFrame, keyCol: String, nShards: Int,
+               seed: String): DataFrame =
+    shardAssign(df, keyCol, nShards, seed)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_rows"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"pos", col(keyCol)))),
+            x => x.getField(keyCol).cast("string")), ",")).as("checksum"))
+
+  /** [[writeShards]] plus a `_manifest` parquet next to the shard dirs
+    * (underscore-prefixed, so shard reads ignore it). The export and its
+    * integrity datasheet come from the same placement arithmetic — a
+    * consumer verifies a shard by folding the key column in stored order
+    * and comparing one hash. */
+  def writeShardsWithManifest(df: DataFrame, keyCol: String, nShards: Int,
+                              seed: String, path: String): String = {
+    writeShards(df, keyCol, nShards, seed, path)
+    manifest(df, keyCol, nShards, seed)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    path
+  }
 }

@@ -77,4 +77,28 @@ class ShardSpec extends SparkSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("manifest checksums verify against a read-back of the written shards") {
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val path = tmpDir("shards-manifest")
+    Shard.writeShardsWithManifest(docs, "doc_id", 4, "m", path)
+    // the _manifest dir is underscore-hidden: a plain shard read skips it
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count())
+    // fold each shard's read-back key sequence in STORED order (one file
+    // per shard; parquet preserves row order per file) and compare hashes
+    val folded = back
+      .withColumn("rid", monotonically_increasing_id())
+      .groupBy($"shard")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct($"rid", $"doc_id"))),
+          x => x.getField("doc_id").cast("string")), ",")).as("checksum"),
+        count($"doc_id").as("n_rows"))
+      .select($"shard".cast("int").as("shard"), $"n_rows", $"checksum")
+    val man = spark.read.parquet(s"$path/_manifest")
+      .select($"shard", $"n_rows", $"checksum")
+    assert(folded.exceptAll(man).isEmpty && man.exceptAll(folded).isEmpty,
+      s"read-back fold != manifest:\n${folded.collect().mkString("\n")}" +
+        s"\nvs\n${man.collect().mkString("\n")}")
+  }
 }
