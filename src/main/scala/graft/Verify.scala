@@ -15,7 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (comma-separated name prefixes); the driver
+    // never sets it, so the default remains the full surface
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None     => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // scoped: operator-staged frames (posting lists, signature sets)
       // release after each query's write, so the dump holds no net cache
       try graft.ops.Staged.scoped {

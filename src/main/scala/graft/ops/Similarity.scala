@@ -620,4 +620,43 @@ object Similarity {
       .join(broadcast(stats), Seq("dim"))
       .select($"id", $"dim", (($"v" - $"mean") / $"std").as("z"))
   }
+
+  /** Symmetric per-dimension int8 scalar quantization REPORT — the
+    * storage-planning pass an embedding store runs before committing to
+    * int8 codes (4× smaller than float32, the standard serving format):
+    * per dimension, the scale (max |v| / 127) and the reconstruction
+    * error the corpus would actually incur at that scale.
+    *
+    * code(v)  = floor(v/scale + 0.5)  — explicit floor, not `round`,
+    *            because banker's-vs-half-up rounding differs between
+    *            engines while floor is bit-identical everywhere. The
+    *            symmetric scale bounds v/scale to [−127, 127], so
+    *            floor(·+0.5) never leaves int8 range (127.5 floors to
+    *            127) and no clamp is needed. A constant-zero dimension
+    *            (scale 0) codes to 0 with zero error.
+    * err(v)   = |code·scale − v|
+    *
+    * Shape: one posexplode; the per-dim max|v| aggregate is dim-sized
+    * and broadcasts back onto the exploded frame; the error rollup is a
+    * second two-phase aggregate on the same dim key. Max error is an
+    * exact double (max is reduction-order-free); the mean rides the 9 dp
+    * decimal discipline. The embedding table never shuffles — only
+    * dim-keyed partial aggregates do. */
+  def int8QuantReport(df: DataFrame, embCol: String): DataFrame = {
+    val e = df.select(posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "v")))
+    val scales = e.groupBy($"dim")
+      .agg((max(abs($"v")) / 127.0).as("scale"))
+    val coded = e.join(broadcast(scales), Seq("dim"))
+      .withColumn("code",
+        when($"scale" === 0.0, lit(0.0))
+          .otherwise(floor($"v" / $"scale" + 0.5)))
+      .withColumn("err", abs($"code" * $"scale" - $"v"))
+    coded.groupBy($"dim")
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(max($"scale"), 9).cast("decimal(18,9)").as("scale"),
+        round(max($"err"), 9).cast("decimal(18,9)").as("max_abs_err"),
+        round(sum(round($"err", 9).cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 9).cast("decimal(18,9)").as("mean_abs_err"))
+      .orderBy($"dim")
+  }
 }

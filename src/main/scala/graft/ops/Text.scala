@@ -435,4 +435,45 @@ object Text {
       .select($"token", $"c_old", $"c_new",
         round((p - q) * log(p / q), 9).cast("decimal(18,9)").as("psi"))
   }
+
+  /** Pointwise-mutual-information collocations — the corpus-statistics
+    * pass a tokenizer or phrase-mining stage runs before training:
+    * adjacent token pairs scored by PMI = ln( p(ab) / (p(a)·p(b)) ) with
+    * a minimum pair-count floor (PMI is noise below it: a pair seen once
+    * between two rare tokens maxes the score).
+    *
+    * Shape: the 2-shingle explode feeds the pair counts and the token
+    * explode the unigram counts (two shuffles, both vocabulary-bounded
+    * after partial aggregation); unigram probabilities join back onto
+    * the PAIR frame (vocab-sized, never the token stream) and the top-k
+    * plans as TakeOrderedAndProject — no global sort materializes.
+    * PMI is decimal-rounded at 9 dp ([[tokenDrift]]'s discipline). */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      minCount: Long, topK: Int): org.apache.spark.sql.DataFrame = {
+    val uni = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n_u"))
+    val pairCounts = df.select(explode(shingles(col(textCol), 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("n_pair"))
+    // the pair total is over ALL pairs — the floor prunes which pairs are
+    // REPORTED, not the probability space they are scored in. Computed
+    // map-side from shingle-array sizes: no second explode+agg pass.
+    val nPairTotal = df.agg(
+      sum(size(shingles(col(textCol), 2))).cast("double").as("__n_pair"))
+    val pairs = pairCounts
+      .where($"n_pair" >= minCount)
+      .select(substring_index($"bg", " ", 1).as("w1"),
+        substring_index($"bg", " ", -1).as("w2"), $"n_pair")
+    val totals = uni.agg(sum($"n_u").cast("double").as("__n_tok"))
+    pairs
+      .join(uni.select($"tok".as("w1"), $"n_u".as("n_w1")), Seq("w1"))
+      .join(uni.select($"tok".as("w2"), $"n_u".as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nPairTotal))
+      .select($"w1", $"w2", $"n_pair", $"n_w1", $"n_w2",
+        round(log(($"n_pair" / $"__n_pair") /
+          (($"n_w1" / $"__n_tok") * ($"n_w2" / $"__n_tok"))), 9)
+          .cast("decimal(18,9)").as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(topK)
+  }
 }

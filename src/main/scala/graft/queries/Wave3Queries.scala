@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Funnel, Incremental, Similarity, Text}
+
+/** Round-8 third-wave queries: event-sequence analytics (funnel, cohort
+  * retention), PMI collocations, int8 quantization planning, and
+  * incremental delta-vs-base dedup. All five are DuckDB-oracle-checked —
+  * the md5/decimal/floor discipline keeps every expression engine-exact. */
+object Wave3Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Ordered funnel over the event stream ([[Funnel.funnel]]):
+    * view → click → purchase, strictly increasing timestamps per user.
+    * One shuffle on user regardless of funnel depth. */
+  private val q113: Q = (s, d) =>
+    Funnel.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  /** Weekly cohort retention ([[Funnel.cohortRetention]]): users cohorted
+    * by first-event week; per (cohort, offset) distinct-active counts and
+    * rates. Per-user state bounded by the calendar horizon. */
+  private val q114: Q = (s, d) =>
+    Funnel.cohortRetention(Tables.events(s, d), "user_id", "ts")
+
+  /** PMI collocations ([[Text.pmiCollocations]]): adjacent-pair PMI with
+    * a count floor of 5, top 25. The top-k plans as
+    * TakeOrderedAndProject over the vocab-sized pair frame. */
+  private val q115: Q = (s, d) =>
+    Text.pmiCollocations(Tables.documents(s, d), "text",
+      minCount = 5L, topK = 25)
+
+  /** Int8 quantization report ([[Similarity.int8QuantReport]]): per-dim
+    * scale and reconstruction error for the embedding corpus. */
+  private val q116: Q = (s, d) =>
+    Similarity.int8QuantReport(Tables.embeddings(s, d), "embedding")
+
+  /** Incremental delta-vs-base dedup ([[Incremental.deltaDedupStatus]]).
+    * The delta drop is constructed deterministically from the corpus so
+    * all three statuses occur (q94's planted-fixture precedent, replayed
+    * identically by the oracle): every 5th doc arrives as an exact
+    * mirror copy, every 7th with a 4-token tail edit (tile containment
+    * stays high → near_dup for docs past one tile), every 11th with its
+    * token order reversed (tiles all new → new). md5 tile keys on the
+    * oracle surface; production uses the xxhash64 default. */
+  private val q117: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select($"doc_id", $"text")
+    val delta = base.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+      .unionByName(base.where($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          concat($"text", lit(" appended drift tokens here")).as("text")))
+      .unionByName(base.where($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 4000000L).as("doc_id"),
+          array_join(reverse(split($"text", " ")), " ").as("text")))
+    Incremental.deltaDedupStatus(base, delta, "doc_id", "text",
+        k = 8, nearFrac = 0.5, tileKey = md5(_))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q113_funnel" -> q113,
+    "q114_retention" -> q114,
+    "q115_pmi_collocations" -> q115,
+    "q116_embed_quantize" -> q116,
+    "q117_delta_dedup" -> q117)
+
+  val oracle: Map[String, String] = Map(
+    "q113_funnel" ->
+      """WITH u0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |u1 AS (SELECT e.user_id, min(ts) AS t1 FROM events e
+        |    JOIN u0 USING (user_id)
+        |    WHERE event_type = 'click' AND ts > t0 GROUP BY e.user_id),
+        |u2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |    JOIN u1 USING (user_id)
+        |    WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id),
+        |n AS (SELECT (SELECT count(*) FROM u0) AS n0,
+        |    (SELECT count(*) FROM u1) AS n1,
+        |    (SELECT count(*) FROM u2) AS n2)
+        |SELECT 1 AS step, 'view' AS step_name, n0 AS n_users,
+        |  CAST(round(1.0, 9) AS DECIMAL(18,9)) AS conv_rate FROM n
+        |UNION ALL SELECT 2, 'click', n1,
+        |  CAST(round(CAST(n1 AS DOUBLE) / n0, 9) AS DECIMAL(18,9)) FROM n
+        |UNION ALL SELECT 3, 'purchase', n2,
+        |  CAST(round(CAST(n2 AS DOUBLE) / n1, 9) AS DECIMAL(18,9)) FROM n
+        |ORDER BY step""".stripMargin,
+    "q114_retention" ->
+      """WITH pu AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |    FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |    FROM events),
+        |j AS (SELECT p.cohort_week,
+        |    CAST(floor((epoch(a.week) - epoch(p.cohort_week)) / (7*24*3600))
+        |      AS INTEGER) AS week_offset, a.user_id
+        |  FROM act a JOIN pu p USING (user_id)),
+        |agg AS (SELECT cohort_week, week_offset,
+        |    count(DISTINCT user_id) AS n_active FROM j GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, count(*) AS n_cohort FROM pu GROUP BY 1)
+        |SELECT cohort_week, week_offset, n_active, n_cohort,
+        |  CAST(round(CAST(n_active AS DOUBLE) / n_cohort, 9)
+        |    AS DECIMAL(18,9)) AS retention
+        |FROM agg JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q115_pmi_collocations" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |uni AS (SELECT tok, count(*) AS n_u FROM tok GROUP BY tok),
+        |doc AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |np AS (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS DOUBLE) AS n_pair_total FROM doc),
+        |pairs AS (SELECT w[CAST(i AS INTEGER)] AS w1,
+        |    w[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM doc, unnest(range(1, len(w))) AS t(i)),
+        |pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tot AS (SELECT CAST(sum(n_u) AS DOUBLE) AS n_tok FROM uni)
+        |SELECT w1, w2, n_pair, u1.n_u AS n_w1, u2.n_u AS n_w2,
+        |  CAST(round(ln((n_pair / n_pair_total) /
+        |    ((u1.n_u / n_tok) * (u2.n_u / n_tok))), 9)
+        |    AS DECIMAL(18,9)) AS pmi
+        |FROM pc JOIN uni u1 ON u1.tok = pc.w1
+        |JOIN uni u2 ON u2.tok = pc.w2, tot, np
+        |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin,
+    "q116_embed_quantize" ->
+      """WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+        |      AS INTEGER) AS dim
+        |  FROM embeddings),
+        |sc AS (SELECT dim, max(abs(v)) / 127.0 AS scale FROM e GROUP BY dim),
+        |c AS (SELECT e.dim, v, scale,
+        |    CASE WHEN scale = 0 THEN 0.0
+        |      ELSE floor(v / scale + 0.5) END AS code
+        |  FROM e JOIN sc USING (dim)),
+        |er AS (SELECT dim, scale, abs(code * scale - v) AS err FROM c)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(max(scale), 9) AS DECIMAL(18,9)) AS scale,
+        |  CAST(round(max(err), 9) AS DECIMAL(18,9)) AS max_abs_err,
+        |  CAST(round(CAST(sum(CAST(round(err, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |    / count(*), 9) AS DECIMAL(18,9)) AS mean_abs_err
+        |FROM er GROUP BY dim ORDER BY dim""".stripMargin,
+    "q117_delta_dedup" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |    WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 3000000,
+        |    text || ' appended drift tokens here' FROM documents
+        |    WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 4000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |    FROM documents WHERE doc_id % 11 = 0),
+        |bfp AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+        |bt0 AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bt1 AS (SELECT w, CAST(unnest(range(CAST(ceil(len(w) / 8.0) AS INTEGER)))
+        |    AS INTEGER) AS pos FROM bt0),
+        |btk AS (SELECT DISTINCT
+        |    md5(array_to_string(list_slice(w, pos*8 + 1, pos*8 + 8), ' ')) AS h
+        |  FROM bt1),
+        |dt0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta),
+        |dt1 AS (SELECT doc_id, w,
+        |    CAST(unnest(range(CAST(ceil(len(w) / 8.0) AS INTEGER)))
+        |      AS INTEGER) AS pos FROM dt0),
+        |dtk AS (SELECT doc_id,
+        |    md5(array_to_string(list_slice(w, pos*8 + 1, pos*8 + 8), ' ')) AS h
+        |  FROM dt1),
+        |cov AS (SELECT doc_id, count(*) AS n_tiles,
+        |    sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+        |  FROM dtk d LEFT JOIN btk b ON d.h = b.h GROUP BY doc_id),
+        |ex AS (SELECT d.doc_id,
+        |    CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END AS is_exact
+        |  FROM (SELECT doc_id, md5(text) AS fp FROM delta) d
+        |  LEFT JOIN bfp b USING (fp))
+        |SELECT e.doc_id,
+        |  CAST(coalesce(n_tiles, 0) AS BIGINT) AS n_tiles,
+        |  CAST(coalesce(n_in, 0) AS BIGINT) AS n_tiles_in_base,
+        |  CAST(round(coalesce(n_in, 0) /
+        |    CAST(greatest(coalesce(n_tiles, 0), 1) AS DOUBLE), 9)
+        |    AS DECIMAL(18,9)) AS tile_frac,
+        |  CASE WHEN is_exact = 1 THEN 'exact_dup'
+        |    WHEN coalesce(n_in, 0) /
+        |      CAST(greatest(coalesce(n_tiles, 0), 1) AS DOUBLE) >= 0.5
+        |      THEN 'near_dup'
+        |    ELSE 'new' END AS status
+        |FROM ex e LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Funnel, Incremental, Similarity, Text}
+
+/** Third-wave operators: funnel (strictly-after chaining), cohort
+  * retention (horizon-bounded state), PMI collocations (floor + total
+  * semantics), int8 quantization (exactness + range), and incremental
+  * delta dedup (status taxonomy + hash-route equality). */
+class Wave3Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel: steps chain on strictly increasing timestamps per user") {
+    // u1 completes all 3 in order; u2 stops after click; u3's purchase
+    // PRECEDES its click so step 3 must not count it; u4 starts at click
+    // (no view) so it never enters the funnel.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      (2L, ts("2024-01-01 11:05:00"), "click"),
+      (3L, ts("2024-01-01 12:00:00"), "view"),
+      (3L, ts("2024-01-01 12:01:00"), "purchase"),
+      (3L, ts("2024-01-01 12:02:00"), "click"),
+      (4L, ts("2024-01-01 13:00:00"), "click"),
+      (4L, ts("2024-01-01 13:01:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select($"step", $"n_users").as[(Int, Long)].collect().toSeq.sorted
+    assert(got == Seq((1, 3L), (2, 3L), (3, 1L)), got.mkString(","))
+  }
+
+  test("funnel: same-timestamp events do NOT satisfy strictly-after") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .select($"step", $"n_users").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 1L, 2 -> 0L), got.toString)
+  }
+
+  test("cohortRetention: offsets and rates from first-event weeks") {
+    // Weeks (Mondays): 2024-01-01, 2024-01-08, 2024-01-15.
+    // u1 cohort w0, active w0+w2; u2 cohort w0, active w0 only;
+    // u3 cohort w1, active w1+w2.
+    val events = Seq(
+      (1L, ts("2024-01-02 09:00:00")), (1L, ts("2024-01-16 09:00:00")),
+      (2L, ts("2024-01-03 09:00:00")),
+      (3L, ts("2024-01-09 09:00:00")), (3L, ts("2024-01-17 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Funnel.cohortRetention(events, "user_id", "ts")
+      .select(date_format($"cohort_week", "yyyy-MM-dd").as("cw"),
+        $"week_offset", $"n_active", $"n_cohort")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L, 2L), ("2024-01-01", 2, 1L, 2L),
+      ("2024-01-08", 0, 1L, 1L), ("2024-01-08", 1, 1L, 1L)), got.toString)
+  }
+
+  test("cohortRetention: per-user state is weeks, not events") {
+    // 500 events in one week for one user collapse to a single active week
+    val burst = (1 to 500).map(i =>
+      (9L, ts(f"2024-01-01 10:${i % 60}%02d:${i % 60}%02d")))
+    val got = Funnel.cohortRetention(burst.toDF("user_id", "ts"),
+      "user_id", "ts").collect()
+    assert(got.length == 1 && got.head.getAs[Long]("n_active") == 1L)
+  }
+
+  test("pmiCollocations: floor prunes reporting but not the pair space") {
+    // "a b" ×4 (below floor 5), "c d" ×5: with the floor at 5 only (c,d)
+    // reports, and its PMI uses the FULL pair total (9), not 5.
+    val docs = (Seq.fill(4)("a b") ++ Seq.fill(5)("c d"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = Text.pmiCollocations(docs, "text", minCount = 5L, topK = 10)
+      .select($"w1", $"w2", $"n_pair", $"pmi".cast("double"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(("c", "d", 5L)))
+    // pmi = ln((5/9) / ((5/18)*(5/18))) computed with the same tree
+    val expected = BigDecimal(math.log((5.0 / 9.0) / ((5.0 / 18.0) * (5.0 / 18.0))))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.head._4 - expected) < 1e-12, s"${got.head._4} vs $expected")
+  }
+
+  test("int8QuantReport: codes stay in range, constant-zero dim is exact") {
+    val vecs = Seq(
+      (1L, Array(127.0f, 0.0f, 0.30f)),
+      (2L, Array(-127.0f, 0.0f, -0.27f)),
+      (3L, Array(63.0f, 0.0f, 0.11f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.int8QuantReport(vecs, "embedding")
+      .select($"dim", $"scale".cast("double"), $"max_abs_err".cast("double"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    // dim 0: scale 1.0, integral values quantize exactly
+    assert(got(0) == ((0, 1.0, 0.0)), got(0).toString)
+    // dim 1: constant zero — scale 0, zero error by the scale-0 rule
+    assert(got(1) == ((1, 0.0, 0.0)), got(1).toString)
+    // dim 2: error bounded by scale/2 (+ float→double noise margin)
+    assert(got(2)._3 <= got(2)._2 / 2 + 1e-9, got(2).toString)
+  }
+
+  test("deltaDedupStatus: taxonomy on a constructed drop") {
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val w = (0 until 32).map(i => f"tok$i%02d") // 4 full tiles of 8
+    val base = Seq(mk(1L, w), mk(2L, w.reverse)).toDF("doc_id", "text")
+    val delta = Seq(
+      mk(10L, w),                                   // exact copy
+      mk(11L, w.take(24) ++ Seq("x1", "x2", "x3")), // 3/4 aligned tiles kept
+      mk(12L, w.map(t => t + "z"))                  // every tile novel
+    ).toDF("doc_id", "text")
+    val got = Incremental.deltaDedupStatus(base, delta, "doc_id", "text",
+        k = 8, nearFrac = 0.5)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "new"),
+      got.toString)
+  }
+
+  test("deltaDedupStatus: xxhash64 and md5 tile routes agree") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val delta = base.where($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 9000L).as("doc_id"),
+        concat($"text", lit(" tail")).as("text"))
+    def run(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Incremental.deltaDedupStatus(base, delta, "doc_id", "text",
+          k = 8, nearFrac = 0.5, tileKey = key)
+        .select($"doc_id", $"n_tiles", $"n_tiles_in_base", $"status")
+        .as[(Long, Long, Long, String)].collect().toSet
+    assert(run(xxhash64(_)) == run(md5(_)))
+  }
+}
