@@ -157,4 +157,64 @@ object Curate {
           .when($"old_fp" === $"new_fp", "unchanged")
           .otherwise("changed"))
   }
+
+  /** k-anonymity suppression for published statistics: group rollups
+    * whose population is below `k` are not dropped (dropping still leaks
+    * "this group exists and is small") but folded into ONE `__suppressed__`
+    * row per grouping, so every published row describes ≥ k individuals
+    * and the suppressed mass is still accounted for. The standard
+    * small-cell rule of statistical disclosure control.
+    *
+    * `aggs` are the published measures (must be summable — the suppressed
+    * row re-aggregates them with `sum`). Two narrow aggregations: the
+    * grouped rollup, then a re-group over the ≤|groups| rollup frame —
+    * the fact table shuffles once. */
+  def kAnonSuppress(df: DataFrame, keyCols: Seq[String], k: Long,
+                    aggs: Seq[Column]): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val rolled = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val measureCols = rolled.columns.filterNot(keyCols.contains)
+    val masked = keyCols.map(c =>
+      when($"n_rows" >= k, col(c)).otherwise(lit("__suppressed__")).as(c))
+    rolled.select(masked ++ measureCols.map(col): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum($"n_rows").cast("long").as("n_rows"),
+        measureCols.filterNot(_ == "n_rows")
+          .map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Differentially-private counts with DETERMINISTIC seeded Laplace
+    * noise — ε-DP release of per-key counts where the noise draw is a
+    * pure function of (seed, key), so a re-run — or the DuckDB oracle —
+    * reproduces the release bit-for-bit (the "seeded DP" pattern used
+    * when releases must be auditable; a production release would rotate
+    * the seed per release and keep it secret).
+    *
+    * Laplace(b = 1/ε) via inverse CDF of the md5-uniform draw:
+    *   u = (h + 0.5) / 2^60  ∈ (0,1) strictly  (h = 60-bit md5 prefix)
+    *   v = u − 0.5           ∈ (−0.5, 0.5) strictly — the ±0.5 endpoints
+    *                         (where ln(0) diverges) are unreachable
+    *   noise = −b · sign(v) · ln(1 − 2|v|)
+    * Count sensitivity is 1, so b = 1/ε gives ε-DP per key. One grouped
+    * count (the only shuffle), noise applied map-side on the key-sized
+    * rollup. */
+  def dpNoisyCounts(df: DataFrame, keyCol: String, epsilon: Double,
+                    seed: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0: $epsilon")
+    val b = 1.0 / epsilon
+    val h = conv(substring(md5(concat_ws(" ", lit(seed),
+      col(keyCol).cast("string"))), 1, 15), 16, 10).cast("double")
+    val u = (h + 0.5) / lit(1152921504606846976.0) // 2^60, q107's divisor
+    val v = u - 0.5
+    // explicit CASE, not signum(): DuckDB's sign() returns an integer
+    // type while Spark's signum returns double — a CASE with double
+    // literals is the identical expression tree in both engines
+    val sgn = when(v >= 0.0, lit(1.0)).otherwise(lit(-1.0))
+    val noise = -lit(b) * sgn * log(lit(1.0) - lit(2.0) * abs(v))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("true_count"))
+      .withColumn("noisy_count",
+        round(($"true_count" + noise), 6))
+  }
 }

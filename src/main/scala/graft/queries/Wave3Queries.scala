@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Funnel, Incremental, Similarity, Text}
+import graft.ops.{Curate, Funnel, Incremental, Similarity, Text}
 
 /** Round-8 third-wave queries: event-sequence analytics (funnel, cohort
   * retention), PMI collocations, int8 quantization planning, and
@@ -61,7 +61,62 @@ object Wave3Queries {
       .orderBy($"doc_id")
   }
 
+  /** k-anonymity suppression ([[Curate.kAnonSuppress]]): per-(lang,
+    * source) doc/token rollup with sub-k cells folded into one
+    * `__suppressed__` row. k=5 exercises both branches at sf0.01. */
+  private val q118: Q = (s, d) => {
+    import s.implicits._
+    Curate.kAnonSuppress(
+        Tables.documents(s, d)
+          .withColumn("n_tok", Text.tokenCount($"text").cast("long")),
+        Seq("lang", "source"), k = 5L,
+        Seq(sum($"n_tok").cast("long").as("n_tokens")))
+      .orderBy($"lang", $"source")
+  }
+
+  /** ε-DP noisy counts ([[Curate.dpNoisyCounts]]), deterministic seeded
+    * Laplace. The true count rides along as the verification surface —
+    * a real release would publish only the noisy column. */
+  private val q119: Q = (s, d) => {
+    import s.implicits._
+    Curate.dpNoisyCounts(Tables.events(s, d), "event_type",
+        epsilon = 1.0, seed = "dp8")
+      .orderBy($"event_type")
+  }
+
+  /** Quality-score calibration table: per-source deciles of the q22
+    * quality score against the global deciles, with the per-decile shift
+    * — the diagnostic a mixing stage reads before reweighting sources
+    * whose score distributions are skewed relative to the corpus.
+    * Exact `percentile` per source (groups = sources, bounded); the
+    * histogram-quantile route ([[graft.ops.Sketches.histQuantiles]],
+    * q98's precedent) is the 100 TB path when per-source sorts bite. */
+  private val q120: Q = (s, d) => {
+    import s.implicits._
+    val wc = Text.tokenCount($"text")
+    val awl = Text.sumTokenLen($"text") / wc
+    val stopRatio = Text.stopwordCount($"text") / wc
+    val scored = Tables.documents(s, d).select($"source",
+      Text.qualityScore(wc, stopRatio, awl).as("q"))
+    val ps = (0 to 10).map(_ / 10.0)
+    val srcQ = scored.groupBy($"source")
+      .agg(percentile($"q", typedLit(ps)).as("qs"))
+      .select($"source", posexplode($"qs").as(Seq("decile", "src_val")))
+    val glbQ = scored
+      .agg(percentile($"q", typedLit(ps)).as("qs"))
+      .select(posexplode($"qs").as(Seq("decile", "global_val")))
+    srcQ.join(broadcast(glbQ), Seq("decile"))
+      .select($"source", $"decile",
+        round($"src_val", 6).as("src_val"),
+        round($"global_val", 6).as("global_val"),
+        round($"src_val" - $"global_val", 6).as("shift"))
+      .orderBy($"source", $"decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q118_kanon" -> q118,
+    "q119_dp_counts" -> q119,
+    "q120_score_calibration" -> q120,
     "q113_funnel" -> q113,
     "q114_retention" -> q114,
     "q115_pmi_collocations" -> q115,
@@ -69,6 +124,55 @@ object Wave3Queries {
     "q117_delta_dedup" -> q117)
 
   val oracle: Map[String, String] = Map(
+    "q118_kanon" ->
+      """WITH r AS (SELECT lang, source, count(*) AS n_rows,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT
+        |    CASE WHEN n_rows >= 5 THEN lang ELSE '__suppressed__' END AS lang,
+        |    CASE WHEN n_rows >= 5 THEN source ELSE '__suppressed__' END AS source,
+        |    n_rows, n_tokens FROM r)
+        |SELECT lang, source, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM m GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "q119_dp_counts" ->
+      """WITH c AS (SELECT event_type, count(*) AS true_count
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT event_type, true_count,
+        |    (CAST('0x' || substr(md5('dp8' || ' ' || event_type), 1, 15)
+        |      AS BIGINT) + 0.5) / 1152921504606846976.0 - 0.5 AS v
+        |  FROM c)
+        |SELECT event_type, true_count,
+        |  round(true_count + (-(1.0)
+        |    * (CASE WHEN v >= 0.0 THEN 1.0 ELSE -1.0 END)
+        |    * ln(1.0 - 2.0 * abs(v))), 6) AS noisy_count
+        |FROM n ORDER BY event_type""".stripMargin,
+    "q120_score_calibration" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS word_count,
+        |    list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+        |      AS INTEGER) AS n_stop
+        |  FROM documents),
+        |sc AS (SELECT source,
+        |    least(1.0, word_count / 100.0) * 0.4
+        |      + (1.0 - n_stop / word_count) * 0.3
+        |      + least(1.0, (sum_len / word_count) / 8.0) * 0.3 AS q
+        |  FROM t),
+        |s AS (SELECT source, quantile_cont(q,
+        |    [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qs
+        |  FROM sc GROUP BY source),
+        |g AS (SELECT quantile_cont(q,
+        |    [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qs FROM sc),
+        |se AS (SELECT source, CAST(generate_subscripts(qs, 1) - 1 AS INTEGER)
+        |    AS decile, unnest(qs) AS src_val FROM s),
+        |ge AS (SELECT CAST(generate_subscripts(qs, 1) - 1 AS INTEGER)
+        |    AS decile, unnest(qs) AS global_val FROM g)
+        |SELECT source, decile, round(src_val, 6) AS src_val,
+        |  round(global_val, 6) AS global_val,
+        |  round(src_val - global_val, 6) AS shift
+        |FROM se JOIN ge USING (decile) ORDER BY source, decile""".stripMargin,
     "q113_funnel" ->
       """WITH u0 AS (SELECT user_id, min(ts) AS t0 FROM events
         |    WHERE event_type = 'view' GROUP BY user_id),

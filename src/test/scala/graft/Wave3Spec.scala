@@ -122,6 +122,45 @@ class Wave3Spec extends SparkSuite {
       got.toString)
   }
 
+  test("kAnonSuppress: sub-k cells fold into one accounted row") {
+    val rows = Seq(
+      ("en", "s1"), ("en", "s1"), ("en", "s1"), // >= k
+      ("de", "s2"), ("de", "s2"),               // below k
+      ("fr", "s3")                              // below k
+    ).map { case (l, s) => (l, s, 10L) }.toDF("lang", "source", "m")
+    val got = graft.ops.Curate.kAnonSuppress(rows, Seq("lang", "source"),
+        k = 3L, Seq(sum($"m").as("m_sum")))
+      .select($"lang", $"source", $"n_rows", $"m_sum")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("en", "s1", 3L, 30L),
+      ("__suppressed__", "__suppressed__", 3L, 30L)), got.toString)
+    // every published row describes >= k rows or is the suppressed bucket
+    assert(got.forall { case (l, _, n, _) => n >= 3 || l == "__suppressed__" })
+  }
+
+  test("dpNoisyCounts: deterministic, finite, and key-dependent") {
+    val df = (1 to 100).map(i => s"k${i % 7}").toDF("k")
+    def run() = graft.ops.Curate.dpNoisyCounts(df, "k", epsilon = 1.0,
+        seed = "s").select($"k", $"true_count", $"noisy_count".cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val a = run()
+    assert(a == run(), "same seed must reproduce the release")
+    assert(a.forall(r => !r._3.isNaN && !r._3.isInfinite))
+    // noise is bounded in probability but never exactly zero here, and
+    // a different seed gives a different draw
+    val b = graft.ops.Curate.dpNoisyCounts(df, "k", epsilon = 1.0,
+        seed = "other").select($"noisy_count".cast("double"))
+      .as[Double].collect().sorted.toSeq
+    assert(a.map(_._3).sorted != b, "seed must perturb the draw")
+    // epsilon scales the noise magnitude: tighter epsilon -> larger |noise|
+    val tight = graft.ops.Curate.dpNoisyCounts(df, "k", epsilon = 0.1,
+        seed = "s").select($"true_count", $"noisy_count".cast("double"))
+      .as[(Long, Double)].collect()
+    val loose = a.map(r => math.abs(r._3 - r._2)).sum
+    assert(tight.map(r => math.abs(r._2 - r._1)).sum > loose * 5.0)
+  }
+
   test("deltaDedupStatus: xxhash64 and md5 tile routes agree") {
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
