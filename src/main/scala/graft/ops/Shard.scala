@@ -106,4 +106,22 @@ object Shard {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
     path
   }
+
+  /** Incremental placement: append a delta batch to an EXISTING export
+    * without touching the already-written shards. Shard membership uses
+    * the same `key mod nShards` rule (a doc lands where a full re-export
+    * would put it), and positions continue after the base counts — so an
+    * appended shard file concatenates cleanly behind the existing one and
+    * the manifest extends additively. `baseCounts` is (shard, n_rows) —
+    * typically read straight from the existing `_manifest`, a
+    * shard-count-sized frame that broadcasts. The delta pays one
+    * shard-partitioned sort; the base corpus is NOT rescanned — the whole
+    * point at 100 TB, where re-exporting for a 0.1% drop is absurd. */
+  def appendAssign(baseCounts: DataFrame, delta: DataFrame, keyCol: String,
+                   nShards: Int, seed: String): DataFrame =
+    shardAssign(delta, keyCol, nShards, seed)
+      .join(broadcast(baseCounts.select($"shard",
+        $"n_rows".cast("long").as("__base_n"))), Seq("shard"), "left")
+      .withColumn("pos", $"pos" + coalesce($"__base_n", lit(0L)))
+      .drop("__base_n")
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Curate, Funnel, Incremental, Similarity, Text}
+import graft.ops.{Curate, Dedup, Funnel, Incremental, Similarity, Text}
 
 /** Round-8 third-wave queries: event-sequence analytics (funnel, cohort
   * retention), PMI collocations, int8 quantization planning, and
@@ -45,10 +45,13 @@ object Wave3Queries {
     * stays high → near_dup for docs past one tile), every 11th with its
     * token order reversed (tiles all new → new). md5 tile keys on the
     * oracle surface; production uses the xxhash64 default. */
-  private val q117: Q = (s, d) => {
+  /** The deterministic delta drop q117/q122 classify: exact mirrors,
+    * tail-edited near-copies, token-reversed novel docs (both engines
+    * construct the identical frame). */
+  private def deltaDrop(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, d).select($"doc_id", $"text")
-    val delta = base.where($"doc_id" % 5 === 0)
+    base.where($"doc_id" % 5 === 0)
       .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
       .unionByName(base.where($"doc_id" % 7 === 0)
         .select(($"doc_id" + 3000000L).as("doc_id"),
@@ -56,9 +59,45 @@ object Wave3Queries {
       .unionByName(base.where($"doc_id" % 11 === 0)
         .select(($"doc_id" + 4000000L).as("doc_id"),
           array_join(reverse(split($"text", " ")), " ").as("text")))
-    Incremental.deltaDedupStatus(base, delta, "doc_id", "text",
+  }
+
+  private val q117: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select($"doc_id", $"text")
+    Incremental.deltaDedupStatus(base, deltaDrop(s, d), "doc_id", "text",
         k = 8, nearFrac = 0.5, tileKey = md5(_))
       .orderBy($"doc_id")
+  }
+
+  /** Incremental export: the admitted (`new`) slice of the q117 delta
+    * appended to the EXISTING q112-style export — shard membership by the
+    * same mod rule, positions continuing after the base manifest counts
+    * ([[graft.ops.Shard.appendAssign]]), checksums covering exactly the
+    * appended id sequence. The base corpus contributes only its
+    * shard-count-sized manifest frame; it is never rescanned for
+    * placement. */
+  private val q122: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select($"doc_id", $"text")
+    val delta = deltaDrop(s, d)
+    val newDocs = graft.ops.Incremental.deltaDedupStatus(base, delta,
+        "doc_id", "text", k = 8, nearFrac = 0.5, tileKey = md5(_))
+      .where($"status" === "new").select($"doc_id")
+      .join(delta, Seq("doc_id"))
+    val baseCounts = graft.ops.Shard.manifest(base, "doc_id", nShards = 8,
+      seed = "man").select($"shard", $"n_rows")
+    graft.ops.Shard.appendAssign(baseCounts, newDocs, "doc_id",
+        nShards = 8, seed = "man")
+      .withColumn("n_tok", Text.tokenCount($"text"))
+      .groupBy($"shard")
+      .agg(min($"pos").as("pos_start"),
+        count(lit(1)).cast("long").as("n_appended"),
+        sum($"n_tok").cast("long").as("n_tokens_appended"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"pos", $"doc_id"))),
+            x => x.getField("doc_id").cast("string")), ","))
+          .as("checksum_appended"))
+      .orderBy($"shard")
   }
 
   /** k-anonymity suppression ([[Curate.kAnonSuppress]]): per-(lang,
@@ -113,7 +152,37 @@ object Wave3Queries {
       .orderBy($"source", $"decile")
   }
 
+  /** Canonical representative per near-dup cluster: q43's components
+    * (exact-Jaccard pairs → connected components, singletons their own
+    * cluster), but the survivor is the BEST-quality member (q22 score,
+    * doc_id tie-break) — the curation refinement over keep-first dedup:
+    * when a document exists in several mutations, train on the cleanest
+    * one. The argmax is a single `min(struct(-q, doc))` two-phase
+    * aggregate on the cluster key — no per-cluster window or sort. */
+  private val q121: Q = (s, d) => {
+    import s.implicits._
+    val wc = Text.tokenCount($"text")
+    val awl = Text.sumTokenLen($"text") / wc
+    val stopRatio = Text.stopwordCount($"text") / wc
+    val scored = Tables.documents(s, d).select($"doc_id",
+      Text.qualityScore(wc, stopRatio, awl).as("q"))
+    val pairs = Dedup.ngramJaccardPairsAuto(Tables.documents(s, d),
+      "doc_id", "text", n = 3, threshold = 0.5).select($"doc_a", $"doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+    scored.join(cc, Seq("doc_id"), "left")
+      .withColumn("component_id", coalesce($"component_id", $"doc_id"))
+      .groupBy($"component_id")
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        min(struct((-$"q").as("nq"), $"doc_id")).as("best"))
+      .select($"component_id", $"n_members",
+        $"best.doc_id".as("keep_id"),
+        round(-$"best.nq", 6).as("best_q"))
+      .orderBy($"component_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q122_incremental_export" -> q122,
+    "q121_canonical_rep" -> q121,
     "q118_kanon" -> q118,
     "q119_dp_counts" -> q119,
     "q120_score_calibration" -> q120,
@@ -123,7 +192,115 @@ object Wave3Queries {
     "q116_embed_quantize" -> q116,
     "q117_delta_dedup" -> q117)
 
+  /** Shared q117/q122 oracle prefix: the delta drop, base digest frames,
+    * tile coverage, and exact-match CTEs. */
+  private val deltaStatusSql =
+    """WITH delta AS (
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      |    WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id + 3000000,
+      |    text || ' appended drift tokens here' FROM documents
+      |    WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 4000000,
+      |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      |    FROM documents WHERE doc_id % 11 = 0),
+      |bfp AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+      |bt0 AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bt1 AS (SELECT w, CAST(unnest(range(CAST(ceil(len(w) / 8.0) AS INTEGER)))
+      |    AS INTEGER) AS pos FROM bt0),
+      |btk AS (SELECT DISTINCT
+      |    md5(array_to_string(list_slice(w, pos*8 + 1, pos*8 + 8), ' ')) AS h
+      |  FROM bt1),
+      |dt0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta),
+      |dt1 AS (SELECT doc_id, w,
+      |    CAST(unnest(range(CAST(ceil(len(w) / 8.0) AS INTEGER)))
+      |      AS INTEGER) AS pos FROM dt0),
+      |dtk AS (SELECT doc_id,
+      |    md5(array_to_string(list_slice(w, pos*8 + 1, pos*8 + 8), ' ')) AS h
+      |  FROM dt1),
+      |cov AS (SELECT doc_id, count(*) AS n_tiles,
+      |    sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+      |  FROM dtk d LEFT JOIN btk b ON d.h = b.h GROUP BY doc_id),
+      |ex AS (SELECT d.doc_id,
+      |    CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END AS is_exact
+      |  FROM (SELECT doc_id, md5(text) AS fp FROM delta) d
+      |  LEFT JOIN bfp b USING (fp))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q122_incremental_export" -> (deltaStatusSql + """,
+        |st AS (SELECT e.doc_id,
+        |    CASE WHEN is_exact = 1 THEN 'exact_dup'
+        |      WHEN coalesce(n_in, 0) /
+        |        CAST(greatest(coalesce(n_tiles, 0), 1) AS DOUBLE) >= 0.5
+        |        THEN 'near_dup'
+        |      ELSE 'new' END AS status
+        |  FROM ex e LEFT JOIN cov USING (doc_id)),
+        |nw AS (SELECT d.doc_id, d.text FROM delta d
+        |  JOIN st USING (doc_id) WHERE status = 'new'),
+        |basea AS (SELECT CAST(concat('0x', substr(md5(concat('man ',
+        |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
+        |  FROM documents),
+        |basec AS (SELECT CAST(ord % 8 AS INTEGER) AS shard,
+        |    count(*) AS n_rows FROM basea GROUP BY 1),
+        |na AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat('man ',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
+        |  FROM nw),
+        |np AS (SELECT doc_id, n_tok, CAST(ord % 8 AS INTEGER) AS shard,
+        |    row_number() OVER (PARTITION BY ord % 8
+        |      ORDER BY ord, doc_id) - 1 AS rk FROM na),
+        |wp AS (SELECT np.doc_id, np.n_tok, np.shard,
+        |    coalesce(b.n_rows, 0) + rk AS pos
+        |  FROM np LEFT JOIN basec b USING (shard))
+        |SELECT shard, CAST(min(pos) AS BIGINT) AS pos_start,
+        |  count(*) AS n_appended,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_appended,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+        |    AS checksum_appended
+        |FROM wp GROUP BY shard ORDER BY shard""".stripMargin),
+    "q121_canonical_rep" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w) - 2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pp AS (SELECT doc_a, doc_b FROM p
+        |       JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |       WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pp UNION SELECT doc_b, doc_a FROM pp),
+        |walk(node, label) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node),
+        |cc AS (SELECT node AS doc_id, min(label) AS component_id
+        |  FROM walk GROUP BY node),
+        |m AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS word_count,
+        |    list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+        |      AS INTEGER) AS n_stop
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |    least(1.0, word_count / 100.0) * 0.4
+        |      + (1.0 - n_stop / word_count) * 0.3
+        |      + least(1.0, (sum_len / word_count) / 8.0) * 0.3 AS q
+        |  FROM m),
+        |j AS (SELECT sc.doc_id, coalesce(cc.component_id, sc.doc_id)
+        |    AS component_id, sc.q
+        |  FROM sc LEFT JOIN cc USING (doc_id)),
+        |r AS (SELECT component_id, doc_id, q,
+        |    row_number() OVER (PARTITION BY component_id
+        |      ORDER BY q DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY component_id) AS n_members FROM j)
+        |SELECT component_id, CAST(n_members AS BIGINT) AS n_members,
+        |  doc_id AS keep_id, round(q, 6) AS best_q
+        |FROM r WHERE rn = 1 ORDER BY component_id""".stripMargin,
     "q118_kanon" ->
       """WITH r AS (SELECT lang, source, count(*) AS n_rows,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -244,37 +421,7 @@ object Wave3Queries {
         |  CAST(round(CAST(sum(CAST(round(err, 9) AS DECIMAL(18,9))) AS DOUBLE)
         |    / count(*), 9) AS DECIMAL(18,9)) AS mean_abs_err
         |FROM er GROUP BY dim ORDER BY dim""".stripMargin,
-    "q117_delta_dedup" ->
-      """WITH delta AS (
-        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
-        |    WHERE doc_id % 5 = 0
-        |  UNION ALL SELECT doc_id + 3000000,
-        |    text || ' appended drift tokens here' FROM documents
-        |    WHERE doc_id % 7 = 0
-        |  UNION ALL SELECT doc_id + 4000000,
-        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
-        |    FROM documents WHERE doc_id % 11 = 0),
-        |bfp AS (SELECT DISTINCT md5(text) AS fp FROM documents),
-        |bt0 AS (SELECT string_split(text, ' ') AS w FROM documents),
-        |bt1 AS (SELECT w, CAST(unnest(range(CAST(ceil(len(w) / 8.0) AS INTEGER)))
-        |    AS INTEGER) AS pos FROM bt0),
-        |btk AS (SELECT DISTINCT
-        |    md5(array_to_string(list_slice(w, pos*8 + 1, pos*8 + 8), ' ')) AS h
-        |  FROM bt1),
-        |dt0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta),
-        |dt1 AS (SELECT doc_id, w,
-        |    CAST(unnest(range(CAST(ceil(len(w) / 8.0) AS INTEGER)))
-        |      AS INTEGER) AS pos FROM dt0),
-        |dtk AS (SELECT doc_id,
-        |    md5(array_to_string(list_slice(w, pos*8 + 1, pos*8 + 8), ' ')) AS h
-        |  FROM dt1),
-        |cov AS (SELECT doc_id, count(*) AS n_tiles,
-        |    sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_in
-        |  FROM dtk d LEFT JOIN btk b ON d.h = b.h GROUP BY doc_id),
-        |ex AS (SELECT d.doc_id,
-        |    CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END AS is_exact
-        |  FROM (SELECT doc_id, md5(text) AS fp FROM delta) d
-        |  LEFT JOIN bfp b USING (fp))
+    "q117_delta_dedup" -> (deltaStatusSql + """
         |SELECT e.doc_id,
         |  CAST(coalesce(n_tiles, 0) AS BIGINT) AS n_tiles,
         |  CAST(coalesce(n_in, 0) AS BIGINT) AS n_tiles_in_base,
@@ -287,5 +434,5 @@ object Wave3Queries {
         |      THEN 'near_dup'
         |    ELSE 'new' END AS status
         |FROM ex e LEFT JOIN cov USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin))
 }

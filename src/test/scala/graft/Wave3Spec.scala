@@ -161,6 +161,29 @@ class Wave3Spec extends SparkSuite {
     assert(tight.map(r => math.abs(r._2 - r._1)).sum > loose * 5.0)
   }
 
+  test("appendAssign: membership matches a full re-export, positions continue") {
+    import graft.ops.Shard
+    val base = (1L to 30L).toDF("id")
+    val delta = (101L to 115L).toDF("id")
+    val baseCounts = Shard.shardAssign(base, "id", 4, "s")
+      .groupBy($"shard").agg(count(lit(1)).as("n_rows"))
+    val appended = Shard.appendAssign(baseCounts, delta, "id", 4, "s")
+      .select($"id", $"shard", $"pos").as[(Long, Int, Long)].collect().toSeq
+    // membership is the pure mod rule — identical to where a full
+    // re-export of (base ∪ delta) would place each delta doc
+    val full = Shard.shardAssign(base.unionByName(delta), "id", 4, "s")
+      .select($"id", $"shard").as[(Long, Int)].collect().toMap
+    assert(appended.forall { case (id, sh, _) => full(id) == sh })
+    // per shard: positions are contiguous starting at the base count
+    val baseN = baseCounts.select($"shard", $"n_rows")
+      .as[(Int, Long)].collect().toMap
+    appended.groupBy(_._2).foreach { case (sh, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps == (baseN.getOrElse(sh, 0L) until
+        baseN.getOrElse(sh, 0L) + ps.size).toSeq, s"shard $sh: $ps")
+    }
+  }
+
   test("deltaDedupStatus: xxhash64 and md5 tile routes agree") {
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
