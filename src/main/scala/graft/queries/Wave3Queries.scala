@@ -180,7 +180,55 @@ object Wave3Queries {
       .orderBy($"component_id")
   }
 
+  /** Semantic drift monitor — q109's embedding-space counterpart: between
+    * two corpus releases, the per-label centroid shift (cosine similarity
+    * and L2 distance of the old vs new mean vector). Token PSI catches
+    * vocabulary drift; centroid shift catches topical/model drift that
+    * leaves token counts alone. The new release is constructed
+    * deterministically: drop every 13th vector, and TRANSLATE label-3
+    * vectors by +0.1 in every dimension — a translation, not a scaling,
+    * because cosine is scale-invariant (a planted `×1.1` would be
+    * invisible by construction; measured before settling on this).
+    *
+    * Shape: each side collapses to (label, dim, centroid) via
+    * decimal-exact sums over the posexploded frame — (labels × dims)
+    * rows; the centroid join and the per-label reduction run over that
+    * tiny frame. Cross-dim sums ride 12 dp decimals so the doubles are
+    * reduction-order-free. */
+  private val q123: Q = (s, d) => {
+    import s.implicits._
+    val dec = "decimal(28,12)"
+    val old = Tables.embeddings(s, d)
+    val nw = old.where($"vec_id" % 13 =!= 0)
+      .select($"vec_id", $"label",
+        when($"label" === 3,
+          transform($"embedding".cast("array<double>"), x => x + 0.1))
+          .otherwise($"embedding".cast("array<double>")).as("embedding"))
+    def centroids(df: DataFrame, outCol: String) =
+      df.select($"label", posexplode($"embedding".cast("array<double>"))
+          .as(Seq("dim", "v")))
+        .groupBy($"label", $"dim")
+        .agg((sum($"v".cast(dec)).cast("double") / count(lit(1)))
+          .as(outCol))
+    val counts = old.groupBy($"label").agg(count(lit(1)).as("n_old"))
+      .join(nw.groupBy($"label").agg(count(lit(1)).as("n_new")), Seq("label"))
+    centroids(old, "a").join(centroids(nw, "b"), Seq("label", "dim"))
+      .groupBy($"label")
+      .agg(
+        sum(round($"a" * $"b", 12).cast(dec)).cast("double").as("__ab"),
+        sum(round($"a" * $"a", 12).cast(dec)).cast("double").as("__aa"),
+        sum(round($"b" * $"b", 12).cast(dec)).cast("double").as("__bb"),
+        sum(round(($"a" - $"b") * ($"a" - $"b"), 12).cast(dec))
+          .cast("double").as("__d2"))
+      .join(counts, Seq("label"))
+      .select($"label", $"n_old", $"n_new",
+        round($"__ab" / sqrt($"__aa" * $"__bb"), 6).as("centroid_cos"),
+        round(sqrt($"__d2"), 6).as("centroid_l2"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q123_semantic_drift" -> q123,
     "q122_incremental_export" -> q122,
     "q121_canonical_rep" -> q121,
     "q118_kanon" -> q118,
@@ -227,6 +275,40 @@ object Wave3Queries {
       |  LEFT JOIN bfp b USING (fp))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q123_semantic_drift" ->
+      """WITH old_e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+        |      AS INTEGER) AS dim
+        |  FROM embeddings),
+        |new_v AS (SELECT vec_id, label,
+        |    CASE WHEN label = 3
+        |      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.1)
+        |      ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+        |  FROM embeddings WHERE vec_id % 13 <> 0),
+        |new_e AS (SELECT label, unnest(embedding) AS v,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+        |  FROM new_v),
+        |ca AS (SELECT label, dim,
+        |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS a
+        |  FROM old_e GROUP BY 1, 2),
+        |cb AS (SELECT label, dim,
+        |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS b
+        |  FROM new_e GROUP BY 1, 2),
+        |red AS (SELECT label,
+        |    CAST(sum(CAST(round(a * b, 12) AS DECIMAL(28,12))) AS DOUBLE) AS ab,
+        |    CAST(sum(CAST(round(a * a, 12) AS DECIMAL(28,12))) AS DOUBLE) AS aa,
+        |    CAST(sum(CAST(round(b * b, 12) AS DECIMAL(28,12))) AS DOUBLE) AS bb,
+        |    CAST(sum(CAST(round((a - b) * (a - b), 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS d2
+        |  FROM ca JOIN cb USING (label, dim) GROUP BY label),
+        |cn AS (SELECT o.label, o.n_old, n.n_new FROM
+        |    (SELECT label, count(*) AS n_old FROM embeddings GROUP BY 1) o
+        |  JOIN (SELECT label, count(*) AS n_new FROM new_v GROUP BY 1) n
+        |    USING (label))
+        |SELECT label, n_old, n_new,
+        |  round(ab / sqrt(aa * bb), 6) AS centroid_cos,
+        |  round(sqrt(d2), 6) AS centroid_l2
+        |FROM red JOIN cn USING (label) ORDER BY label""".stripMargin,
     "q122_incremental_export" -> (deltaStatusSql + """,
         |st AS (SELECT e.doc_id,
         |    CASE WHEN is_exact = 1 THEN 'exact_dup'
