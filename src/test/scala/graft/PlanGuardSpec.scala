@@ -34,7 +34,9 @@ class PlanGuardSpec extends SparkSuite {
     "q97_ppl_buckets",     // q92's scoring shape under the ntile
     "q98_ppl_buckets_scaled", // scores × broadcast(1-row tercile bounds)
     "q109_token_drift",    // vocab frame × broadcast(1-row totals)
-    "q111_ann_recall")     // q27's brute-force ground truth inside the recall eval
+    "q111_ann_recall",     // q27's brute-force ground truth inside the recall eval
+    "q113_funnel",         // k-row step frame × broadcast(1-row step counts)
+    "q115_pmi_collocations") // pair frame × broadcast(1-row totals) ×2
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -57,6 +59,56 @@ class PlanGuardSpec extends SparkSuite {
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("funnel plans ONE user-keyed Exchange regardless of depth") {
+    // the funnel's claim: k chained conditional-min windows share the
+    // user hash-partitioning, so depth adds Window nodes, not shuffles.
+    // Count exchanges BELOW the per-user aggregation (the final ordering
+    // and the 1-row counts aggregate legitimately exchange above it).
+    val events = Tables.events(spark, sf)
+    val deep = graft.ops.Funnel.funnel(events, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase", "error", "signup"))
+    val plan = deep.queryExecution.executedPlan.toString
+    val nWindows = "Window \\[".r.findAllIn(plan).size
+    assert(nWindows == 5, s"expected 5 chained Window nodes, got $nWindows")
+    val userShuffles =
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userShuffles == 1,
+      s"funnel depth 5 must shuffle on user once, got $userShuffles:\n${plan.take(1500)}")
+  }
+
+  test("delta dedup never joins text against text") {
+    // the base collapses to digest frames before any join: every join in
+    // the plan must key on a hash/digest or the doc id, so join rows are
+    // narrow. A plan carrying the text column through a join means the
+    // digest collapse regressed.
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val delta = base.limit(50)
+    val plan = graft.ops.Incremental.deltaDedupStatus(base, delta,
+      "doc_id", "text").queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val keys = j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      assert(!keys.contains("text"),
+        s"join keys must be digests/ids, got $keys")
+    }
+  }
+
+  test("int8 quantization broadcasts dim stats, never shuffles vectors") {
+    val plan = graft.ops.Similarity.int8QuantReport(
+      Tables.embeddings(spark, sf), "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "per-dim scales must broadcast")
+    // every shuffle keys on the dim column (aggregate partials / the
+    // final dim ordering) — the embedding table itself never exchanges
+    val parts = "Exchange (?:hash|range)partitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(parts.nonEmpty && parts.forall(_ == "dim"),
+      s"only dim-keyed exchanges expected, got $parts")
   }
 
   test("q02's time bound reaches the parquet scan as a pushed filter") {
