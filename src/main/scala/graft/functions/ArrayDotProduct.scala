@@ -93,6 +93,7 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))),
+    "deflate_ratio" -> (exprs => DeflateRatio(exprs(0))),
     "interleave_bits" -> (exprs => InterleaveBits(exprs(0), exprs(1))),
     "minhash_sigs" -> literalIntBuilder("minhash_sigs", "k")(MinHashSignature.apply),
     "simhash_sig" -> (exprs => SimHashSignature(exprs(0))),
@@ -143,6 +144,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val classNames = Map(
     "array_dot" -> classOf[ArrayDotProduct].getName,
+    "deflate_ratio" -> classOf[DeflateRatio].getName,
     "interleave_bits" -> classOf[InterleaveBits].getName,
     "minhash_sigs" -> classOf[MinHashSignature].getName,
     "simhash_sig" -> classOf[SimHashSignature].getName,

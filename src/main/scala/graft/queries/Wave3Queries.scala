@@ -227,7 +227,56 @@ object Wave3Queries {
       .orderBy($"label")
   }
 
+  /** Zipf-fit corpus diagnostic: least-squares slope of ln(freq) against
+    * ln(rank) over the top-1000 vocabulary head — natural language sits
+    * near −1; a synthetic or template-heavy corpus drifts off it. The
+    * diagnostic a corpus datasheet quotes next to q100's volumes.
+    *
+    * Shape: one token explode → vocab-sized frequency frame; the
+    * row_number rank is a single-partition sort of the VOCABULARY (bounded
+    * by distinct tokens, never corpus rows — at 100 TB the vocab frame is
+    * millions of rows where the corpus is trillions); the regression is a
+    * 1-row closed-form aggregate with 9 dp decimal sums. */
+  private val q124: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(28,12)"
+    val pts = Tables.documents(s, d)
+      .select(explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(Window.orderBy($"n".desc, $"tok")))
+      .where($"rank" <= 1000)
+      .select(round(log($"rank".cast("double")), 9).as("x"),
+        round(log($"n".cast("double")), 9).as("y"))
+    pts.agg(count(lit(1)).cast("double").as("np"),
+        sum($"x".cast(dec)).cast("double").as("sx"),
+        sum($"y".cast(dec)).cast("double").as("sy"),
+        sum(round($"x" * $"y", 9).cast(dec)).cast("double").as("sxy"),
+        sum(round($"x" * $"x", 9).cast(dec)).cast("double").as("sxx"))
+      .select($"np".cast("long").as("n_points"),
+        round(($"np" * $"sxy" - $"sx" * $"sy") /
+          ($"np" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"),
+        round(($"sy" - (($"np" * $"sxy" - $"sx" * $"sy") /
+          ($"np" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"np", 6)
+          .as("intercept"))
+  }
+
+  /** Compression-ratio quality signal ([[graft.functions.DeflateRatio]]):
+    * per-doc deflate ratio — the cheap repetition/junk detector. Pure
+    * map-side native expression inside whole-stage codegen; golden-pinned
+    * (zlib bytes are not DuckDB-expressible). */
+  private val q125: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        round(call_function("deflate_ratio", $"text"), 6)
+          .as("compress_ratio"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q124_zipf_fit" -> q124,
+    "q125_compress_ratio" -> q125,
     "q123_semantic_drift" -> q123,
     "q122_incremental_export" -> q122,
     "q121_canonical_rep" -> q121,
@@ -275,6 +324,24 @@ object Wave3Queries {
       |  LEFT JOIN bfp b USING (fp))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q124_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM f),
+        |pts AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(n AS DOUBLE)), 9) AS y
+        |  FROM r WHERE rank <= 1000),
+        |ag AS (SELECT CAST(count(*) AS DOUBLE) AS np,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM pts)
+        |SELECT CAST(np AS BIGINT) AS n_points,
+        |  round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) AS zipf_slope,
+        |  round((sy - ((np * sxy - sx * sy) / (np * sxx - sx * sx)) * sx)
+        |    / np, 6) AS intercept
+        |FROM ag""".stripMargin,
     "q123_semantic_drift" ->
       """WITH old_e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
         |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1

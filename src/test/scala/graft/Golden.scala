@@ -26,7 +26,8 @@ object Golden {
     "q73_knn_ivfpq", "q74_knn_ivf_saved", "q79_quality_classifier",
     "q82_image_dhash", "q83_bpe_vocab", "q84_audio_fp",
     "q85_video_frame_hashes", "q87_semdedup", "q88_bpe_encode",
-    "q98_ppl_buckets_scaled", "q105_fertility", "q111_ann_recall")
+    "q98_ppl_buckets_scaled", "q105_fertility", "q111_ann_recall",
+    "q125_compress_ratio")
 
   val sfDir = "/root/testdata/sf0.01"
 

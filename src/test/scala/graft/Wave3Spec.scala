@@ -184,6 +184,45 @@ class Wave3Spec extends SparkSuite {
     }
   }
 
+  test("deflate_ratio: codegen matches direct zlib, repetition compresses") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, "a a a a a a a a a a a a a a a a a a a a a a a a"),
+      (2L, "the quick brown fox jumps over a lazy dog tonight quietly"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = rows.select($"id",
+        call_function("deflate_ratio", $"text").as("r"))
+      .as[(Long, Option[Double])].collect().toMap
+    // expression result == the direct static computation (same path the
+    // generated code calls — pins the codegen contract)
+    assert(got(1L).get ==
+      graft.functions.GraftCompress.ratio(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "a a a a a a a a a a a a a a a a a a a a a a a a")))
+    // degenerate repetition compresses far below natural prose
+    assert(got(1L).get < got(2L).get - 0.2, s"${got(1L)} vs ${got(2L)}")
+    assert(got(3L).get == 1.0, "empty input defines ratio 1.0")
+    assert(got(4L).isEmpty, "null propagates")
+  }
+
+  test("zipf fit recovers a planted power law") {
+    // corpus where token t_r appears round(1000/r) times: slope ≈ -1
+    val toks = (1 to 50).flatMap(r => Seq.fill(math.round(1000.0 / r).toInt)(f"t$r%02d"))
+    val docs = toks.grouped(100).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    // drive the REAL registered query against a fixture table dir
+    val dir = tmpDir("zipf")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = graft.queries.Wave3Queries.queries("q124_zipf_fit")(spark, dir)
+      .collect().head
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(row.getAs[Long]("n_points") == 50L)
+    assert(math.abs(slope - (-1.0)) < 0.05, s"planted Zipf slope $slope")
+  }
+
   test("deltaDedupStatus: xxhash64 and md5 tile routes agree") {
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
