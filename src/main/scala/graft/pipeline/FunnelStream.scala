@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One user's funnel event (projected, typed). */
+case class FunnelEvent(user_id: Long, ts_micros: Long, step_idx: Int)
+
+/** A user's funnel progress after a batch: `step_reached` is the number
+  * of completed steps (0 = not entered), `ts_micros` the completion time
+  * of the LAST reached step. Emitted only when a batch ADVANCES the
+  * user, so the stream is an append-only progress log. */
+case class FunnelProgress(user_id: Long, step_reached: Int, ts_micros: Long)
+
+/** Streaming funnel tracking — the live face of [[graft.ops.Funnel]]:
+  * per user, how far along the step sequence they are, updated as events
+  * arrive. Batch funnel answers "how many converted"; this answers
+  * "who just converted" while it happens (trigger an action on step-3
+  * completion, not in tomorrow's rollup).
+  *
+  * Semantics = the batch operator's greedy strictly-after chain, applied
+  * in event-time order: step i completes at the first event of type
+  * steps(i) with ts strictly after step i−1's completion. For an
+  * IN-ORDER stream (event time monotone per user across batches —
+  * [[graft.tools.CardSoak]]'s replay discipline) this equals the batch
+  * result exactly (FunnelStreamSpec pins cross-batch parity). An
+  * out-of-order event that arrives AFTER its step window was passed
+  * cannot retroactively improve the chain — the state keeps completion
+  * times only (k longs per user), not the event history an exact
+  * out-of-order recomputation would need; that trade is the whole
+  * reason the state is bounded.
+  *
+  * Scale: state = (k+1) longs per user, NoTimeout (the user population
+  * is the key domain, same posture as [[BudgetAdmission]]'s per-source
+  * longs); each batch sorts only its own per-user slice. Emission is
+  * append-only and only on progress, so the sink is a compact event log
+  * (latest row per user = current position).
+  */
+object FunnelStream {
+
+  /** Per-user state: completion time (micros) per step, -1 = unreached. */
+  case class FunnelState(times: Seq[Long])
+
+  /** Project a raw event frame (static or streaming) onto typed funnel
+    * events; rows whose type is not a funnel step drop here, map-side,
+    * so the stateful operator only ever sees relevant events. */
+  def funnelEvents(df: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String]): Dataset[FunnelEvent] = {
+    implicit val enc = Encoders.product[FunnelEvent]
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col(typeCol) === s, i).otherwise(acc) }
+    df.select(col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol)).as("ts_micros"),
+        stepIdx.as("step_idx"))
+      .where(col("step_idx") >= 0)
+      .as[FunnelEvent]
+  }
+
+  /** The progress transform (unstarted). Append output: one row per
+    * (user, batch) in which the user advanced at least one step. */
+  def progress(events: Dataset[FunnelEvent], nSteps: Int): Dataset[FunnelProgress] = {
+    require(nSteps >= 1, s"nSteps must be >= 1: $nSteps")
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelProgress]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val times = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(nSteps)(-1L))
+          val before = times.count(_ >= 0)
+          // event-time order within the batch; state carries order
+          // across batches for an in-order stream
+          rows.toSeq.sortBy(r => (r.ts_micros, r.step_idx)).foreach { r =>
+            val i = r.step_idx
+            if (i < nSteps && times(i) < 0 &&
+                (i == 0 || (times(i - 1) >= 0 && r.ts_micros > times(i - 1))))
+              times(i) = r.ts_micros
+          }
+          val after = times.count(_ >= 0)
+          state.update(FunnelState(times.toSeq))
+          if (after > before)
+            Iterator(FunnelProgress(user, after, times(after - 1)))
+          else Iterator.empty
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.Funnel
+import graft.pipeline.FunnelStream
+
+/** Streaming funnel: cross-batch state chains steps exactly like the
+  * batch operator on an in-order stream; progress emits append-only and
+  * only on advancement. */
+class FunnelStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private val steps = Seq("view", "click", "purchase")
+
+  private def runBatches(batches: Seq[Seq[(Long, Timestamp, String)]]): Seq[(Long, Int, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = FunnelStream.funnelEvents(
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps)
+    val q = FunnelStream.progress(events, steps.size).writeStream
+      .format("memory").queryName("funnel_progress")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table("funnel_progress")
+      .select($"user_id", $"step_reached", $"ts_micros")
+      .as[(Long, Int, Long)].collect().toSeq
+  }
+
+  test("cross-batch chaining equals the batch funnel on an in-order stream") {
+    // u1 progresses one step per BATCH (state must carry); u2 completes
+    // inside batch 1; u3's purchase precedes its click (stays at 2)
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:01"), "click"),
+      (2L, ts("2024-01-01 10:00:02"), "purchase"),
+      (3L, ts("2024-01-01 10:00:00"), "view"))
+    val b2 = Seq(
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (3L, ts("2024-01-01 10:01:00"), "purchase"))
+    val b3 = Seq(
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (3L, ts("2024-01-01 10:02:00"), "click"))
+    val log = runBatches(Seq(b1, b2, b3))
+    // final position per user = the row with the highest step_reached
+    val finalPos = log.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(_._2).max }
+    assert(finalPos == Map(1L -> 3, 2L -> 3, 3L -> 2), finalPos.toString)
+    // u1 advanced in every batch -> three progress rows; u2 one; u3 two
+    val emits = log.groupBy(_._1).map { case (u, r) => u -> r.size }
+    assert(emits == Map(1L -> 3, 2L -> 1, 3L -> 2), emits.toString)
+
+    // parity with the batch operator over the union of all batches
+    val all = (b1 ++ b2 ++ b3).toDF("user_id", "ts", "event_type")
+    val batch = Funnel.funnel(all, "user_id", "ts", "event_type", steps)
+      .select($"step", $"n_users").as[(Int, Long)].collect().toMap
+    val streamCounts = (1 to steps.size).map(i =>
+      i -> finalPos.count(_._2 >= i).toLong).toMap
+    assert(batch == streamCounts, s"$batch vs $streamCounts")
+  }
+
+  test("no progress, no emission; late same-timestamp click never counts") {
+    val log = runBatches(Seq(
+      Seq((9L, ts("2024-01-01 10:00:00"), "view")),
+      Seq((9L, ts("2024-01-01 10:00:00"), "click")), // not strictly after
+      Seq((9L, ts("2024-01-01 09:00:00"), "click"))))  // out-of-order past
+    assert(log == Seq((9L, 1, ts("2024-01-01 10:00:00").getTime * 1000)),
+      log.toString)
+  }
+}
