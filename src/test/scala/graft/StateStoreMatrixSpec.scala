@@ -192,6 +192,32 @@ class StateStoreMatrixSpec extends SparkSuite {
         } finally q.stop()
       }
     }
+
+    test(s"mapGroupsWithState funnel under $label carries chains across batches") {
+      withProvider(provider) {
+        implicit val sqlCtx = spark.sqlContext
+        val in = MemoryStream[graft.pipeline.FunnelEvent]
+        val q = graft.pipeline.FunnelStream.progress(in.toDS(), 3)
+          .writeStream.format("memory").queryName(s"ssm_fn_${label.take(4)}")
+          .outputMode("append").start()
+        try {
+          // step 0 in batch 1, steps 1+2 in batch 2 — the chain must
+          // cross the trigger boundary through the state store
+          in.addData(graft.pipeline.FunnelEvent(1L, 1000L, 0))
+          q.processAllAvailable()
+          in.addData(graft.pipeline.FunnelEvent(1L, 2000L, 1),
+            graft.pipeline.FunnelEvent(1L, 3000L, 2),
+            graft.pipeline.FunnelEvent(2L, 3000L, 1)) // no step 0: stays out
+          q.processAllAvailable()
+          val rows = spark.table(s"ssm_fn_${label.take(4)}")
+            .as[graft.pipeline.FunnelProgress].collect().toSet
+          assert(rows == Set(
+            graft.pipeline.FunnelProgress(1L, 1, 1000L),
+            graft.pipeline.FunnelProgress(1L, 3, 3000L)),
+            s"[$label] $rows")
+        } finally q.stop()
+      }
+    }
   }
 
   test("rocksdb provider actually engaged (state store metrics name it)") {
