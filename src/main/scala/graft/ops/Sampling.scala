@@ -290,4 +290,56 @@ object Sampling {
       .orderBy(col("samp_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** Cumulative Poisson(1) thresholds for the bootstrap draw — written
+    * out in full so the DuckDB oracle can carry the IDENTICAL literals. */
+  private[graft] val poisson1Cum: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** Deterministic Poisson bootstrap CI for the mean of an integral
+    * per-row statistic: `b` replicates, each reweighting every row by an
+    * independent Poisson(1) draw (the standard scalable bootstrap — the
+    * multinomial resample Poissonizes at corpus scale, Chamandy et al.;
+    * the Bag of Little Bootstraps is the next step when even `b` passes
+    * over the corpus are too many). The draw is the seed-salted
+    * md5-uniform pushed through the Poisson(1) inverse CDF (capped at 6,
+    * cum. prob 0.99992), so every engine — and the oracle — reproduces
+    * the exact replicate weights.
+    *
+    * Engine-exactness: weights and values are integers, so per-replicate
+    * (Σwx, Σw) are EXACT integer aggregates (no float summation order);
+    * the only doubles are the final b-sized divisions and the percentile
+    * over b replicate means — both deterministic. Output: one row with
+    * the point mean, ci_lo (2.5%), ci_hi (97.5%).
+    *
+    * Shape: one b-way explode (b·N rows scanned once, the bootstrap's
+    * inherent cost), two-phase integer aggregate per replicate (b groups),
+    * then a percentile over the b-row frame. */
+  def poissonBootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+                         b: Int, seed: String): DataFrame = {
+    require(b >= 2, s"need at least 2 replicates: $b")
+    val u = (Shard.orderKey(
+      concat_ws(" ", lit(seed), col("rep"), col(idCol)), "bs") + 0.5)
+      .cast("double") / lit(1152921504606846976.0)
+    val w = poisson1Cum.zipWithIndex
+      .foldRight(lit(6): Column) { case ((c, k), acc) =>
+        when(u < c, k).otherwise(acc) }
+    val reps = df
+      .select(col(idCol), col(valueCol).cast("long").as("__x"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("__w", w.cast("long"))
+      .groupBy(col("rep"))
+      .agg(sum(col("__w") * col("__x")).as("swx"), sum(col("__w")).as("sw"))
+      .select(($"swx".cast("double") / $"sw").as("rep_mean"))
+    val point = df.agg(
+      (sum(col(valueCol).cast("long")).cast("double") / count(lit(1)))
+        .as("mean"))
+    reps.agg(
+        round(percentile($"rep_mean", lit(0.025)), 6).as("ci_lo"),
+        round(percentile($"rep_mean", lit(0.975)), 6).as("ci_hi"))
+      .crossJoin(broadcast(point))
+      .select(round($"mean", 6).as("mean"), $"ci_lo", $"ci_hi",
+        lit(b).as("n_replicates"))
+  }
 }

@@ -274,7 +274,21 @@ object Wave3Queries {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic Poisson-bootstrap CI
+    * ([[graft.ops.Sampling.poissonBootstrapCI]]) for the mean tokens per
+    * document — the uncertainty a data card should quote next to its
+    * point estimates. 200 replicates, exact integer aggregates per
+    * replicate, the whole draw replayable by the oracle. */
+  private val q126: Q = (s, d) => {
+    import s.implicits._
+    graft.ops.Sampling.poissonBootstrapCI(
+      Tables.documents(s, d)
+        .select($"doc_id", Text.tokenCount($"text").as("n_tok")),
+      "doc_id", "n_tok", b = 200, seed = "ci8")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_bootstrap_ci" -> q126,
     "q124_zipf_fit" -> q124,
     "q125_compress_ratio" -> q125,
     "q123_semantic_drift" -> q123,
@@ -324,6 +338,30 @@ object Wave3Queries {
       |  LEFT JOIN bfp b USING (fp))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q126_bootstrap_ci" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
+        |r AS (SELECT doc_id, x, unnest(range(200)) AS rep FROM d),
+        |uw AS (SELECT rep, x,
+        |    (CAST('0x' || substr(md5('bs' || ' ' || 'ci8' || ' ' ||
+        |      CAST(rep AS VARCHAR) || ' ' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) + 0.5) / 1152921504606846976.0 AS u
+        |  FROM r),
+        |ww AS (SELECT rep, x, CASE
+        |    WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238462 THEN 3
+        |    WHEN u < 0.9963401531726563 THEN 4
+        |    WHEN u < 0.9994058151824183 THEN 5
+        |    ELSE 6 END AS w FROM uw),
+        |rm AS (SELECT rep, CAST(sum(w * x) AS DOUBLE) / sum(w) AS rep_mean
+        |  FROM ww GROUP BY rep),
+        |sel AS (SELECT round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+        |    round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi FROM rm),
+        |pt AS (SELECT CAST(sum(x) AS DOUBLE) / count(*) AS mean FROM d)
+        |SELECT round(mean, 6) AS mean, ci_lo, ci_hi, 200 AS n_replicates
+        |FROM sel, pt""".stripMargin,
     "q124_zipf_fit" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |f AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),

@@ -223,6 +223,23 @@ class Wave3Spec extends SparkSuite {
     assert(math.abs(slope - (-1.0)) < 0.05, s"planted Zipf slope $slope")
   }
 
+  test("poissonBootstrapCI: mean inside CI, deterministic, partitioning-free") {
+    import graft.ops.Sampling
+    val docs = (1L to 400L).map(i => (i, (i % 37) + 5)).toDF("id", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.poissonBootstrapCI(df, "id", "v", b = 100, seed = "t")
+        .as[(Double, Double, Double, Int)].collect().head
+    val (mean, lo, hi, b) = run(docs)
+    assert(b == 100 && lo < mean && mean < hi && hi - lo > 0, s"$mean [$lo,$hi]")
+    // the draw is a pure function of (seed, rep, id): any partitioning
+    // gives the identical interval
+    assert(run(docs.repartition(7)) == ((mean, lo, hi, b)))
+    // a different seed moves the replicate draw (interval shifts)
+    val other = Sampling.poissonBootstrapCI(docs, "id", "v", 100, "u")
+      .as[(Double, Double, Double, Int)].collect().head
+    assert((other._2, other._3) != ((lo, hi)))
+  }
+
   test("deltaDedupStatus: xxhash64 and md5 tile routes agree") {
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
