@@ -287,7 +287,66 @@ object Wave3Queries {
       "doc_id", "n_tok", b = 200, seed = "ci8")
   }
 
+  /** CUSUM changepoint scan per event type: cumulative deviation of the
+    * DAILY mean value from the series' global mean; the day where |S|
+    * peaks is the change candidate, and max|S| its magnitude. The
+    * monitoring primitive behind "did this sensor's level shift
+    * mid-month" — q109/q123 catch distribution drift between releases,
+    * this localizes WHEN a level shift happened inside one series.
+    *
+    * Shape: events collapse to (type, day) decimal-exact means — the
+    * only corpus-sized shuffle; the cumulative window runs per type over
+    * ≤days rows (calendar-bounded, like q114's state); argmax via one
+    * `min(struct)`. */
+  private val q127: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(graft.ops.Exact.davg($"value").as("m"))
+    val glob = daily.groupBy($"event_type")
+      .agg((sum($"m".cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mu"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(glob, Seq("event_type"))
+      .withColumn("s",
+        sum(round($"m" - $"mu", 9).cast("decimal(28,12)")).over(w)
+          .cast("double"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        min(struct((-abs($"s")).as("na"), $"day")).as("pk"))
+      .select($"event_type", $"n_days",
+        $"pk.day".as("peak_day"),
+        round(-$"pk.na", 6).as("max_abs_cusum"))
+      .orderBy($"event_type")
+  }
+
+  /** Exact heavy hitters, sketch-then-verify: a Misra–Gries pass (the
+    * library's native `topk_freq` aggregate) nominates candidates with
+    * bounded memory, an exact count of ONLY those candidates verifies —
+    * the two-pass pattern that gets exact top-k at 100 TB without a
+    * vocabulary-sized aggregation feeding a global sort. (MG with
+    * capacity c ≥ k·(N/threshold) guarantees no true heavy hitter is
+    * missed; here c=64 over 5 event types is trivially sufficient and
+    * the oracle proves the EXACT result.) */
+  private val q128: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(Text.tokens($"text")).as("tok"))
+    val cand = toks
+      .agg(call_function("topk_freq", $"tok", lit(64), lit(10)).as("cands"))
+      .select(explode($"cands.item").as("tok"))
+    val exact = toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    exact
+      .orderBy($"n".desc, $"tok")
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q127_cusum" -> q127,
+    "q128_heavy_hitters" -> q128,
     "q126_bootstrap_ci" -> q126,
     "q124_zipf_fit" -> q124,
     "q125_compress_ratio" -> q125,
@@ -338,6 +397,29 @@ object Wave3Queries {
       |  LEFT JOIN bfp b USING (fp))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q127_cusum" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS m
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CAST(m AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu
+        |  FROM daily GROUP BY 1),
+        |cs AS (SELECT d.event_type, day,
+        |    CAST(sum(CAST(round(m - mu, 9) AS DECIMAL(28,12)))
+        |      OVER (PARTITION BY d.event_type ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s
+        |  FROM daily d JOIN g USING (event_type)),
+        |r AS (SELECT event_type, day, abs(s) AS a,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(s) DESC, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days FROM cs)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, day AS peak_day,
+        |  round(a, 6) AS max_abs_cusum
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q128_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok)
+        |SELECT tok, n FROM f ORDER BY n DESC, tok LIMIT 10""".stripMargin,
     "q126_bootstrap_ci" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),

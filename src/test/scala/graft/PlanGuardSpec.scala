@@ -36,7 +36,8 @@ class PlanGuardSpec extends SparkSuite {
     "q109_token_drift",    // vocab frame × broadcast(1-row totals)
     "q111_ann_recall",     // q27's brute-force ground truth inside the recall eval
     "q113_funnel",         // k-row step frame × broadcast(1-row step counts)
-    "q115_pmi_collocations") // pair frame × broadcast(1-row totals) ×2
+    "q115_pmi_collocations", // pair frame × broadcast(1-row totals) ×2
+    "q126_bootstrap_ci")   // 1-row CI frame × broadcast(1-row point mean)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
