@@ -48,21 +48,33 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Static helper the codegen'd call sites share. */
+/** Static helper the codegen'd call sites share. The Deflater is
+  * thread-local and `reset()` per row: allocating a fresh native zlib
+  * state (hundreds of KB of window/hash buffers) per ROW would dominate
+  * the actual deflate work on short documents and hammer the native
+  * allocator across codegen threads; reset() restores the identical
+  * initial state for the fixed (level, strategy), so output bytes — and
+  * the q125 golden — are unchanged. The per-thread instance lives as
+  * long as the executor task thread; the JDK's cleaner reclaims it on
+  * thread death. */
 object GraftCompress {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
+  }
+
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.length == 0) 1.0
     else {
-      val d = new java.util.zip.Deflater(6)
-      try {
-        d.setInput(bytes)
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var total = 0L
-        while (!d.finished()) total += d.deflate(buf)
-        total.toDouble / bytes.length
-      } finally d.end()
+      val d = local.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
     }
   }
 }

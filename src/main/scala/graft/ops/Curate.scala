@@ -163,21 +163,44 @@ object Curate {
     * "this group exists and is small") but folded into ONE `__suppressed__`
     * row per grouping, so every published row describes ≥ k individuals
     * and the suppressed mass is still accounted for. The standard
-    * small-cell rule of statistical disclosure control.
+    * small-cell rule of statistical disclosure control — INCLUDING
+    * complementary suppression: if the folded sub-k mass is itself below
+    * k (a lone small cell would otherwise be published as an
+    * identifiable "suppressed" row of, say, 2 people), the smallest
+    * surviving groups fold in too, ascending, until the suppressed row
+    * reaches k. A corpus whose total is below k publishes as a single
+    * suppressed row — no finer disclosure is possible.
     *
     * `aggs` are the published measures (must be summable — the suppressed
-    * row re-aggregates them with `sum`). Two narrow aggregations: the
-    * grouped rollup, then a re-group over the ≤|groups| rollup frame —
-    * the fact table shuffles once. */
+    * row re-aggregates them with `sum`). The fact table shuffles once
+    * (the rollup); every suppression decision — including the ascending
+    * prefix window — runs on the ≤|groups| rollup frame. */
   def kAnonSuppress(df: DataFrame, keyCols: Seq[String], k: Long,
                     aggs: Seq[Column]): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
     val rolled = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val measureCols = rolled.columns.filterNot(keyCols.contains)
+    // sub-k mass (scalar, broadcast); if 0 < mass < k, the smallest
+    // surviving groups (ascending by n_rows then keys) join the fold
+    // until the suppressed row reaches k: a group folds when the
+    // surviving-prefix sum BEFORE it is still short of (k - mass)
+    val subMass = rolled.where($"n_rows" < k)
+      .agg(coalesce(sum($"n_rows"), lit(0L)).as("__smass"))
+    val ascOrder = col("n_rows") +: keyCols.map(col)
+    val wPrev = Window.orderBy(ascOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = rolled.where($"n_rows" >= k)
+      .withColumn("__prev", coalesce(sum($"n_rows").over(wPrev), lit(0L)))
+      .crossJoin(broadcast(subMass))
+      .withColumn("__fold",
+        $"__smass" > 0 && $"__smass" < k && $"__prev" < (lit(k) - $"__smass"))
+    val marked = rolled.where($"n_rows" < k).withColumn("__fold", lit(true))
+      .unionByName(survivors.drop("__prev", "__smass"))
     val masked = keyCols.map(c =>
-      when($"n_rows" >= k, col(c)).otherwise(lit("__suppressed__")).as(c))
-    rolled.select(masked ++ measureCols.map(col): _*)
+      when(!$"__fold", col(c)).otherwise(lit("__suppressed__")).as(c))
+    marked.select(masked ++ measureCols.map(col): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(sum($"n_rows").cast("long").as("n_rows"),
         measureCols.filterNot(_ == "n_rows")

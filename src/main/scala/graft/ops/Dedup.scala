@@ -1030,17 +1030,31 @@ object Dedup {
     * Reference anchor: the reference's dedup is row-level
     * (`silver_transform.py` dropDuplicates analog); this is north-star
     * curation surface (Wenzek et al. 2020 §4.2's paragraph dedup). */
-  def tileDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
-                         k: Int = 8,
-                         tileKey: Column => Column = xxhash64(_)): DataFrame = {
+  /** Non-overlapping k-token tile segmentation shared by
+    * [[tileDedupKeepFirst]] and [[Incremental.deltaDedupStatus]] — one
+    * definition, because the cross-operator tile-containment contract
+    * (and both operators' oracles) depends on the segmentation being
+    * bit-identical. Output: (doc, pos, tile); the trailing partial tile
+    * is a tile. NULL-text rows produce NO tiles (without the size guard,
+    * `sequence(0, -1)` DESCENDS to [0, -1] in Spark and a null doc would
+    * grow two phantom empty tiles — measured, and divergent from the
+    * oracles' `range()`, which is empty on a negative bound). */
+  private[ops] def tileSegments(df: DataFrame, idCol: String,
+                                textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"tile length k must be >= 1, got $k")
-    val toks = df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("t"))
-    val tiles = toks
+    df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("t"))
+      .where(size($"t") >= 1)
       .select($"doc", $"t",
         explode(sequence(lit(0), ceil(size($"t") / lit(k.toDouble)).cast("int") - 1))
           .as("pos"))
       .select($"doc", $"pos",
         concat_ws(" ", slice($"t", $"pos" * k + 1, lit(k))).as("tile"))
+  }
+
+  def tileDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8,
+                         tileKey: Column => Column = xxhash64(_)): DataFrame = {
+    val tiles = tileSegments(df, idCol, textCol, k)
       .withColumn("h", tileKey($"tile"))
     val firsts = tiles.groupBy($"h")
       .agg(min(struct($"doc", $"pos")).as("first"))

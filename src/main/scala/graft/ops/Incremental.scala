@@ -32,19 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Non-overlapping k-token tiles of `textCol`: (idCol, pos, tile).
-    * Same segmentation as [[Dedup.tileDedupKeepFirst]] — the trailing
-    * partial tile is a tile. */
+  /** Non-overlapping k-token tiles of `textCol`: (doc, pos, tile) — THE
+    * shared segmentation ([[Dedup.tileSegments]]): one definition keeps
+    * this operator's containment test and tile dedup's keep-first rule
+    * on the same tile universe, and NULL-text rows produce no tiles. */
   private def tiles(df: DataFrame, idCol: String, textCol: String,
-                    k: Int): DataFrame = {
-    df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("t"))
-      .select($"doc",
-        explode(sequence(lit(0), ceil(size($"t") / lit(k.toDouble)).cast("int") - 1))
-          .as("pos"),
-        $"t")
-      .select($"doc", $"pos",
-        concat_ws(" ", slice($"t", $"pos" * k + 1, lit(k))).as("tile"))
-  }
+                    k: Int): DataFrame =
+    Dedup.tileSegments(df, idCol, textCol, k)
 
   /** Classify every delta doc against the base. Output: (idCol, n_tiles,
     * n_tiles_in_base, tile_frac (9 dp decimal), status) — one row per

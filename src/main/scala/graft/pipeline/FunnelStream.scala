@@ -69,7 +69,13 @@ object FunnelStream {
       .flatMapGroupsWithState[FunnelState, FunnelProgress](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, rows, state) =>
+          // reconcile restored state with the CURRENT funnel depth: a
+          // restart may lengthen the funnel (pad new steps unreached) or
+          // shorten it (drop the tail) — without this, a checkpoint from
+          // a 3-step run crashes a 4-step restart on the array index
           val times = state.getOption.map(_.times.toArray)
+            .map(a => if (a.length == nSteps) a
+                      else a.take(nSteps).padTo(nSteps, -1L))
             .getOrElse(Array.fill(nSteps)(-1L))
           val before = times.count(_ >= 0)
           // event-time order within the batch; state carries order

@@ -144,7 +144,8 @@ object CardSoak {
          |"maxRelErrVsDirect":$maxRelErr,"tol3Sigma":$tol3Sigma,
          |"withinEnvelope":${maxRelErr <= tol3Sigma},
          |"rollup":$rolled,"batchRollup":$batchRoll,
-         |"rollupParity":${rolled == batchRoll},
+         |"rollupRelErr":${math.abs(rolled - batchRoll) / math.max(batchRoll, 1.0)},
+         |"rollupWithinEnvelope":${math.abs(rolled - batchRoll) / math.max(batchRoll, 1.0) <= tol3Sigma},
          |"maxStateRows":$maxStateRows,"wallSec":$wallSec,
          |"batches":$batchJson}""".stripMargin
     java.nio.file.Files.writeString(
@@ -154,7 +155,8 @@ object CardSoak {
       s"(dups $dupWindows), union-replay mismatches ${mismatches.size}, " +
       f"max rel err vs direct $maxRelErr%.4f (3-sigma $tol3Sigma%.4f, " +
       s"within ${maxRelErr <= tol3Sigma}), " +
-      s"rollup parity ${rolled == batchRoll}, max state rows $maxStateRows")
+      f"rollup rel err ${math.abs(rolled - batchRoll) / math.max(batchRoll, 1.0)}%.5f, " +
+      s"max state rows $maxStateRows")
     spark.stop()
   }
 }

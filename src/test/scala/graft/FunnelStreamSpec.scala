@@ -10,6 +10,8 @@ import graft.pipeline.FunnelStream
 /** Streaming funnel: cross-batch state chains steps exactly like the
   * batch operator on an in-order stream; progress emits append-only and
   * only on advancement. */
+case class FunnelProgressRow(user_id: Long, step_reached: Int, ts_micros: Long)
+
 class FunnelStreamSpec extends SparkSuite {
   import spark.implicits._
 
@@ -64,6 +66,51 @@ class FunnelStreamSpec extends SparkSuite {
     val streamCounts = (1 to steps.size).map(i =>
       i -> finalPos.count(_._2 >= i).toLong).toMap
     assert(batch == streamCounts, s"$batch vs $streamCounts")
+  }
+
+  test("checkpointed state survives a restart that LENGTHENS the funnel") {
+    val staging = tmpDir("fns-staging")
+    val sink = tmpDir("fns-sink")
+    val cp = tmpDir("fns-cp")
+    def writeSlice(name: String, mtime: Long,
+                   rows: Seq[(Long, Timestamp, String)]): Unit = {
+      val dir = s"$staging/$name"
+      rows.toDF("user_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(mtime))
+    }
+    def runOnce(steps: Seq[String]): Unit = {
+      val stream = spark.readStream
+        .schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staging/*")
+      val q = FunnelStream.progress(
+          FunnelStream.funnelEvents(stream, "user_id", "ts", "event_type", steps),
+          steps.size)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // run 1: two-step funnel, user completes both -> state length 2
+    writeSlice("s1", 1700000000000L, Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click")))
+    runOnce(Seq("view", "click"))
+    // run 2: SAME checkpoint, three-step funnel — the restored 2-long
+    // state must pad, not crash, and the chain must continue into step 3
+    writeSlice("s2", 1700000001000L, Seq(
+      (1L, ts("2024-01-01 10:02:00"), "purchase")))
+    runOnce(Seq("view", "click", "purchase"))
+    val rows = spark.read.parquet(sink)
+      .as[FunnelProgressRow].collect().map(r => (r.step_reached, r.ts_micros)).toSet
+    assert(rows == Set(
+      (2, ts("2024-01-01 10:01:00").getTime * 1000),
+      (3, ts("2024-01-01 10:02:00").getTime * 1000)), rows.toString)
   }
 
   test("no progress, no emission; late same-timestamp click never counts") {

@@ -139,6 +139,29 @@ class Wave3Spec extends SparkSuite {
     assert(got.forall { case (l, _, n, _) => n >= 3 || l == "__suppressed__" })
   }
 
+  test("kAnonSuppress: a lone sub-k cell pulls in the smallest survivor") {
+    // {en/s1: 3, de/s2: 2}, k=3: folding only de/s2 would PUBLISH a
+    // suppressed row of 2 people — complementary suppression must fold
+    // en/s1 too, leaving one row describing all 5
+    val rows = (Seq.fill(3)(("en", "s1")) ++ Seq.fill(2)(("de", "s2")))
+      .map { case (l, s) => (l, s, 1L) }.toDF("lang", "source", "m")
+    val got = graft.ops.Curate.kAnonSuppress(rows, Seq("lang", "source"),
+        k = 3L, Seq(sum($"m").as("m_sum")))
+      .select($"lang", $"source", $"n_rows", $"m_sum")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("__suppressed__", "__suppressed__", 5L, 5L)), got.toString)
+    // and when the sub-k mass alone reaches k, survivors stay published
+    val rows2 = (Seq.fill(4)(("en", "s1")) ++ Seq.fill(2)(("de", "s2")) ++
+      Seq.fill(2)(("fr", "s3"))).map { case (l, s) => (l, s, 1L) }
+      .toDF("lang", "source", "m")
+    val got2 = graft.ops.Curate.kAnonSuppress(rows2, Seq("lang", "source"),
+        k = 3L, Seq(sum($"m").as("m_sum")))
+      .select($"lang", $"source", $"n_rows")
+      .as[(String, String, Long)].collect().toSet
+    assert(got2 == Set(("en", "s1", 4L), ("__suppressed__", "__suppressed__", 4L)),
+      got2.toString)
+  }
+
   test("dpNoisyCounts: deterministic, finite, and key-dependent") {
     val df = (1 to 100).map(i => s"k${i % 7}").toDF("k")
     def run() = graft.ops.Curate.dpNoisyCounts(df, "k", epsilon = 1.0,
