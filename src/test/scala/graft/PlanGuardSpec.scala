@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkSuite {
     "q111_ann_recall",     // q27's brute-force ground truth inside the recall eval
     "q113_funnel",         // k-row step frame × broadcast(1-row step counts)
     "q115_pmi_collocations", // pair frame × broadcast(1-row totals) ×2
+    "q118_kanon",          // rollup frame × broadcast(1-row sub-k mass)
     "q126_bootstrap_ci")   // 1-row CI frame × broadcast(1-row point mean)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
