@@ -351,7 +351,39 @@ object Wave3Queries {
       .limit(10)
   }
 
+  /** Referential-integrity health report over the star schema: per FK
+    * edge, the child row count, orphan count (children whose parent key
+    * is absent), and orphan rate — the one-scan data-quality datasheet a
+    * warehouse publishes per load (q15's single anti-join, generalized
+    * into the consolidated report). Each edge is one left-anti hash join
+    * against the parent's distinct-key frame; parents are dimension-
+    * sized and broadcast where small. */
+  private val q129: Q = (s, d) => {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.join(
+        parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphan"))))
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_orphan",
+          round($"n_orphan" / $"n_child", 9).cast("decimal(18,9)")
+            .as("orphan_rate"))
+    }
+    edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .unionByName(edge("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionByName(edge("customer->nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .unionByName(edge("events->user", Tables.events(s, d), "user_id",
+        Tables.customer(s, d), "c_custkey"))
+      .orderBy($"fk_edge")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q129_fk_health" -> q129,
     "q127_cusum" -> q127,
     "q128_heavy_hitters" -> q128,
     "q126_bootstrap_ci" -> q126,
@@ -404,6 +436,29 @@ object Wave3Queries {
       |  LEFT JOIN bfp b USING (fp))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q129_fk_health" ->
+      """WITH ed AS (
+        |  SELECT 'lineitem->orders' AS fk_edge,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      AS n_orphan
+        |  UNION ALL SELECT 'orders->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders r WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
+        |  UNION ALL SELECT 'customer->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |  UNION ALL SELECT 'events->user',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events e WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)))
+        |SELECT fk_edge, n_child, n_orphan,
+        |  CAST(round(CAST(n_orphan AS DOUBLE) / n_child, 9)
+        |    AS DECIMAL(18,9)) AS orphan_rate
+        |FROM ed ORDER BY fk_edge""".stripMargin,
     "q127_cusum" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS m

@@ -38,7 +38,8 @@ class PlanGuardSpec extends SparkSuite {
     "q113_funnel",         // k-row step frame × broadcast(1-row step counts)
     "q115_pmi_collocations", // pair frame × broadcast(1-row totals) ×2
     "q118_kanon",          // rollup frame × broadcast(1-row sub-k mass)
-    "q126_bootstrap_ci")   // 1-row CI frame × broadcast(1-row point mean)
+    "q126_bootstrap_ci",   // 1-row CI frame × broadcast(1-row point mean)
+    "q129_fk_health")      // 1-row child count × broadcast(1-row orphan count), per edge
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
