@@ -29,7 +29,7 @@ object Funnel {
     * step-(i-1) time (step 0 is the user's earliest `steps(0)` event).
     * Returns one row per funnel step: `step` (1-based), `step_name`,
     * `n_users` reaching it, and `conv_rate` = n_users / step-1 users
-    * (9 dp, decimal — engine-exact).
+    * (9 dp double).
     *
     * All k conditional mins share one `Window.partitionBy(user)` — one
     * shuffle regardless of funnel depth. */
@@ -76,7 +76,7 @@ object Funnel {
             else col(s"__n$i") / col(s"__n${i - 1}"))
             .otherwise(null)
         ).reduce((a, b) => coalesce(a, b)).as("__rate"))
-      .withColumn("conv_rate", round($"__rate", 9).cast("decimal(18,9)"))
+      .withColumn("conv_rate", round($"__rate", 9))
       .drop("__rate")
       .orderBy($"step")
   }
@@ -84,7 +84,7 @@ object Funnel {
   /** Weekly cohort retention: users are cohorted by the ISO week of their
     * FIRST event; for each (cohort week, week offset ≥ 0) the output
     * carries the distinct users active that week, the cohort size, and
-    * the retention rate (9 dp decimal). The per-user collapse keeps
+    * the retention rate (9 dp double). The per-user collapse keeps
     * `collect_set(week)` state bounded by the calendar horizon — weeks
     * in the data's time range — so a user with 10^9 events costs the
     * same as one with a single event per week. */
@@ -107,8 +107,7 @@ object Funnel {
       .agg(count(lit(1)).cast("long").as("n_cohort"))
     activity.join(sizes, Seq("cohort_week"))
       .select($"cohort_week", $"week_offset", $"n_active", $"n_cohort",
-        round($"n_active" / $"n_cohort", 9).cast("decimal(18,9)")
-          .as("retention"))
+        round($"n_active" / $"n_cohort", 9).as("retention"))
       .orderBy($"cohort_week", $"week_offset")
   }
 }

@@ -41,7 +41,7 @@ object Incremental {
     Dedup.tileSegments(df, idCol, textCol, k)
 
   /** Classify every delta doc against the base. Output: (idCol, n_tiles,
-    * n_tiles_in_base, tile_frac (9 dp decimal), status) — one row per
+    * n_tiles_in_base, tile_frac (9 dp double), status) — one row per
     * delta doc, ordered by nothing (callers order). */
   def deltaDedupStatus(base: DataFrame, delta: DataFrame, idCol: String,
                        textCol: String, k: Int = 8, nearFrac: Double = 0.5,
@@ -68,7 +68,7 @@ object Incremental {
         coalesce($"n_tiles_in_base", lit(0L)).as("n_tiles_in_base"),
         round(coalesce($"n_tiles_in_base", lit(0L)) /
           greatest(coalesce($"n_tiles", lit(0L)), lit(1L)).cast("double"), 9)
-          .cast("decimal(18,9)").as("tile_frac"),
+          .as("tile_frac"),
         when($"__exact".isNotNull, "exact_dup")
           .when(coalesce($"n_tiles_in_base", lit(0L)) /
             greatest(coalesce($"n_tiles", lit(0L)), lit(1L)).cast("double")

@@ -653,10 +653,10 @@ object Similarity {
       .withColumn("err", abs($"code" * $"scale" - $"v"))
     coded.groupBy($"dim")
       .agg(count(lit(1)).cast("long").as("n"),
-        round(max($"scale"), 9).cast("decimal(18,9)").as("scale"),
-        round(max($"err"), 9).cast("decimal(18,9)").as("max_abs_err"),
+        round(max($"scale"), 9).as("scale"),
+        round(max($"err"), 9).as("max_abs_err"),
         round(sum(round($"err", 9).cast("decimal(18,9)")).cast("double") /
-          count(lit(1)), 9).cast("decimal(18,9)").as("mean_abs_err"))
+          count(lit(1)), 9).as("mean_abs_err"))
       .orderBy($"dim")
   }
 }

@@ -433,7 +433,7 @@ object Text {
     val q = ($"c_new" + 1) / ($"n_new" + $"v")
     j.join(broadcast(tot))
       .select($"token", $"c_old", $"c_new",
-        round((p - q) * log(p / q), 9).cast("decimal(18,9)").as("psi"))
+        round((p - q) * log(p / q), 9).as("psi"))
   }
 
   /** Pointwise-mutual-information collocations — the corpus-statistics
@@ -472,7 +472,7 @@ object Text {
       .select($"w1", $"w2", $"n_pair", $"n_w1", $"n_w2",
         round(log(($"n_pair" / $"__n_pair") /
           (($"n_w1" / $"__n_tok") * ($"n_w2" / $"__n_tok"))), 9)
-          .cast("decimal(18,9)").as("pmi"))
+          .as("pmi"))
       .orderBy($"pmi".desc, $"w1", $"w2")
       .limit(topK)
   }

@@ -413,9 +413,8 @@ object ExtraQueries {
         |    CAST(sum(c_new) AS DOUBLE) AS n_new,
         |    CAST(count(*) AS DOUBLE) AS v FROM jn)
         |SELECT token, c_old, c_new,
-        |  CAST(round(((c_old + 1) / (n_old + v) - (c_new + 1) / (n_new + v))
-        |    * ln(((c_old + 1) / (n_old + v)) / ((c_new + 1) / (n_new + v))), 9)
-        |    AS DECIMAL(18,9)) AS psi
+        |  round(((c_old + 1) / (n_old + v) - (c_new + 1) / (n_new + v))
+        |    * ln(((c_old + 1) / (n_old + v)) / ((c_new + 1) / (n_new + v))), 9) AS psi
         |FROM jn, tot
         |ORDER BY psi DESC, token""".stripMargin,
     "q110_mad_outliers" ->

@@ -368,8 +368,7 @@ object Wave3Queries {
       child.agg(count(lit(1)).as("n_child"))
         .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphan"))))
         .select(lit(name).as("fk_edge"), $"n_child", $"n_orphan",
-          round($"n_orphan" / $"n_child", 9).cast("decimal(18,9)")
-            .as("orphan_rate"))
+          round($"n_orphan" / $"n_child", 9).as("orphan_rate"))
     }
     edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
         Tables.orders(s, d), "o_orderkey")
@@ -456,8 +455,7 @@ object Wave3Queries {
         |    (SELECT count(*) FROM events e WHERE NOT EXISTS
         |      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)))
         |SELECT fk_edge, n_child, n_orphan,
-        |  CAST(round(CAST(n_orphan AS DOUBLE) / n_child, 9)
-        |    AS DECIMAL(18,9)) AS orphan_rate
+        |  round(CAST(n_orphan AS DOUBLE) / n_child, 9) AS orphan_rate
         |FROM ed ORDER BY fk_edge""".stripMargin,
     "q127_cusum" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
@@ -707,11 +705,11 @@ object Wave3Queries {
         |    (SELECT count(*) FROM u1) AS n1,
         |    (SELECT count(*) FROM u2) AS n2)
         |SELECT 1 AS step, 'view' AS step_name, n0 AS n_users,
-        |  CAST(round(1.0, 9) AS DECIMAL(18,9)) AS conv_rate FROM n
+        |  round(CAST(1.0 AS DOUBLE), 9) AS conv_rate FROM n
         |UNION ALL SELECT 2, 'click', n1,
-        |  CAST(round(CAST(n1 AS DOUBLE) / n0, 9) AS DECIMAL(18,9)) FROM n
+        |  round(CAST(n1 AS DOUBLE) / n0, 9) FROM n
         |UNION ALL SELECT 3, 'purchase', n2,
-        |  CAST(round(CAST(n2 AS DOUBLE) / n1, 9) AS DECIMAL(18,9)) FROM n
+        |  round(CAST(n2 AS DOUBLE) / n1, 9) FROM n
         |ORDER BY step""".stripMargin,
     "q114_retention" ->
       """WITH pu AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
@@ -726,8 +724,7 @@ object Wave3Queries {
         |    count(DISTINCT user_id) AS n_active FROM j GROUP BY 1, 2),
         |sz AS (SELECT cohort_week, count(*) AS n_cohort FROM pu GROUP BY 1)
         |SELECT cohort_week, week_offset, n_active, n_cohort,
-        |  CAST(round(CAST(n_active AS DOUBLE) / n_cohort, 9)
-        |    AS DECIMAL(18,9)) AS retention
+        |  round(CAST(n_active AS DOUBLE) / n_cohort, 9) AS retention
         |FROM agg JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
     "q115_pmi_collocations" ->
@@ -742,9 +739,8 @@ object Wave3Queries {
         |  GROUP BY 1, 2 HAVING count(*) >= 5),
         |tot AS (SELECT CAST(sum(n_u) AS DOUBLE) AS n_tok FROM uni)
         |SELECT w1, w2, n_pair, u1.n_u AS n_w1, u2.n_u AS n_w2,
-        |  CAST(round(ln((n_pair / n_pair_total) /
-        |    ((u1.n_u / n_tok) * (u2.n_u / n_tok))), 9)
-        |    AS DECIMAL(18,9)) AS pmi
+        |  round(ln((n_pair / n_pair_total) /
+        |    ((u1.n_u / n_tok) * (u2.n_u / n_tok))), 9) AS pmi
         |FROM pc JOIN uni u1 ON u1.tok = pc.w1
         |JOIN uni u2 ON u2.tok = pc.w2, tot, np
         |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin,
@@ -760,18 +756,17 @@ object Wave3Queries {
         |  FROM e JOIN sc USING (dim)),
         |er AS (SELECT dim, scale, abs(code * scale - v) AS err FROM c)
         |SELECT dim, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(round(max(scale), 9) AS DECIMAL(18,9)) AS scale,
-        |  CAST(round(max(err), 9) AS DECIMAL(18,9)) AS max_abs_err,
-        |  CAST(round(CAST(sum(CAST(round(err, 9) AS DECIMAL(18,9))) AS DOUBLE)
-        |    / count(*), 9) AS DECIMAL(18,9)) AS mean_abs_err
+        |  round(max(scale), 9) AS scale,
+        |  round(max(err), 9) AS max_abs_err,
+        |  round(CAST(sum(CAST(round(err, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |    / count(*), 9) AS mean_abs_err
         |FROM er GROUP BY dim ORDER BY dim""".stripMargin,
     "q117_delta_dedup" -> (deltaStatusSql + """
         |SELECT e.doc_id,
         |  CAST(coalesce(n_tiles, 0) AS BIGINT) AS n_tiles,
         |  CAST(coalesce(n_in, 0) AS BIGINT) AS n_tiles_in_base,
-        |  CAST(round(coalesce(n_in, 0) /
-        |    CAST(greatest(coalesce(n_tiles, 0), 1) AS DOUBLE), 9)
-        |    AS DECIMAL(18,9)) AS tile_frac,
+        |  round(coalesce(n_in, 0) /
+        |    CAST(greatest(coalesce(n_tiles, 0), 1) AS DOUBLE), 9) AS tile_frac,
         |  CASE WHEN is_exact = 1 THEN 'exact_dup'
         |    WHEN coalesce(n_in, 0) /
         |      CAST(greatest(coalesce(n_tiles, 0), 1) AS DOUBLE) >= 0.5

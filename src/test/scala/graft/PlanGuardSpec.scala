@@ -64,6 +64,31 @@ class PlanGuardSpec extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("no query emits a DecimalType (or any non-oracle-hashable type)") {
+    // The driver's hash compare reads the Spark parquet dump via pyarrow
+    // and the oracle result via a DuckDB fetch; a decimal column
+    // round-trips as object-dtype Decimal('1.000000000') on one side and
+    // float64 1.0 on the other, so equal VALUES hash differently (the
+    // round-8 q109/q113–q117/q129 failure). House rule: decimals stay
+    // internal (exact reduction-order-free sums) and every surface column
+    // is one of the proven-hashable primitives below.
+    import org.apache.spark.sql.types._
+    val hashable: DataType => Boolean = {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: StringType | _: BooleanType |
+           _: TimestampType | _: DateType => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if !hashable(f.dataType) => s"$name.${f.name}: ${f.dataType.sql}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"surface columns outside the hashable set: ${offenders.mkString("; ")}")
+  }
+
   test("funnel plans ONE user-keyed Exchange regardless of depth") {
     // the funnel's claim: k chained conditional-min windows share the
     // user hash-partitioning, so depth adds Window nodes, not shuffles.
