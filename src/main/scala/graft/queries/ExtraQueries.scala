@@ -35,19 +35,18 @@ object ExtraQueries {
     * deliberately tight 3×16 sketch over the token stream, then probe the
     * top-10 true-frequency tokens — estimates are provably ≥ truth, and at
     * this width collisions are visible, so the one-sided error is part of
-    * the checked output, not hidden. The top-10 ranking window runs over
-    * the vocabulary-sized frequency frame (bounded), never the token
-    * stream. */
+    * the checked output, not hidden. The top-10 head is orderBy+limit
+    * (TakeOrderedAndProject) over the vocabulary-sized frequency frame —
+    * per-partition heaps, no single-partition sort. */
   private val q101: Q = (s, d) => {
     import s.implicits._
     val toks = Tables.documents(s, d)
       .select(explode(split($"text", " ")).as("token"))
     val sketch = Sketches.countMinCounts(toks, "token", depth = 3, width = 16)
     val tf = toks.groupBy($"token").agg(count(lit(1)).as("true_cnt"))
-    val top = tf
-      .withColumn("rnk", row_number().over(
-        Window.orderBy($"true_cnt".desc, $"token")))
-      .where($"rnk" <= 10).drop("rnk")
+    // top-k as orderBy+limit: plans TakeOrderedAndProject (per-partition
+    // heaps + small merge), not a single-partition sort of the vocabulary
+    val top = tf.orderBy($"true_cnt".desc, $"token").limit(10)
     Sketches.cmsEstimate(sketch, top, "token", depth = 3, width = 16)
       .orderBy($"true_cnt".desc, $"token")
   }

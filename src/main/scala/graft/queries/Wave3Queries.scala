@@ -232,11 +232,11 @@ object Wave3Queries {
     * near −1; a synthetic or template-heavy corpus drifts off it. The
     * diagnostic a corpus datasheet quotes next to q100's volumes.
     *
-    * Shape: one token explode → vocab-sized frequency frame; the
-    * row_number rank is a single-partition sort of the VOCABULARY (bounded
-    * by distinct tokens, never corpus rows — at 100 TB the vocab frame is
-    * millions of rows where the corpus is trillions); the regression is a
-    * 1-row closed-form aggregate with 9 dp decimal sums. */
+    * Shape: one token explode → vocab-sized frequency frame; the top-1000
+    * head is orderBy+limit (TakeOrderedAndProject: per-partition heaps +
+    * a 1000-row merge — never a single-partition sort of the vocabulary)
+    * and the rank window runs over that 1000-row frame only; the
+    * regression is a 1-row closed-form aggregate with 9 dp decimal sums. */
   private val q124: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -244,8 +244,8 @@ object Wave3Queries {
     val pts = Tables.documents(s, d)
       .select(explode(Text.tokens($"text")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(1000)
       .withColumn("rank", row_number().over(Window.orderBy($"n".desc, $"tok")))
-      .where($"rank" <= 1000)
       .select(round(log($"rank".cast("double")), 9).as("x"),
         round(log($"n".cast("double")), 9).as("y"))
     pts.agg(count(lit(1)).cast("double").as("np"),

@@ -89,6 +89,28 @@ class PlanGuardSpec extends SparkSuite {
       s"surface columns outside the hashable set: ${offenders.mkString("; ")}")
   }
 
+  test("top-k heads plan TakeOrderedAndProject, windows only over bounded frames") {
+    // q101 (top-10 tokens) and q124 (top-1000 Zipf head) take their heads
+    // with orderBy+limit — per-partition heaps and a k-row merge. A
+    // single-partition Window over the unbounded vocabulary frame is the
+    // regression this pins: any Window in these plans must sit above the
+    // k-row limit (TakeOrderedAndProject / GlobalLimit in its subtree).
+    for (q <- Seq("q101_countmin", "q124_zipf_fit")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      assert(plan.toString.contains("TakeOrderedAndProject"),
+        s"$q: expected a TakeOrderedAndProject top-k head")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      windows.foreach { w =>
+        val bounded = w.child.collectFirst {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        }.nonEmpty
+        assert(bounded, s"$q: Window over an unbounded frame:\n$w")
+      }
+    }
+  }
+
   test("funnel plans ONE user-keyed Exchange regardless of depth") {
     // the funnel's claim: k chained conditional-min windows share the
     // user hash-partitioning, so depth adds Window nodes, not shuffles.
