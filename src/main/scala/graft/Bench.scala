@@ -125,6 +125,30 @@ object Bench {
     // FileIndex/parquet-reader startup cost on top of its own codegen
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
+    // JIT warm-up (untimed): one cheap representative per operator family,
+    // on the smallest sibling fixture when present. Sweep 1 otherwise
+    // carries the ONE-TIME C2/Janino warm-up of Spark's own machinery
+    // (~0.6 s/query at 129 queries), and the sweep1/sweep2 wall ratio
+    // trips the `contended` heuristic on an idle host (round-8 artifact:
+    // 234 s vs 150 s = 1.56 with zero co-tenant load). Representatives,
+    // not the full surface: the codegen class cache is a bounded LRU, so
+    // pre-compiling all 129 queries' classes would evict itself — the
+    // durable win is warming the shared machinery, which ~15 queries
+    // spanning agg/join/window/text/array/sketch/regex paths achieve.
+    val warmDir = {
+      val sib = java.nio.file.Paths.get(sfDir).toAbsolutePath.resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
+    }
+    val warmNames = Seq(
+      "q01_pricing_summary", "q06_dim_join_left", "q09_topk_peak",
+      "q10_minute_counts", "q16_topn_per_group", "q19_json_props",
+      "q21_token_stats", "q25_minhash_pairs", "q27_knn_cosine",
+      "q31_binary_meta", "q38_approx_sketches", "q50_seq_packing",
+      "q83_bpe_vocab", "q94_pii_redact", "q113_funnel")
+      .filter(SparkEntry.queries.contains)
+    val warmStart = System.nanoTime()
+    sweep(spark, warmDir, warmNames)
+    val warmWallSec = (System.nanoTime() - warmStart) / 1e9
     // Two full timed sweeps; report the per-query MINIMUM. Rationale
     // (documented in BASELINE.md): at sf0.1 most queries finish in well
     // under a second of actual execution, so a single cold pass mostly
@@ -178,7 +202,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
         s""""total_cold":$totalCold,"queries_cold":${toJson(first)},""" +
-        s""""contended":$contendedOut,"sweep1_wall_sec":$firstWallSec,""" +
+        s""""contended":$contendedOut,"warmup_wall_sec":$warmWallSec,""" +
+        s""""sweep1_wall_sec":$firstWallSec,""" +
         s""""sweep2_wall_sec":$secondWallSec,"sweep2_queries":${second.size},""" +
         s""""sf":"$sfDir"}"""
     println(line)

@@ -174,10 +174,23 @@ object Curate {
     * `aggs` are the published measures (must be summable — the suppressed
     * row re-aggregates them with `sum`). The fact table shuffles once
     * (the rollup); every suppression decision — including the ascending
-    * prefix window — runs on the ≤|groups| rollup frame. */
+    * prefix window — runs on the ≤|groups| rollup frame.
+    *
+    * Key columns must be strings (checked at call time — masking a
+    * numeric key with the sentinel would silently coerce the output
+    * schema), and the sentinel is reserved: a genuine key value equal to
+    * `__suppressed__` would merge real sub-k mass into a published row,
+    * so the plan raises at execution if one appears (zero cost on the
+    * non-colliding path — the check is a codegen'd branch). */
   def kAnonSuppress(df: DataFrame, keyCols: Seq[String], k: Long,
                     aggs: Seq[Column]): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    keyCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.StringType,
+        s"kAnonSuppress key column '$c' must be STRING (got ${dt.sql}): " +
+          "masking would silently coerce the output schema")
+    }
     import org.apache.spark.sql.expressions.Window
     val rolled = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
@@ -198,8 +211,15 @@ object Curate {
         $"__smass" > 0 && $"__smass" < k && $"__prev" < (lit(k) - $"__smass"))
     val marked = rolled.where($"n_rows" < k).withColumn("__fold", lit(true))
       .unionByName(survivors.drop("__prev", "__smass"))
+    // reserved-sentinel guard: a genuine '__suppressed__' key would merge
+    // real sub-k mass into a published row — fail loudly instead
+    def guarded(c: String): Column =
+      when(col(c) === "__suppressed__",
+        raise_error(lit(s"kAnonSuppress: key column '$c' contains the " +
+          "reserved sentinel '__suppressed__'")).cast("string"))
+        .otherwise(col(c))
     val masked = keyCols.map(c =>
-      when(!$"__fold", col(c)).otherwise(lit("__suppressed__")).as(c))
+      when(!$"__fold", guarded(c)).otherwise(lit("__suppressed__")).as(c))
     marked.select(masked ++ measureCols.map(col): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(sum($"n_rows").cast("long").as("n_rows"),

@@ -98,9 +98,12 @@ object Funnel {
     val activity = perUser.select(
       $"cohort_week",
       explode($"__weeks").as("__week"))
+      // calendar-wise, not epoch-seconds/604800: under a DST timezone a
+      // date_trunc('week') boundary can sit 3600 s off a 7-day multiple,
+      // which floor() would fold into the wrong offset bucket
       .withColumn("week_offset",
-        floor(($"__week".cast("long") - $"cohort_week".cast("long")) /
-          (7L * 24 * 3600)).cast("int"))
+        floor(datediff(to_date($"__week"), to_date($"cohort_week")) / 7)
+          .cast("int"))
       .groupBy($"cohort_week", $"week_offset")
       .agg(count(lit(1)).cast("long").as("n_active"))
     val sizes = perUser.groupBy($"cohort_week")

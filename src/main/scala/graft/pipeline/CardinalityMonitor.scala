@@ -57,18 +57,23 @@ object CardinalityMonitor {
 
   /** Per-window distinct estimates over the accumulated sink. Windows
     * written across multiple generations union-merge first, so the
-    * estimate is correct over compacted or restarted sinks. */
+    * estimate is correct over compacted or restarted sinks — INCLUDING a
+    * sink whose generations were written under different `lgK` configs (a
+    * restart with a retuned CardConfig): `allowDifferentLgConfigK` makes
+    * the union downgrade to the smallest lgK present instead of throwing
+    * at read time. */
   def estimates(spark: SparkSession, sinkPath: String): DataFrame =
     spark.read.parquet(sinkPath)
       .groupBy(col("window_start"), col("window_end"))
-      .agg(hll_union_agg(col("sk")).as("sk"))
+      .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
       .select(col("window_start"), col("window_end"),
         hll_sketch_estimate(col("sk")).as("approx_distinct"))
 
   /** Whole-horizon distinct: union-merge every window's sketch — the
-    * operation a per-window NUMBER sink could not support. */
+    * operation a per-window NUMBER sink could not support. Mixed-lgK
+    * generations union-merge at the smallest lgK ([[estimates]]). */
   def rollup(spark: SparkSession, sinkPath: String): DataFrame =
     spark.read.parquet(sinkPath)
-      .agg(hll_union_agg(col("sk")).as("sk"))
+      .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
       .select(hll_sketch_estimate(col("sk")).as("approx_distinct"))
 }

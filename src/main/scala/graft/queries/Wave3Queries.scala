@@ -717,8 +717,9 @@ object Wave3Queries {
         |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
         |    FROM events),
         |j AS (SELECT p.cohort_week,
-        |    CAST(floor((epoch(a.week) - epoch(p.cohort_week)) / (7*24*3600))
-        |      AS INTEGER) AS week_offset, a.user_id
+        |    CAST(floor(date_diff('day', CAST(p.cohort_week AS DATE),
+        |      CAST(a.week AS DATE)) / 7.0) AS INTEGER) AS week_offset,
+        |    a.user_id
         |  FROM act a JOIN pu p USING (user_id)),
         |agg AS (SELECT cohort_week, week_offset,
         |    count(DISTINCT user_id) AS n_active FROM j GROUP BY 1, 2),

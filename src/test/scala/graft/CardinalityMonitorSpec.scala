@@ -57,6 +57,29 @@ class CardinalityMonitorSpec extends SparkSuite {
       "rollup must not double-count the overlapping users")
   }
 
+  test("mixed-lgK sink generations union-merge instead of throwing") {
+    // a restart with a retuned CardConfig writes sketches at a different
+    // lgK into the SAME sink; estimates/rollup must downgrade to the
+    // smaller lgK, not fail at read time
+    val sink = tmpDir("cm-mixed")
+    def gen(users: Range, minute: Int, lgK: Int): Unit =
+      users.map(u => (ts(minute, (u % 60).toInt), u.toLong))
+        .toDF("ts", "user_id")
+        .groupBy(window($"ts", "1 minute"))
+        .agg(hll_sketch_agg($"user_id", lit(lgK)).as("sk"))
+        .select($"window.start".as("window_start"),
+          $"window.end".as("window_end"), $"sk")
+        .write.mode("append").parquet(sink)
+    gen(1 to 40, minute = 0, lgK = 12)
+    gen(21 to 60, minute = 0, lgK = 10) // same window, different config
+    val est = CardinalityMonitor.estimates(spark, sink)
+      .select($"approx_distinct").as[Double].collect()
+    assert(est.length == 1 && est.head > 55 && est.head < 65,
+      s"union over mixed lgK should see ~60 distinct: ${est.toSeq}")
+    val rolled = CardinalityMonitor.rollup(spark, sink).as[Double].head()
+    assert(rolled > 55 && rolled < 65, s"rollup $rolled")
+  }
+
   test("streaming state is windowed aggregation, not per-key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]

@@ -74,6 +74,25 @@ class Wave3Spec extends SparkSuite {
     assert(got.length == 1 && got.head.getAs[Long]("n_active") == 1L)
   }
 
+  test("cohortRetention: week offsets are calendar-true across a DST shift") {
+    // In America/New_York the week boundary after 2024-03-10's
+    // spring-forward sits 604800−3600 epoch-seconds past the previous
+    // one; the old epoch/604800 formula floored that to offset 0,
+    // collapsing week 1 into the cohort week. Timestamps are parsed
+    // INSIDE the session (to_timestamp) so wall times are NY-local.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val events = Seq((1L, "2024-03-05 09:00:00"), // cohort week Mon 03-04 (EST)
+          (1L, "2024-03-12 09:00:00"))              // next week (EDT)
+        .toDF("user_id", "ts_s")
+        .select($"user_id", to_timestamp($"ts_s").as("ts"))
+      val got = Funnel.cohortRetention(events, "user_id", "ts")
+        .select($"week_offset").as[Int].collect().toSet
+      assert(got == Set(0, 1), got.toString)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("pmiCollocations: floor prunes reporting but not the pair space") {
     // "a b" ×4 (below floor 5), "c d" ×5: with the floor at 5 only (c,d)
     // reports, and its PMI uses the FULL pair total (9), not 5.
@@ -160,6 +179,39 @@ class Wave3Spec extends SparkSuite {
       .as[(String, String, Long)].collect().toSet
     assert(got2 == Set(("en", "s1", 4L), ("__suppressed__", "__suppressed__", 4L)),
       got2.toString)
+  }
+
+  test("kAnonSuppress: a corpus whose total is below k is one suppressed row") {
+    // every cell sub-k AND the whole corpus sub-k: nothing finer than a
+    // single all-mass suppressed row may publish
+    val rows = (Seq.fill(2)(("en", "s1")) ++ Seq.fill(1)(("de", "s2")))
+      .map { case (l, s) => (l, s, 1L) }.toDF("lang", "source", "m")
+    val got = graft.ops.Curate.kAnonSuppress(rows, Seq("lang", "source"),
+        k = 100L, Seq(sum($"m").as("m_sum")))
+      .select($"lang", $"source", $"n_rows", $"m_sum")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("__suppressed__", "__suppressed__", 3L, 3L)), got.toString)
+  }
+
+  test("kAnonSuppress guards: non-string keys rejected, sentinel reserved") {
+    // numeric key: masking would coerce the schema — reject at call time
+    val numKey = Seq((1L, 1L), (1L, 2L)).toDF("g", "m")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Curate.kAnonSuppress(numKey, Seq("g"), 1L,
+        Seq(sum($"m").as("m_sum")))
+    }
+    assert(e1.getMessage.contains("must be STRING"), e1.getMessage)
+    // a genuine published key equal to the sentinel would merge real
+    // sub-k mass into a published row — the plan must raise, not merge
+    // both groups >= k so neither folds: the genuine sentinel group
+    // reaches the publish path, where the guard must fire
+    val clash = (Seq.fill(5)("__suppressed__") ++ Seq.fill(3)("de"))
+      .map(g => (g, 1L)).toDF("g", "m")
+    val e2 = intercept[Exception] {
+      graft.ops.Curate.kAnonSuppress(clash, Seq("g"), 3L,
+        Seq(sum($"m").as("m_sum"))).collect()
+    }
+    assert(e2.getMessage.contains("reserved sentinel"), e2.getMessage)
   }
 
   test("dpNoisyCounts: deterministic, finite, and key-dependent") {
