@@ -113,6 +113,80 @@ class FunnelStreamSpec extends SparkSuite {
       (3, ts("2024-01-01 10:02:00").getTime * 1000)), rows.toString)
   }
 
+  private def runBuffered(batches: Seq[Seq[(Long, Timestamp, String)]],
+                          delay: String): Map[Long, Int] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = FunnelStream.funnelEventsWatermarked(
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, delay)
+    val name = s"funnel_buffered_${System.nanoTime()}"
+    val q = FunnelStream.progressBuffered(events, steps.size).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).select($"user_id", $"step_reached")
+      .as[(Long, Int)].collect().toSeq
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+  }
+
+  test("buffered variant: disordered delivery still matches batch semantics") {
+    // u1's view is delivered LAST although it happened first. The
+    // in-order variant (greedy, no buffer) is stuck at step 1; the
+    // watermark-buffered variant reorders inside the 10 s horizon and
+    // completes all 3 steps.
+    val b1 = Seq((1L, ts("2024-01-01 10:00:05"), "click"),
+      (1L, ts("2024-01-01 10:00:08"), "purchase"))
+    val b2 = Seq((1L, ts("2024-01-01 10:00:00"), "view"),
+      (99L, ts("2024-01-01 10:01:00"), "view")) // flush: advance watermark
+    val b3 = Seq((99L, ts("2024-01-01 10:02:00"), "click")) // fire timeouts
+    val buffered = runBuffered(Seq(b1, b2, b3), "10 seconds")
+    assert(buffered(1L) == 3, buffered.toString)
+    val inOrder = runBatches(Seq(b1, b2, b3))
+      .groupBy(_._1).map { case (u, r) => u -> r.map(_._2).max }
+    assert(inOrder(1L) == 1,
+      s"fixture must demonstrate the in-order degradation: $inOrder")
+  }
+
+  test("buffered variant: shuffled replay parity under bounded disorder") {
+    // 12 users with varied sequences (complete, inverted, partial),
+    // arrival = event time + deterministic jitter < 8 s, watermark 10 s:
+    // disorder is bounded by the horizon, so the final per-user position
+    // must equal the batch chain over the SORTED events — for every user.
+    val base = ts("2024-01-01 10:00:00").getTime
+    def t(offSec: Int) = new Timestamp(base + offSec * 1000L)
+    val rnd = new scala.util.Random(42)
+    val events = (1L to 12L).flatMap { u =>
+      val o = (u % 4).toInt match {
+        case 0 => Seq(("view", 0), ("click", 20), ("purchase", 40))   // full
+        case 1 => Seq(("view", 0), ("purchase", 20), ("click", 40))   // inverted tail
+        case 2 => Seq(("click", 0), ("purchase", 20))                  // never enters
+        case 3 => Seq(("view", 0), ("view", 20), ("click", 21))        // repeat + pair
+      }
+      o.map { case (tp, s) => (u, t((u % 7).toInt + s), tp) }
+    }
+    val arrivals = events.sortBy { case (_, tss, _) =>
+      tss.getTime + rnd.nextInt(7999) }
+    val flushA = Seq((999L, t(3600), "view"))
+    val flushB = Seq((999L, t(7200), "click"))
+    val batches = arrivals.grouped(5).toSeq ++ Seq(flushA, flushB)
+    val got = runBuffered(batches, "10 seconds") - 999L
+    // reference: the batch greedy chain per user on time-sorted events
+    val expect = events.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.map { case (_, tss, tp) =>
+        (tss.getTime, steps.indexOf(tp)) }.sortBy(identity)
+      val times = Array.fill(steps.size)(-1L)
+      sorted.foreach { case (tm, i) =>
+        if (times(i) < 0 && (i == 0 || (times(i - 1) >= 0 && tm > times(i - 1))))
+          times(i) = tm }
+      u -> times.count(_ >= 0)
+    }
+    val expectReached = expect.filter(_._2 > 0)
+    assert(got == expectReached, s"\ngot:    $got\nexpect: $expectReached")
+  }
+
   test("no progress, no emission; late same-timestamp click never counts") {
     val log = runBatches(Seq(
       Seq((9L, ts("2024-01-01 10:00:00"), "view")),
