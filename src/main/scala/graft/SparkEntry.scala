@@ -32,12 +32,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries ++
       graft.queries.AdvQueries.queries ++ graft.queries.CurateQueries.queries ++
-      graft.queries.ExtraQueries.queries ++ graft.queries.Wave3Queries.queries
+      graft.queries.ExtraQueries.queries ++ graft.queries.Wave3Queries.queries ++
+      graft.queries.Wave4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle ++
       graft.queries.AdvQueries.oracle ++ graft.queries.CurateQueries.oracle ++
-      graft.queries.ExtraQueries.oracle ++ graft.queries.Wave3Queries.oracle
+      graft.queries.ExtraQueries.oracle ++ graft.queries.Wave3Queries.oracle ++
+      graft.queries.Wave4Queries.oracle
 }

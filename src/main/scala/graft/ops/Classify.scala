@@ -158,4 +158,72 @@ object Classify {
 
   private val modelMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Double), TrainedLogistic]()
+
+  /** Per-class evaluation report from a (truth, predicted) frame: one
+    * row per class appearing on EITHER side — support, true/false
+    * positives, false negatives, precision, recall, F1 (9 dp doubles;
+    * a zero denominator scores 0.0, the conventional strict reading).
+    *
+    * Shape: two class-keyed partial aggregates (by truth, by prediction)
+    * full-outer-joined on the class — everything after the input frame
+    * is class-cardinality work. The input is whatever produced the
+    * predictions; this operator adds no pass over the corpus. */
+  def classifierEval(df: DataFrame, truthCol: String,
+                     predCol: String): DataFrame = {
+    val byTruth = df.groupBy(col(truthCol).as("label"))
+      .agg(count(lit(1)).cast("long").as("support"),
+        sum(when(col(truthCol) === col(predCol), 1L).otherwise(0L))
+          .cast("long").as("tp"))
+    val byPred = df.groupBy(col(predCol).as("label"))
+      .agg(count(lit(1)).cast("long").as("n_pred"))
+    val safeDiv = (a: Column, b: Column) =>
+      when(b > 0, a.cast("double") / b).otherwise(lit(0.0))
+    byTruth.join(byPred, Seq("label"), "full_outer")
+      .select($"label",
+        coalesce($"support", lit(0L)).as("support"),
+        coalesce($"tp", lit(0L)).as("tp"),
+        (coalesce($"n_pred", lit(0L)) - coalesce($"tp", lit(0L))).as("fp"),
+        (coalesce($"support", lit(0L)) - coalesce($"tp", lit(0L))).as("fn"),
+        coalesce($"n_pred", lit(0L)).as("__np"))
+      .withColumn("precision", round(safeDiv($"tp", $"__np"), 9))
+      .withColumn("recall", round(safeDiv($"tp", $"support"), 9))
+      .withColumn("f1", round(
+        when($"tp" > 0,
+          lit(2.0) * ($"tp" / $"__np") * ($"tp" / $"support") /
+            ($"tp" / $"__np" + $"tp" / $"support"))
+          .otherwise(lit(0.0)), 9))
+      .drop("__np")
+  }
+
+  /** Cohen's kappa between two label columns — chance-corrected
+    * inter-annotator agreement, THE label-quality gate before a labeled
+    * set becomes supervised training data (raw agreement flatters
+    * skewed label distributions; kappa subtracts what marginals alone
+    * would produce). One row: n_items, observed agreement p_o, chance
+    * agreement p_e = Σ p_a(ℓ)·p_b(ℓ), kappa = (p_o − p_e)/(1 − p_e)
+    * (9 dp doubles; degenerate p_e = 1 scores kappa 0.0).
+    *
+    * Shape: three class-keyed/scalar partial aggregates over one scan;
+    * marginal products run on the class-cardinality frame. All counts
+    * are exact longs, so the divisions are engine-exact. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val tot = df.agg(count(lit(1)).cast("long").as("n_items"),
+      sum(when(col(aCol) === col(bCol), 1L).otherwise(0L))
+        .cast("long").as("__agree"))
+    val pa = df.groupBy(col(aCol).as("label"))
+      .agg(count(lit(1)).cast("long").as("__na"))
+    val pb = df.groupBy(col(bCol).as("label"))
+      .agg(count(lit(1)).cast("long").as("__nb"))
+    val chance = pa.join(pb, Seq("label"))
+      .agg(sum($"__na" * $"__nb").cast("long").as("__prod"))
+    tot.crossJoin(broadcast(chance))
+      .select($"n_items",
+        ($"__agree" / $"n_items").as("__po"),
+        ($"__prod" / ($"n_items".cast("double") * $"n_items")).as("__pe"))
+      .select($"n_items", round($"__po", 9).as("po"),
+        round($"__pe", 9).as("pe"),
+        round(when($"__pe" < 1.0,
+            ($"__po" - $"__pe") / (lit(1.0) - $"__pe"))
+          .otherwise(lit(0.0)), 9).as("kappa"))
+  }
 }

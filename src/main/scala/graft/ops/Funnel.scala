@@ -81,6 +81,33 @@ object Funnel {
       .orderBy($"step")
   }
 
+  /** First-order Markov transition matrix of the event stream: for each
+    * ordered pair of event types, how often one follows the other within
+    * a user's time-ordered stream, and the row-normalized transition
+    * probability (9 dp double) — the behavioral fingerprint funnels are a
+    * special path through.
+    *
+    * Shape: ONE hash-exchange on the user key for the `lead` window (per
+    * user, ordered by (ts, idCol) — the id tie-break makes equal-time
+    * orderings deterministic); the pair rollup and the row-normalizing
+    * window both run on the type²-cardinality transition frame, never on
+    * events. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead($"from_type", 1).over(w))
+      .where($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).cast("long").as("n_trans"))
+    val wf = Window.partitionBy($"from_type")
+    trans
+      .withColumn("prob", round($"n_trans" / sum($"n_trans").over(wf), 9))
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of their
     * FIRST event; for each (cohort week, week offset ≥ 0) the output
     * carries the distinct users active that week, the cohort size, and

@@ -65,6 +65,28 @@ object Similarity {
     rerank(c.join(broadcast(q), $"query_id" =!= $"neighbor_id"), k)
   }
 
+  /** Mutual top-1 neighbor pairs — the bitext/duplicate-mining filter:
+    * a pair survives only if each vector is the OTHER's nearest
+    * neighbor, which strips the hub-dominated false matches a one-sided
+    * top-1 keeps (the standard margin trick's hard form). Output
+    * `(id_a, id_b, cosine)` with `id_a < id_b`, cosine rounded to 6 dp.
+    *
+    * The exact all-vs-all top-1 here is for evaluation-sized inputs
+    * (the caller bounds `vecs`); at corpus scale generate candidates
+    * with [[knnIvf]]/[[knnLsh]] and apply the SAME mutual join — the
+    * filter is one self-equi-join on the (query, neighbor) pair either
+    * way, never a second scan. */
+  def mutualTopOnePairs(vecs: DataFrame): DataFrame = {
+    val t1 = knnBruteForce(vecs, vecs, 1)
+      .select($"query_id", $"neighbor_id", $"cosine")
+    val rev = t1.select($"query_id".as("neighbor_id"),
+      $"neighbor_id".as("query_id"))
+    t1.join(rev, Seq("query_id", "neighbor_id"))
+      .where($"query_id" < $"neighbor_id")
+      .select($"query_id".as("id_a"), $"neighbor_id".as("id_b"),
+        round($"cosine", 6).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `h` × `dim` doubles in
     * [-0.5, 0.5), derived from a seeded xorshift so runs are reproducible
     * with no RNG state. */

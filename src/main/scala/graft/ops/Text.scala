@@ -60,8 +60,14 @@ object Text {
 
   /** Per-language marker-hit scores; columns named `s_<lang>`. */
   def langScores(text: Column): Seq[(String, Column)] =
+    langScoresTokens(tokens(text))
+
+  /** [[langScores]] over an already-tokenized array — lets a caller
+    * score SEGMENTS of a document (slices of one tokenization) without
+    * re-splitting ([[codeSwitch]]). */
+  def langScoresTokens(toks: Column): Seq[(String, Column)] =
     langMarkers.map { case (lang, words) =>
-      lang -> size(filter(tokens(text), t => array_contains(typedLit(words), t)))
+      lang -> size(filter(toks, t => array_contains(typedLit(words), t)))
     }
 
   /** Argmax over the scores with deterministic tie-break (marker order). */
@@ -75,6 +81,31 @@ object Text {
     preds.init.foldRight(lit(preds.last._1)) { case ((lang, cond), els) =>
       when(cond, lit(lang)).otherwise(els)
     }
+  }
+
+  /** Code-switch detection: language-ID the HEAD and TAIL halves of each
+    * document independently and flag documents whose halves disagree —
+    * the cheap screen for concatenation artifacts (two sources glued into
+    * one record) and genuinely mixed-language text, both of which poison
+    * language-filtered training mixes. Head = first ⌈n/2⌉ tokens, tail =
+    * the rest; one tokenization, two slices ([[langScoresTokens]]), all
+    * map-side — the operator adds no shuffle to a scan.
+    *
+    * `is_switch` requires ≥ 2 tokens (a halved singleton has an empty
+    * tail whose all-zero scores argmax to the tie-break default — not a
+    * signal). */
+  def codeSwitch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val half = ceil(n / lit(2.0)).cast("int")
+    val head = slice(toks, lit(1), half)
+    val tail = slice(toks, half + 1, n - half)
+    df.select(col(idCol), n.as("n_tokens"),
+        langPredict(langScoresTokens(head)).as("lang_head"),
+        langPredict(langScoresTokens(tail)).as("lang_tail"))
+      .withColumn("is_switch",
+        $"n_tokens" >= 2 && $"lang_head" =!= $"lang_tail")
   }
 
   /** Word n-gram shingles, same values as the DuckDB oracle's

@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Classify, Diagnostics, Funnel, Linkage, Similarity, Text}
+
+/** Round-9 fourth-wave queries: record linkage (blocked fuzzy match to a
+  * master table), Markov event transitions, centroid-classifier
+  * evaluation (per-class P/R/F1), code-switch detection, mutual top-1
+  * neighbor mining, join-key skew diagnostics, and Cohen's kappa
+  * inter-annotator agreement. All seven are DuckDB-oracle-checked. */
+object Wave4Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The deterministic dirty-record drop q130 links back to the part
+    * master: token swaps (normal form absorbs), case noise (normal form
+    * absorbs), and a suffix typo on the first token (survives the
+    * truncated blocking key; costs edit distance 1). */
+  private def dirtyParts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d).select($"p_partkey", $"p_name")
+    val first = substring_index($"p_name", " ", 1)
+    val last = substring_index($"p_name", " ", -1)
+    p.where($"p_partkey" % 3 === 0)
+      .select(($"p_partkey" + 1000000L).as("p_partkey"),
+        concat(last, lit(" "), first).as("p_name"))
+      .unionByName(p.where($"p_partkey" % 5 === 0)
+        .select(($"p_partkey" + 2000000L).as("p_partkey"),
+          upper($"p_name").as("p_name")))
+      .unionByName(p.where($"p_partkey" % 7 === 0)
+        .select(($"p_partkey" + 3000000L).as("p_partkey"),
+          concat(first, lit("x "), last).as("p_name")))
+  }
+
+  /** Record linkage ([[Linkage.matchToMaster]]): dirty part records
+    * (swapped/cased/typoed names) matched to the part master by blocked
+    * Levenshtein over sorted-token normal forms. The join is equi on
+    * the truncated blocking key against the master's NAME VOCABULARY,
+    * never its rows. */
+  private val q130: Q = (s, d) => {
+    import s.implicits._
+    Linkage.matchToMaster(dirtyParts(s, d), "p_partkey",
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)
+      .orderBy($"dirty_id")
+  }
+
+  /** Markov transition matrix ([[Funnel.eventTransitions]]): per ordered
+    * event-type pair, the count and row-normalized probability of one
+    * type following the other within a user's time-ordered stream. One
+    * user-keyed exchange; everything after is type²-cardinality. */
+  private val q131: Q = (s, d) =>
+    Funnel.eventTransitions(Tables.events(s, d), "user_id", "ts",
+      "event_id", "event_type")
+
+  /** Centroid-classifier evaluation ([[Classify.classifierEval]]):
+    * predict each embedding's label as its cosine-nearest label centroid
+    * (q63's decimal-rounded means), then the per-class
+    * precision/recall/F1 report against the true labels. All dot/norm
+    * sums ride 9 dp decimal accumulation so the argmax is engine-exact;
+    * the centroid frame (labels × dims) broadcasts. */
+  private val q132: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label",
+        posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
+    val cent = e.groupBy($"label".as("clabel"), $"dim")
+      .agg(round(sum($"v".cast("decimal(18,4)")).cast("double") /
+        count($"v"), 6).as("c"))
+    val cnorm = cent.groupBy($"clabel")
+      .agg(sum(round($"c" * $"c", 9).cast("decimal(28,12)"))
+        .cast("double").as("c2"))
+    val vnorm = e.groupBy($"vec_id")
+      .agg(sum(round($"v" * $"v", 9).cast("decimal(28,12)"))
+        .cast("double").as("v2"))
+    val dots = e.join(broadcast(cent), Seq("dim"))
+      .groupBy($"vec_id", $"clabel")
+      .agg(sum(round($"v" * $"c", 9).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+    val scored = dots.join(vnorm, Seq("vec_id"))
+      .join(broadcast(cnorm), Seq("clabel"))
+      .withColumn("cos", $"dot" / sqrt($"v2" * $"c2"))
+    val pred = graft.ops.Windows.topNPerGroup(scored, Seq($"vec_id"),
+        Seq($"cos".desc, $"clabel"), 1)
+      .select($"vec_id", $"clabel".as("predicted"))
+    val joined = Tables.embeddings(s, d).select($"vec_id", $"label")
+      .join(pred, Seq("vec_id"))
+    Classify.classifierEval(joined, "label", "predicted")
+      .orderBy($"label")
+  }
+
+  /** Code-switch detection ([[Text.codeSwitch]]) over a corpus with
+    * planted concatenation artifacts: every 4th doc is glued to its
+    * successor (both engines construct the identical frame), so
+    * cross-language gluings flag `is_switch`. Map-side per doc. */
+  private val q133: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val glued = docs.as("a")
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .where(col("a.doc_id") % 4 === 0)
+      .select(col("a.doc_id").as("doc_id"),
+        concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+    val plain = docs.where($"doc_id" % 4 =!= 0)
+    Text.codeSwitch(glued.unionByName(plain), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** Mutual top-1 neighbor mining ([[Similarity.mutualTopOnePairs]])
+    * over an evaluation-sized slice (vec_id < 200) — pairs where each
+    * vector is the other's nearest neighbor. At corpus scale the same
+    * mutual join runs over IVF/LSH candidates (see the operator doc). */
+  private val q134: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Similarity.prepared(
+      Tables.embeddings(s, d).where($"vec_id" < 200), "vec_id", "embedding")
+    Similarity.mutualTopOnePairs(vecs).orderBy($"id_a")
+  }
+
+  /** Join-key skew datasheet ([[Diagnostics.keySkew]]) for the three
+    * hottest join keys in the schema — cardinality, heaviest key,
+    * frequency percentiles, HHI concentration. One shuffle per key. */
+  private val q135: Q = (s, d) => {
+    import s.implicits._
+    Diagnostics.keySkew(Tables.events(s, d), "user_id", "events.user_id")
+      .unionByName(Diagnostics.keySkew(Tables.lineitem(s, d),
+        "l_orderkey", "lineitem.l_orderkey"))
+      .unionByName(Diagnostics.keySkew(Tables.orders(s, d),
+        "o_custkey", "orders.o_custkey"))
+      .orderBy($"key_name")
+  }
+
+  /** Cohen's kappa ([[Classify.cohenKappa]]) between the corpus lang
+    * labels and a deterministically perturbed second annotator (every
+    * 6th doc shifted one language over — both engines construct the
+    * identical frame). */
+  private val q136: Q = (s, d) => {
+    import s.implicits._
+    val shifted = when($"lang" === "en", "de").when($"lang" === "de", "es")
+      .when($"lang" === "es", "fr").when($"lang" === "fr", "zh")
+      .otherwise("en")
+    val ann = Tables.documents(s, d).select($"doc_id",
+      $"lang".as("annotator_a"),
+      when($"doc_id" % 6 === 0, shifted).otherwise($"lang").as("annotator_b"))
+    Classify.cohenKappa(ann, "annotator_a", "annotator_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q130_record_linkage" -> q130,
+    "q131_markov_transitions" -> q131,
+    "q132_classifier_eval" -> q132,
+    "q133_code_switch" -> q133,
+    "q134_mutual_knn" -> q134,
+    "q135_key_skew" -> q135,
+    "q136_annotator_kappa" -> q136)
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  /** DuckDB rendering of [[Linkage.normalForm]] / [[Linkage.blockingKey]]
+    * (regexp_replace needs the explicit 'g' flag; Spark's is global). */
+  private def normalFormSql(x: String) =
+    s"array_to_string(list_sort(regexp_split_to_array(trim(" +
+      s"regexp_replace(lower($x), '[^a-z0-9 ]', '', 'g')), ' +')), ' ')"
+  private def blockingKeySql(x: String) =
+    s"array_to_string(list_sort(list_transform(regexp_split_to_array(trim(" +
+      s"regexp_replace(lower($x), '[^a-z0-9 ]', '', 'g')), ' +'), " +
+      s"t -> substr(t, 1, 4))), ' ')"
+
+  private def langScoreSqlOn(listExpr: String, lang: String): String = {
+    val words = Text.langMarkers.toMap.apply(lang)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter($listExpr, t -> list_contains($words, t))) AS INTEGER)"
+  }
+  private def argmaxLangSql(p: String): String =
+    s"""CASE
+       |    WHEN ${p}_en >= ${p}_de AND ${p}_en >= ${p}_es AND ${p}_en >= ${p}_fr AND ${p}_en >= ${p}_zh THEN 'en'
+       |    WHEN ${p}_de >= ${p}_en AND ${p}_de >= ${p}_es AND ${p}_de >= ${p}_fr AND ${p}_de >= ${p}_zh THEN 'de'
+       |    WHEN ${p}_es >= ${p}_en AND ${p}_es >= ${p}_de AND ${p}_es >= ${p}_fr AND ${p}_es >= ${p}_zh THEN 'es'
+       |    WHEN ${p}_fr >= ${p}_en AND ${p}_fr >= ${p}_de AND ${p}_fr >= ${p}_es AND ${p}_fr >= ${p}_zh THEN 'fr'
+       |    ELSE 'zh'
+       |  END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q130_record_linkage" ->
+      s"""WITH dirty AS (
+         |  SELECT p_partkey + 1000000 AS dirty_id,
+         |    split_part(p_name, ' ', 2) || ' ' || split_part(p_name, ' ', 1) AS dirty_name
+         |  FROM part WHERE p_partkey % 3 = 0
+         |  UNION ALL SELECT p_partkey + 2000000, upper(p_name)
+         |  FROM part WHERE p_partkey % 5 = 0
+         |  UNION ALL SELECT p_partkey + 3000000,
+         |    split_part(p_name, ' ', 1) || 'x ' || split_part(p_name, ' ', 2)
+         |  FROM part WHERE p_partkey % 7 = 0),
+         |mk AS (SELECT ${blockingKeySql("p_name")} AS bkey,
+         |    ${normalFormSql("p_name")} AS mname,
+         |    min(p_partkey) AS master_id
+         |  FROM part GROUP BY 1, 2),
+         |dk AS (SELECT dirty_id, dirty_name,
+         |    ${normalFormSql("dirty_name")} AS dname,
+         |    ${blockingKeySql("dirty_name")} AS bkey FROM dirty),
+         |sc AS (SELECT dirty_id, dirty_name, master_id, mname,
+         |    CAST(levenshtein(dname, mname) AS INTEGER) AS edit_dist
+         |  FROM dk JOIN mk USING (bkey)
+         |  WHERE levenshtein(dname, mname) <= 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
+         |    ORDER BY edit_dist, master_id) AS rn FROM sc)
+         |SELECT dirty_id, dirty_name, master_id, mname AS master_name, edit_dist
+         |FROM r WHERE rn = 1 ORDER BY dirty_id""".stripMargin,
+    "q131_markov_transitions" ->
+      """WITH t AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n_trans FROM t
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  round(CAST(n_trans AS DOUBLE) /
+        |    sum(n_trans) OVER (PARTITION BY from_type), 9) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q132_classifier_eval" ->
+      """WITH e AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+        |      AS INTEGER) AS dim
+        |  FROM embeddings),
+        |cent AS (SELECT label AS clabel, dim,
+        |    round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(v), 6) AS c
+        |  FROM e GROUP BY 1, 2),
+        |cn AS (SELECT clabel,
+        |    CAST(sum(CAST(round(c*c, 9) AS DECIMAL(28,12))) AS DOUBLE) AS c2
+        |  FROM cent GROUP BY 1),
+        |vn AS (SELECT vec_id,
+        |    CAST(sum(CAST(round(v*v, 9) AS DECIMAL(28,12))) AS DOUBLE) AS v2
+        |  FROM e GROUP BY 1),
+        |dots AS (SELECT vec_id, clabel,
+        |    CAST(sum(CAST(round(e.v * cent.c, 9) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        |  FROM e JOIN cent USING (dim) GROUP BY 1, 2),
+        |sc AS (SELECT vec_id, clabel, dot / sqrt(v2 * c2) AS cos
+        |  FROM dots JOIN vn USING (vec_id) JOIN cn USING (clabel)),
+        |pr AS (SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, clabel) AS rn FROM sc),
+        |pred AS (SELECT em.vec_id, em.label AS truth, p.clabel AS predicted
+        |  FROM embeddings em JOIN pr p ON em.vec_id = p.vec_id AND p.rn = 1),
+        |bt AS (SELECT truth AS label, CAST(count(*) AS BIGINT) AS support,
+        |    CAST(sum(CASE WHEN truth = predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM pred GROUP BY 1),
+        |bp AS (SELECT predicted AS label, CAST(count(*) AS BIGINT) AS n_pred
+        |  FROM pred GROUP BY 1),
+        |j AS (SELECT label, coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+        |    coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+        |    coalesce(support, 0) - coalesce(tp, 0) AS fn,
+        |    coalesce(n_pred, 0) AS np
+        |  FROM bt FULL JOIN bp USING (label))
+        |SELECT label, support, tp, fp, fn,
+        |  round(CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / np ELSE 0.0 END, 9)
+        |    AS "precision",
+        |  round(CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support
+        |    ELSE 0.0 END, 9) AS recall,
+        |  round(CASE WHEN tp > 0 THEN
+        |      2.0 * (CAST(tp AS DOUBLE) / np) * (CAST(tp AS DOUBLE) / support) /
+        |        (CAST(tp AS DOUBLE) / np + CAST(tp AS DOUBLE) / support)
+        |    ELSE 0.0 END, 9) AS f1
+        |FROM j ORDER BY label""".stripMargin,
+    "q133_code_switch" -> {
+      val headScores = Text.langMarkers.map { case (l, _) =>
+        s"${langScoreSqlOn("head", l)} AS h_$l" }.mkString(",\n    ")
+      val tailScores = Text.langMarkers.map { case (l, _) =>
+        s"${langScoreSqlOn("tail", l)} AS t_$l" }.mkString(",\n    ")
+      s"""WITH src AS (
+         |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 4 = 0
+         |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM src),
+         |h AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |    w[1:CAST(ceil(len(w) / 2.0) AS INTEGER)] AS head,
+         |    w[CAST(ceil(len(w) / 2.0) AS INTEGER) + 1:len(w)] AS tail
+         |  FROM t),
+         |s AS (SELECT doc_id, n_tokens,
+         |    $headScores,
+         |    $tailScores
+         |  FROM h),
+         |lg AS (SELECT doc_id, n_tokens,
+         |  ${argmaxLangSql("h")} AS lang_head,
+         |  ${argmaxLangSql("t")} AS lang_tail
+         |  FROM s)
+         |SELECT doc_id, n_tokens, lang_head, lang_tail,
+         |  n_tokens >= 2 AND lang_head <> lang_tail AS is_switch
+         |FROM lg ORDER BY doc_id""".stripMargin
+    },
+    "q134_mutual_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM s),
+        |t AS (SELECT query_id, neighbor_id, sim FROM r WHERE rnk = 1)
+        |SELECT a.query_id AS id_a, a.neighbor_id AS id_b,
+        |  round(a.sim, 6) AS cosine
+        |FROM t a JOIN t b
+        |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+        |WHERE a.query_id < a.neighbor_id
+        |ORDER BY id_a""".stripMargin,
+    "q135_key_skew" -> {
+      def one(table: String, key: String) =
+        s"""SELECT '$table.$key' AS key_name,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(max(n) AS BIGINT) AS max_n,
+           |  round(quantile_cont(n, 0.5), 6) AS p50_n,
+           |  round(quantile_cont(n, 0.99), 6) AS p99_n,
+           |  round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 9) AS top_share,
+           |  round(CAST(sum(CAST(n * n AS DECIMAL(38,0))) AS DOUBLE) /
+           |    (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 9) AS hhi
+           |FROM (SELECT $key AS k, CAST(count(*) AS BIGINT) AS n FROM $table
+           |  WHERE $key IS NOT NULL GROUP BY 1)""".stripMargin
+      s"""${one("events", "user_id")}
+         |UNION ALL ${one("lineitem", "l_orderkey")}
+         |UNION ALL ${one("orders", "o_custkey")}
+         |ORDER BY key_name""".stripMargin
+    },
+    "q136_annotator_kappa" ->
+      """WITH ann AS (SELECT doc_id, lang AS a,
+        |    CASE WHEN doc_id % 6 = 0 THEN
+        |      CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es'
+        |        WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'en' END
+        |    ELSE lang END AS b
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM ann),
+        |pa AS (SELECT a AS label, count(*) AS na FROM ann GROUP BY 1),
+        |pb AS (SELECT b AS label, count(*) AS nb FROM ann GROUP BY 1),
+        |ch AS (SELECT CAST(sum(na * nb) AS BIGINT) AS prod
+        |  FROM pa JOIN pb USING (label)),
+        |v AS (SELECT n_items, CAST(agree AS DOUBLE) / n_items AS po,
+        |    CAST(prod AS DOUBLE) / (CAST(n_items AS DOUBLE) * n_items) AS pe
+        |  FROM tot, ch)
+        |SELECT n_items, round(po, 9) AS po, round(pe, 9) AS pe,
+        |  round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe)
+        |    ELSE 0.0 END, 9) AS kappa
+        |FROM v ORDER BY n_items""".stripMargin)
+}

@@ -39,7 +39,9 @@ class PlanGuardSpec extends SparkSuite {
     "q115_pmi_collocations", // pair frame × broadcast(1-row totals) ×2
     "q118_kanon",          // rollup frame × broadcast(1-row sub-k mass)
     "q126_bootstrap_ci",   // 1-row CI frame × broadcast(1-row point mean)
-    "q129_fk_health")      // 1-row child count × broadcast(1-row orphan count), per edge
+    "q129_fk_health",      // 1-row child count × broadcast(1-row orphan count), per edge
+    "q134_mutual_knn",     // 200-row eval slice × broadcast(itself), brute-force top-1
+    "q136_annotator_kappa") // 1-row totals × broadcast(1-row chance agreement)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
