@@ -1051,6 +1051,48 @@ object Dedup {
         concat_ws(" ", slice($"t", $"pos" * k + 1, lit(k))).as("tile"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: documents whose tile set is mostly a
+    * subset of another document's — the excerpt/quote/truncation
+    * duplication that symmetric Jaccard under-scores by construction (a
+    * 2-tile excerpt of a 1000-tile document has Jaccard ≈ 0.002 but
+    * containment 1.0). Output one row per directed pair with
+    * `containment` = |rare-tiles(inner) ∩ tiles(outer)| /
+    * |rare-tiles(inner)| ≥ `minFrac`, inner ≠ outer.
+    *
+    * Candidates come from the df-capped tile postings (`maxDf`): a tile
+    * shared by more than `maxDf` documents is boilerplate — it would
+    * generate quadratic candidates, and evidence that common certifies
+    * nothing about copying — so containment is DEFINED over each
+    * document's rare tiles (both numerator and denominator; documented
+    * semantics, not an approximation). Join work is bounded by
+    * Σ df² over rare tiles, never |docs|². A document with no rare
+    * tiles (pure boilerplate) emits nothing. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, minFrac: Double = 0.8, maxDf: Int = 64,
+                       tileKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0,
+      s"minFrac must be in (0,1]: $minFrac")
+    require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
+    val tiles = tileSegments(df, idCol, textCol, k)
+      .select($"doc", tileKey($"tile").as("h")).distinct()
+    val rare = tiles.join(
+      tiles.groupBy($"h").agg(count(lit(1)).as("__df"))
+        .where($"__df" <= maxDf).select($"h"),
+      Seq("h"))
+    val innerSizes = rare.groupBy($"doc".as("inner_doc"))
+      .agg(count(lit(1)).cast("long").as("n_rare_inner"))
+    rare.select($"h", $"doc".as("inner_doc"))
+      .join(rare.select($"h", $"doc".as("outer_doc")), Seq("h"))
+      .where($"inner_doc" =!= $"outer_doc")
+      .groupBy($"inner_doc", $"outer_doc")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .join(innerSizes, Seq("inner_doc"))
+      .withColumn("containment", round($"n_shared" / $"n_rare_inner", 9))
+      .where($"containment" >= minFrac)
+      .select($"inner_doc", $"outer_doc", $"n_rare_inner", $"n_shared",
+        $"containment")
+  }
+
   def tileDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8,
                          tileKey: Column => Column = xxhash64(_)): DataFrame = {

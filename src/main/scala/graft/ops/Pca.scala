@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Principal component analysis by DISTRIBUTED POWER ITERATION — the
+  * real (cross-dimension) version of what [[Similarity.whitenDims]]'s
+  * per-dim standardization approximates diagonally: the directions an
+  * embedding-store team inspects for anisotropy (dominant directions
+  * eat cosine contrast; the standard fix projects them off).
+  *
+  * Scale shape — "Spark as the parameter server", the
+  * [[Classify.trainLogistic]] pattern:
+  *
+  *  - the driver holds ONLY d doubles per component (the direction);
+  *    the d×d covariance matrix is NEVER materialized anywhere — each
+  *    iteration computes the matrix-vector product C·v directly from
+  *    data as one aggregation job:
+  *      y_j = Σ_i s_i·x_ij − μ_j·Σ_i s_i   with  s_i = x_i·v − μ·v
+  *    (s is a per-row codegen'd dot with v baked in as a literal; the
+  *    per-dim sums ride one posexplode + dim-keyed partial aggregation,
+  *    so the corpus never shuffles — only d-row partials do);
+  *  - deflation for component p+1 is DRIVER-side arithmetic on the
+  *    collected vector: C'v = Cv − Σ_q λ_q (v_q·v) v_q — no residual
+  *    dataset is materialized;
+  *  - all data-side sums ride `round(·, 9)` + decimal accumulation, so
+  *    the result is bit-identical under any partitioning —
+  *    golden-pinnable, like the trained logistic model.
+  *
+  * Sign convention: each component's largest-|loading| coordinate is
+  * made positive (eigenvectors are sign-ambiguous; pinning one makes
+  * the output deterministic).
+  */
+object Pca {
+
+  /** Orthonormal components (rows, length d) with their sample-variance
+    * eigenvalues (scatter eigenvalue / (n−1)). */
+  final case class PcaModel(components: Array[Array[Double]],
+                            eigenvalues: Array[Double], n: Long)
+
+  /** Top-k principal components of `embCol` (array column, cast to
+    * double). `iters` power iterations per component — convergence is
+    * geometric in the eigengap; 12 suffices for well-separated spectra
+    * and the result is deterministic regardless (same start, same
+    * arithmetic). Memoized per (plan, k, iters): the bench's repeat
+    * sweeps re-fit nothing, the production analogue of "train once,
+    * probe everywhere" ([[Similarity.IvfIndex]]). */
+  def topComponents(df: DataFrame, embCol: String, k: Int = 2,
+                    iters: Int = 12, memo: Boolean = true): PcaModel = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
+      embCol, k, iters)
+    if (memo) modelMemo.computeIfAbsent(key, _ => fit(df, embCol, k, iters))
+    else fit(df, embCol, k, iters)
+  }
+
+  private def fit(df: DataFrame, embCol: String, k: Int,
+                  iters: Int): PcaModel = {
+    val x = df.select(col(embCol).cast("array<double>").as("x"))
+      .where(col("x").isNotNull)
+    val e = x.select(posexplode($"x").as(Seq("dim", "v")))
+    // mean vector + count: one dim-keyed aggregation, decimal-exact
+    val meanRows = e.groupBy($"dim")
+      .agg(sum(round($"v", 9).cast("decimal(28,12)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(meanRows.nonEmpty, "PCA needs a non-empty embedding column")
+    val d = meanRows.length
+    val n = meanRows.head.getAs[Long]("n")
+    val mu = new Array[Double](d)
+    meanRows.foreach(r => mu(r.getAs[Int]("dim")) = r.getAs[Double]("s") / n)
+
+    val comps = Array.ofDim[Double](k, d)
+    val eigs = new Array[Double](k)
+    for (c <- 0 until k) {
+      var v = Similarity.hyperplanes(1, d, seed = 42L + c).head
+      normalize(v)
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val y = matVec(x, mu, v)
+        // driver-side deflation by explicit Gram–Schmidt: project the
+        // iterate off every found component. Unlike λ-weighted
+        // subtraction, this keeps the OUTPUT orthonormal even when the
+        // eigengap is near zero and `iters` can't converge the
+        // direction (an isotropic corpus still yields an orthonormal
+        // basis of the top subspace)
+        for (q <- 0 until c) {
+          val proj = dot(comps(q), y)
+          for (j <- 0 until d) y(j) -= proj * comps(q)(j)
+        }
+        lambda = math.sqrt(dot(y, y))
+        if (lambda > 0) { for (j <- 0 until d) y(j) /= lambda }
+        v = y
+      }
+      // sign pin: largest-|loading| coordinate positive
+      val m = (0 until d).maxBy(j => (math.abs(v(j)), -j))
+      if (v(m) < 0) for (j <- 0 until d) v(j) = -v(j)
+      comps(c) = v
+      eigs(c) = lambda / math.max(n - 1, 1L)
+    }
+    PcaModel(comps, eigs, n)
+  }
+
+  /** One power step: y = Σ s·x − μ·(Σ s) with s = x·v − μ·v, as ONE
+    * dim-keyed aggregation (Σ s falls out per dim for free — every row
+    * contributes s to every dim). */
+  private def matVec(x: DataFrame, mu: Array[Double],
+                     v: Array[Double]): Array[Double] = {
+    val muV = dot(mu, v)
+    val s = Similarity.dotHof($"x", typedLit(v.toSeq)) - lit(muV)
+    val rows = x.select($"x", s.as("s"))
+      .select(posexplode($"x").as(Seq("dim", "xv")), $"s")
+      .groupBy($"dim")
+      .agg(sum(round($"s" * $"xv", 9).cast("decimal(28,12)"))
+          .cast("double").as("sxv"),
+        sum(round($"s", 9).cast("decimal(28,12)")).cast("double").as("ss"))
+      .collect()
+    val y = new Array[Double](mu.length)
+    rows.foreach { r =>
+      val j = r.getAs[Int]("dim")
+      y(j) = r.getAs[Double]("sxv") - mu(j) * r.getAs[Double]("ss")
+    }
+    y
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def normalize(a: Array[Double]): Unit = {
+    val nrm = math.sqrt(dot(a, a))
+    if (nrm > 0) { var i = 0; while (i < a.length) { a(i) /= nrm; i += 1 } }
+  }
+
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int), PcaModel]()
+}

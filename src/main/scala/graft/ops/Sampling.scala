@@ -342,4 +342,27 @@ object Sampling {
       .select(round($"mean", 6).as("mean"), $"ci_lo", $"ci_hi",
         lit(b).as("n_replicates"))
   }
+
+  /** Deterministic EXACT-k sample per group — reservoir-sampling
+    * semantics without reservoir state: rows rank inside their group by
+    * the seeded md5 content hash (the library's rerun- and
+    * partitioning-stable order; [[deterministicSample]]'s key, ranked
+    * instead of thresholded) and the k smallest survive, carrying their
+    * rank as `sample_rank`. Unlike a fraction-based sample, every group
+    * yields EXACTLY min(k, |group|) rows — the contract a
+    * fixed-size-per-stratum eval set needs.
+    *
+    * One shuffle (the per-group rank window); groups with ≤ k rows pass
+    * through whole. At 100 TB, bucket the input by `groupCol` and the
+    * exchange disappears. */
+  def exactKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val h = conv(substring(md5(concat_ws(" ", lit(seed),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("bigint")
+    Windows.topNPerGroup(df.withColumn("__h", h),
+        Seq(col(groupCol)), Seq(col("__h"), col(idCol)), k)
+      .withColumnRenamed("rn", "sample_rank")
+      .drop("__h")
+  }
 }

@@ -145,7 +145,59 @@ object Wave4Queries {
     Classify.cohenKappa(ann, "annotator_a", "annotator_b")
   }
 
+  /** Top-2 principal components ([[graft.ops.Pca.topComponents]]) of the
+    * embedding corpus by distributed power iteration — driver holds d
+    * doubles, covariance never materializes, decimal-exact sums make the
+    * loadings partitioning-independent. Golden-pinned (iterative fits
+    * have no SQL form; [[graft.ops.Bpe]]'s precedent). */
+  private val q137: Q = (s, d) => {
+    import s.implicits._
+    val m = graft.ops.Pca.topComponents(Tables.embeddings(s, d),
+      "embedding", k = 2, iters = 12)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = for {
+      c <- m.components.indices
+      j <- m.components(c).indices
+    } yield (c + 1, j, r6(m.components(c)(j)), r6(m.eigenvalues(c)))
+    rows.toDF("component", "dim", "loading", "eigenvalue")
+      .orderBy($"component", $"dim")
+  }
+
+  /** Exact-k-per-group evaluation sample
+    * ([[graft.ops.Sampling.exactKPerGroup]]): 20 docs per language in
+    * seeded-hash order — fixed-size strata, rerun-stable. */
+  private val q138: Q = (s, d) => {
+    import s.implicits._
+    graft.ops.Sampling.exactKPerGroup(
+        Tables.documents(s, d).select($"doc_id", $"lang"),
+        "lang", "doc_id", k = 20, seed = "eval1")
+      .select($"lang", $"doc_id", $"sample_rank")
+      .orderBy($"lang", $"sample_rank")
+  }
+
+  /** Containment-direction dedup ([[graft.ops.Dedup.containmentPairs]])
+    * over a corpus with planted excerpts (every 9th doc's first 16
+    * tokens re-enter as a new record): the excerpt is contained in its
+    * source at 1.0 while symmetric Jaccard scores it far below any
+    * dedup threshold. md5 tile keys on the oracle surface (xxhash64 is
+    * the production default, [[graft.ops.Incremental]]'s convention). */
+  private val q139: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val excerpts = docs.where($"doc_id" % 9 === 0)
+      .select(($"doc_id" + 5000000L).as("doc_id"),
+        concat_ws(" ", slice(Text.tokens($"text"), 1, 16)).as("text"))
+    graft.ops.Dedup.containmentPairs(docs.unionByName(excerpts),
+        "doc_id", "text", k = 8, minFrac = 0.8, maxDf = 64,
+        tileKey = c => md5(c))
+      .orderBy($"inner_doc", $"outer_doc")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q137_pca_components" -> q137,
+    "q138_lang_sample" -> q138,
+    "q139_containment" -> q139,
     "q130_record_linkage" -> q130,
     "q131_markov_transitions" -> q131,
     "q132_classifier_eval" -> q132,
@@ -181,6 +233,44 @@ object Wave4Queries {
        |  END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q137_pca_components: golden-pinned — iterative power iteration has
+    // no SQL form (Bpe/quality-classifier precedent)
+    "q138_lang_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('eval1 ',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hk
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+        |      AS INTEGER) AS sample_rank FROM h)
+        |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
+    "q139_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 5000000,
+        |    array_to_string(string_split(text, ' ')[1:16], ' ')
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |t1 AS (SELECT doc_id, w,
+        |    CAST(unnest(range(CAST(ceil(len(w) / 8.0) AS INTEGER)))
+        |      AS INTEGER) AS pos FROM t0),
+        |tk AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(w, pos*8 + 1, pos*8 + 8), ' ')) AS h
+        |  FROM t1),
+        |rare AS (SELECT tk.doc_id, tk.h FROM tk
+        |  JOIN (SELECT h FROM tk GROUP BY h HAVING count(*) <= 64) g USING (h)),
+        |sz AS (SELECT doc_id AS inner_doc,
+        |    CAST(count(*) AS BIGINT) AS n_rare_inner FROM rare GROUP BY 1),
+        |p AS (SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT inner_doc, outer_doc, n_rare_inner, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / n_rare_inner, 9) AS containment
+        |FROM p JOIN sz USING (inner_doc)
+        |WHERE round(CAST(n_shared AS DOUBLE) / n_rare_inner, 9) >= 0.8
+        |ORDER BY inner_doc, outer_doc""".stripMargin,
     "q130_record_linkage" ->
       s"""WITH dirty AS (
          |  SELECT p_partkey + 1000000 AS dirty_id,

@@ -110,6 +110,78 @@ class Wave4Spec extends SparkSuite {
     assert(got.forall(r => !r._6.isNaN && !r._7.isNaN && !r._8.isNaN))
   }
 
+  test("pca: recovers a planted dominant direction, partitioning-free, orthonormal") {
+    // 400 vectors in 8 dims: strong variance along (1,1,0,...)/√2 (±3),
+    // weak iid noise elsewhere — PC1 must align with the plant
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val s = if (i % 2 == 0) 3.0 else -3.0
+      val base = Array.fill(8)(rnd.nextGaussian() * 0.1)
+      base(0) += s / math.sqrt(2); base(1) += s / math.sqrt(2)
+      (i.toLong, base.map(_.toFloat))
+    }
+    val df = rows.toDF("id", "emb")
+    val m = graft.ops.Pca.topComponents(df, "emb", k = 2, iters = 12, memo = false)
+    val c1 = m.components(0)
+    val alignment = math.abs((c1(0) + c1(1)) / math.sqrt(2))
+    assert(alignment > 0.99, s"PC1 misaligned: ${c1.toSeq}")
+    assert(m.eigenvalues(0) > 8.0 && m.eigenvalues(1) < 0.1,
+      s"eigenvalues ${m.eigenvalues.toSeq}")
+    // orthonormal output even before convergence arguments
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(c1, c1) - 1.0) < 1e-9)
+    assert(math.abs(dot(m.components(1), m.components(1)) - 1.0) < 1e-9)
+    assert(math.abs(dot(c1, m.components(1))) < 1e-9)
+    // decimal-exact sums: repartitioning must not change a single bit
+    val m2 = graft.ops.Pca.topComponents(df.repartition(13), "emb",
+      k = 2, iters = 12, memo = false)
+    assert(m.components.flatten.toSeq == m2.components.flatten.toSeq &&
+      m.eigenvalues.toSeq == m2.eigenvalues.toSeq,
+      "partitioning changed the fit")
+  }
+
+  test("exactKPerGroup: exact sizes, rerun-stable, seed-sensitive") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val got = graft.ops.Sampling.exactKPerGroup(df, "g", "id", k = 10, seed = "s1")
+    val sizes = got.groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 10L), sizes.toString)
+    assert(got.agg(max($"sample_rank")).as[Int].head() == 10)
+    // a group smaller than k passes through whole
+    val small = graft.ops.Sampling.exactKPerGroup(
+      df.where($"id" <= 5), "g", "id", k = 10, seed = "s1")
+    assert(small.count() == 5)
+    // deterministic under repartitioning; different under a new seed
+    val again = graft.ops.Sampling.exactKPerGroup(
+      df.repartition(7), "g", "id", k = 10, seed = "s1")
+    assert(got.select($"id").exceptAll(again.select($"id")).isEmpty)
+    val other = graft.ops.Sampling.exactKPerGroup(df, "g", "id", 10, "s2")
+    assert(other.select($"id").exceptAll(got.select($"id")).count() > 0)
+  }
+
+  test("containmentPairs: finds the excerpt Jaccard misses; boilerplate capped") {
+    val w = (0 until 64).map(i => f"tok$i%02d")
+    val docs = Seq(
+      (1L, w.mkString(" ")),              // 8 tiles
+      (2L, w.take(16).mkString(" ")),     // excerpt: 2 tiles, both in doc 1
+      (3L, w.reverse.mkString(" "))       // same vocab, different tiles
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 8, minFrac = 0.8)
+      .select($"inner_doc", $"outer_doc", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((2L, 1L, 1.0)), got.toString)
+    // the symmetric Jaccard on the same pair is far below any threshold
+    // (2 shared tiles over 8+2-2 distinct): containment is the only
+    // signal that catches the excerpt
+    // boilerplate cap: a tile in > maxDf docs generates no candidates
+    val boiler = (1L to 20L).map(i => (i, "same eight tokens repeated here x y z"))
+      .toDF("doc_id", "text")
+    val none = graft.ops.Dedup.containmentPairs(boiler, "doc_id", "text",
+      k = 8, minFrac = 0.8, maxDf = 10)
+    assert(none.isEmpty, "df-capped boilerplate must emit no pairs")
+  }
+
   test("cohenKappa: perfect, degenerate, and known mixed agreement") {
     val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
     assert(Classify.cohenKappa(perfect, "a", "b")
