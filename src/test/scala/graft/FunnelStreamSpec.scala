@@ -187,6 +187,60 @@ class FunnelStreamSpec extends SparkSuite {
     assert(got == expectReached, s"\ngot:    $got\nexpect: $expectReached")
   }
 
+  test("buffered variant: buffer and watermark survive a checkpointed restart") {
+    // run 1 buffers u1's (click, purchase) — nothing finalized, nothing
+    // emitted; run 2 on the SAME checkpoint delivers the late view plus
+    // flush traffic. The BufferedFunnelState (times + buffer) must
+    // round-trip the state store and the restored watermark must keep
+    // the late view admissible, so the chain completes to step 3.
+    val staging = tmpDir("fnb-staging")
+    val sink = tmpDir("fnb-sink")
+    val cp = tmpDir("fnb-cp")
+    def writeSlice(name: String, mtime: Long,
+                   rows: Seq[(Long, Timestamp, String)]): Unit = {
+      val dir = s"$staging/$name"
+      rows.toDF("user_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(mtime))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staging/*")
+      val q = FunnelStream.progressBuffered(
+          FunnelStream.funnelEventsWatermarked(stream, "user_id", "ts",
+            "event_type", steps, delay = "10 minutes"),
+          steps.size)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    writeSlice("s1", 1700000000000L, Seq(
+      (1L, ts("2024-01-01 10:00:05"), "click"),
+      (1L, ts("2024-01-01 10:00:08"), "purchase")))
+    runOnce()
+    assert(spark.read.schema("user_id long, step_reached int, ts_micros long")
+      .parquet(sink).isEmpty, "run 1 must emit nothing — all buffered")
+    writeSlice("s2", 1700000001000L, Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view")))       // late, within horizon
+    writeSlice("s3", 1700000002000L, Seq(
+      (99L, ts("2024-01-01 10:30:00"), "view")))      // advances watermark
+    writeSlice("s4", 1700000003000L, Seq(
+      (99L, ts("2024-01-01 11:00:00"), "view")))      // fires the timeout
+    runOnce()
+    val rows = spark.read.parquet(sink).as[FunnelProgressRow]
+      .collect().filter(_.user_id == 1L)
+      .map(r => (r.step_reached, r.ts_micros)).toSet
+    assert(rows == Set((3, ts("2024-01-01 10:00:08").getTime * 1000)),
+      rows.toString)
+  }
+
   test("no progress, no emission; late same-timestamp click never counts") {
     val log = runBatches(Seq(
       Seq((9L, ts("2024-01-01 10:00:00"), "view")),
