@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
 object Pca {
 
   /** Orthonormal components (rows, length d) with their sample-variance
-    * eigenvalues (scatter eigenvalue / (n−1)). */
+    * eigenvalues (scatter eigenvalue / (n−1)) and the corpus mean. */
   final case class PcaModel(components: Array[Array[Double]],
-                            eigenvalues: Array[Double], n: Long)
+                            eigenvalues: Array[Double], n: Long,
+                            mean: Array[Double])
 
   /** Top-k principal components of `embCol` (array column, cast to
     * double). `iters` power iterations per component — convergence is
@@ -99,7 +100,29 @@ object Pca {
       comps(c) = v
       eigs(c) = lambda / math.max(n - 1, 1L)
     }
-    PcaModel(comps, eigs, n)
+    PcaModel(comps, eigs, n, mu)
+  }
+
+  /** "All-but-the-top" anisotropy removal (Mu & Viswanath 2018, the
+    * standard embedding post-process): center on the corpus mean and
+    * project off the model's top components —
+    * x′ = (x−μ) − Σ_q (v_q·(x−μ))·v_q. Dominant directions carry
+    * corpus-wide bias that eats cosine contrast; removing them is what
+    * an embedding store does between ingest and retrieval.
+    *
+    * Pure map-side column expression: μ and every v_q are baked in as
+    * literals (the [[Similarity.IvfIndex]] broadcast pattern), the
+    * per-component scalar is a codegen'd HOF dot — at 100 TB this fuses
+    * into the scan, no shuffle, no second pass. */
+  def removeTopComponents(emb: org.apache.spark.sql.Column,
+                          model: PcaModel): org.apache.spark.sql.Column = {
+    val centered = zip_with(emb.cast("array<double>"),
+      typedLit(model.mean.toSeq), (a, b) => a - b)
+    model.components.foldLeft(centered) { (acc, v) =>
+      val vl = typedLit(v.toSeq)
+      val s = Similarity.dotHof(acc, vl)
+      zip_with(acc, vl, (a, b) => a - s * b)
+    }
   }
 
   /** One power step: y = Σ s·x − μ·(Σ s) with s = x·v − μ·v, as ONE

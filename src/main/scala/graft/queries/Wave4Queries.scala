@@ -194,7 +194,36 @@ object Wave4Queries {
       .orderBy($"inner_doc", $"outer_doc")
   }
 
+  /** Anisotropy-removal report ([[graft.ops.Pca.removeTopComponents]],
+    * "all-but-the-top"): variance along each top component before (the
+    * eigenvalue) and after the map-side projection — after must be ~0,
+    * the operational check an embedding store runs on the post-process.
+    * Golden-pinned (components come from the iterative fit). */
+  private val q140: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val m = graft.ops.Pca.topComponents(emb, "embedding", k = 2, iters = 12)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cleaned = emb.select(
+      graft.ops.Pca.removeTopComponents($"embedding", m).as("x"))
+    val s1 = graft.ops.Similarity.dotHof($"x", typedLit(m.components(0).toSeq))
+    val s2 = graft.ops.Similarity.dotHof($"x", typedLit(m.components(1).toSeq))
+    val a = cleaned.agg(
+      count(lit(1)).as("n"),
+      sum(round(s1 * s1, 9).cast("decimal(28,12)")).cast("double").as("q1"),
+      sum(round(s2 * s2, 9).cast("decimal(28,12)")).cast("double").as("q2"))
+    a.select(lit(1).as("component"),
+        lit(r6(m.eigenvalues(0))).as("var_before"),
+        round($"q1" / ($"n" - 1), 9).as("var_after"))
+      .unionByName(a.select(lit(2).as("component"),
+        lit(r6(m.eigenvalues(1))).as("var_before"),
+        round($"q2" / ($"n" - 1), 9).as("var_after")))
+      .orderBy($"component")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q140_anisotropy_removal" -> q140,
     "q137_pca_components" -> q137,
     "q138_lang_sample" -> q138,
     "q139_containment" -> q139,

@@ -141,6 +141,35 @@ class Wave4Spec extends SparkSuite {
       "partitioning changed the fit")
   }
 
+  test("removeTopComponents kills the planted direction, preserves the rest") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val s = if (i % 2 == 0) 3.0 else -3.0
+      val base = Array.fill(8)(rnd.nextGaussian() * 0.1)
+      base(0) += s / math.sqrt(2); base(1) += s / math.sqrt(2)
+      (i.toLong, base.map(_.toFloat))
+    }
+    val df = rows.toDF("id", "emb")
+    val m = graft.ops.Pca.topComponents(df, "emb", k = 1, iters = 12, memo = false)
+    val cleaned = df.select($"id",
+      graft.ops.Pca.removeTopComponents($"emb", m).as("x"))
+    val s1 = graft.ops.Similarity.dotHof($"x", typedLit(m.components(0).toSeq))
+    val (vAfter, maxResid) = cleaned.agg(
+        (sum(s1 * s1) / (count(lit(1)) - 1)).as("v"),
+        max(abs(element_at($"x", 8))).as("m")) // dim 7 untouched by the plant
+      .as[(Double, Double)].head()
+    assert(vAfter < 1e-6 * m.eigenvalues(0),
+      s"variance along PC1 must collapse: $vAfter vs ${m.eigenvalues(0)}")
+    // the orthogonal complement survives: dim 7 still carries its noise
+    assert(maxResid > 0.05, s"projection must not flatten other dims: $maxResid")
+    // output arrays are centered: the per-dim mean of x' is ~0
+    val meanResid = cleaned
+      .select(posexplode($"x").as(Seq("dim", "v")))
+      .groupBy($"dim").agg(avg($"v").as("m"))
+      .agg(max(abs($"m"))).as[Double].head()
+    assert(meanResid < 1e-9, s"x' must be centered: $meanResid")
+  }
+
   test("exactKPerGroup: exact sizes, rerun-stable, seed-sensitive") {
     val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val got = graft.ops.Sampling.exactKPerGroup(df, "g", "id", k = 10, seed = "s1")
