@@ -205,8 +205,8 @@ object Wave4Queries {
     val m = graft.ops.Pca.topComponents(emb, "embedding", k = 2, iters = 12)
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val cleaned = emb.select(
-      graft.ops.Pca.removeTopComponents($"embedding", m).as("x"))
+    val cleaned = graft.ops.Pca.removeTopComponents(emb, "embedding", "x", m)
+      .select($"x")
     val s1 = graft.ops.Similarity.dotHof($"x", typedLit(m.components(0).toSeq))
     val s2 = graft.ops.Similarity.dotHof($"x", typedLit(m.components(1).toSeq))
     val a = cleaned.agg(

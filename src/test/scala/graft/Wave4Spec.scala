@@ -151,8 +151,8 @@ class Wave4Spec extends SparkSuite {
     }
     val df = rows.toDF("id", "emb")
     val m = graft.ops.Pca.topComponents(df, "emb", k = 1, iters = 12, memo = false)
-    val cleaned = df.select($"id",
-      graft.ops.Pca.removeTopComponents($"emb", m).as("x"))
+    val cleaned = graft.ops.Pca.removeTopComponents(df, "emb", "x", m)
+      .select($"id", $"x")
     val s1 = graft.ops.Similarity.dotHof($"x", typedLit(m.components(0).toSeq))
     val (vAfter, maxResid) = cleaned.agg(
         (sum(s1 * s1) / (count(lit(1)) - 1)).as("v"),
