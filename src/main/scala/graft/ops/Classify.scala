@@ -195,6 +195,113 @@ object Classify {
       .drop("__np")
   }
 
+  /** Long-format (unit, annotator, label) melt of wide annotation
+    * columns, nulls (missing ratings) dropped. One scan per annotator
+    * column over the same frame — Spark unions share the scan; at scale
+    * annotations usually arrive long-format already and skip this. */
+  private def meltRatings(df: DataFrame, unitCol: String,
+                          annotatorCols: Seq[String]): DataFrame =
+    annotatorCols.map { a =>
+      df.select(col(unitCol).as("unit"), lit(a).as("annotator"),
+        col(a).cast("string").as("label"))
+    }.reduce(_ unionByName _).where($"label".isNotNull)
+
+  /** Krippendorff's alpha (nominal) over ≥2 annotator columns WITH
+    * missing ratings — the agreement coefficient that, unlike
+    * [[cohenKappa]], handles any number of annotators and incomplete
+    * annotation (every real labeling project's shape). Nulls are
+    * missing; units with fewer than 2 ratings are unpairable and drop.
+    *
+    *   D_o = (1/n) Σ_u Σ_c m_uc·(m_u − m_uc)/(m_u − 1)
+    *   D_e = (n² − Σ_c n_c²) / (n·(n − 1))        α = 1 − D_o/D_e
+    *
+    * with m_uc = unit u's ratings of category c, m_u = Σ_c m_uc over
+    * pairable units, n_c/n the pooled marginals. One row out: pairable
+    * unit/rating counts, D_o, D_e, alpha (9 dp; a degenerate D_e = 0 —
+    * all ratings one category — scores 1.0 by the perfect-agreement
+    * convention).
+    *
+    * Shape: the melt is map-side; everything after is one unit-keyed
+    * aggregation (m_uc counts carry partial aggregation) and then
+    * category-cardinality work; the final combine broadcasts 1-row
+    * frames. Per-unit divisions by (m_u − 1) are exact doubles for
+    * ≤ 3 annotators (divisor 1 or 2) and ride round(·, 9) decimal sums
+    * regardless, so cross-engine replay is bit-stable. */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        annotatorCols: Seq[String]): DataFrame = {
+    require(annotatorCols.size >= 2, "need at least 2 annotator columns")
+    val ratings = meltRatings(df, unitCol, annotatorCols)
+    val muc = ratings.groupBy($"unit", $"label")
+      .agg(count(lit(1)).cast("long").as("m_uc"))
+    val mu = muc.groupBy($"unit")
+      .agg(sum($"m_uc").cast("long").as("m_u"))
+      .where($"m_u" >= 2)
+    val perUnit = muc.join(mu, Seq("unit"))
+      .groupBy($"unit", $"m_u")
+      .agg(sum($"m_uc" * ($"m_u" - $"m_uc")).cast("long").as("__dis"))
+      .select($"m_u",
+        round($"__dis" / ($"m_u" - lit(1)).cast("double"), 9).as("t_u"))
+    val tot = perUnit.agg(
+      count(lit(1)).cast("long").as("n_units"),
+      sum($"m_u").cast("long").as("n_ratings"),
+      sum($"t_u".cast(D)).cast("double").as("__sumdis"))
+    val marg = muc.join(mu, Seq("unit"))
+      .groupBy($"label").agg(sum($"m_uc").cast("long").as("__nc"))
+      .agg(sum($"__nc" * $"__nc").cast("long").as("__sumnc2"))
+    tot.crossJoin(broadcast(marg))
+      .select($"n_units", $"n_ratings",
+        ($"__sumdis" / $"n_ratings").as("__do"),
+        (($"n_ratings" * $"n_ratings" - $"__sumnc2") /
+          ($"n_ratings".cast("double") * ($"n_ratings" - lit(1))))
+          .as("__de"))
+      .select($"n_units", $"n_ratings",
+        round($"__do", 9).as("d_o"), round($"__de", 9).as("d_e"),
+        round(when($"__de" > 0.0, lit(1.0) - $"__do" / $"__de")
+          .otherwise(lit(1.0)), 9).as("alpha"))
+  }
+
+  /** Majority-vote label aggregation + per-annotator reliability — the
+    * weak-supervision consensus step that turns N noisy annotator
+    * columns into one training label, with the accuracy-vs-consensus
+    * report used to re-weight or drop annotators. Consensus = the
+    * modal label per unit (ties to the lexicographically smallest);
+    * nulls are missing and never vote. Output one row per annotator:
+    * rated units, consensus agreements, accuracy (9 dp), plus a
+    * `__consensus__` row carrying the mean vote share the winning label
+    * took (consensus confidence).
+    *
+    * Shape: one unit-keyed count aggregation, a unit-cardinality argmax
+    * via `min(struct)` (q121's no-window pattern), then an
+    * annotator-cardinality rollup. */
+  def majorityVoteReport(df: DataFrame, unitCol: String,
+                         annotatorCols: Seq[String]): DataFrame = {
+    require(annotatorCols.size >= 2, "need at least 2 annotator columns")
+    val ratings = meltRatings(df, unitCol, annotatorCols)
+    val votes = ratings.groupBy($"unit", $"label")
+      .agg(count(lit(1)).cast("long").as("v"))
+    val consensus = votes.groupBy($"unit")
+      .agg(min(struct((-$"v").as("nv"), $"label")).as("__w"),
+        sum($"v").cast("long").as("__votes"))
+      .select($"unit", $"__w.label".as("consensus"),
+        round((-$"__w.nv") / $"__votes", 9).as("share"))
+    val perAnn = ratings.join(consensus, Seq("unit"))
+      .groupBy($"annotator")
+      .agg(count(lit(1)).cast("long").as("n_rated"),
+        sum(when($"label" === $"consensus", 1L).otherwise(0L))
+          .cast("long").as("n_agree"))
+      .select($"annotator", $"n_rated", $"n_agree",
+        round($"n_agree" / $"n_rated".cast("double"), 9).as("score"))
+    val confRow = consensus.agg(
+        count(lit(1)).cast("long").as("n_rated"),
+        sum(when($"share" >= 1.0, 1L).otherwise(0L)).cast("long")
+          .as("n_agree"),
+        round(sum($"share".cast(D)).cast("double") / count(lit(1)), 9)
+          .as("score"))
+      .select(lit("__consensus__").as("annotator"), $"n_rated",
+        $"n_agree", $"score")
+    perAnn.unionByName(confRow)
+  }
+
   /** Cohen's kappa between two label columns — chance-corrected
     * inter-annotator agreement, THE label-quality gate before a labeled
     * set becomes supervised training data (raw agreement flatters

@@ -1093,6 +1093,39 @@ object Dedup {
         $"containment")
   }
 
+  /** Boilerplate datasheet — the CCNet-style signal dual to
+    * [[containmentPairs]]'s rare-tile containment: a tile that recurs
+    * across ≥ `minDf` DISTINCT documents is boilerplate (headers,
+    * disclaimers, navigation chrome — content no model should see a
+    * million times), and each document reports how much of it is made
+    * of such tiles. Output one row per doc: `n_tiles`,
+    * `n_bp_tiles`, `bp_frac` (9 dp) — the quality gate upstream of
+    * span-level removal ([[tileDedupKeepFirst]] strips; this MEASURES,
+    * which is what the corpus datasheet and the filter threshold need).
+    *
+    * Shape: one tile explode; document frequency comes from the
+    * distinct (tile, doc) frame's hash aggregation (partial aggregation
+    * applies — the postings are df-bounded by nature, no cap needed
+    * because counting is linear in postings); the boilerplate set joins
+    * back to per-doc tile counts on the tile hash. No doc-doc join
+    * anywhere, so there is no quadratic candidate stage to bound. */
+  def boilerplateReport(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, minDf: Int = 8,
+                        tileKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2: $minDf")
+    val tiles = tileSegments(df, idCol, textCol, k)
+      .select($"doc", tileKey($"tile").as("h"))
+    val bp = tiles.distinct()
+      .groupBy($"h").agg(count(lit(1)).as("__df"))
+      .where($"__df" >= minDf).select($"h")
+    tiles.join(bp.withColumn("__bp", lit(1L)), Seq("h"), "left")
+      .groupBy($"doc")
+      .agg(count(lit(1)).cast("long").as("n_tiles"),
+        sum(coalesce($"__bp", lit(0L))).cast("long").as("n_bp_tiles"))
+      .withColumn("bp_frac", round($"n_bp_tiles" / $"n_tiles".cast("double"), 9))
+      .withColumnRenamed("doc", idCol)
+  }
+
   def tileDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8,
                          tileKey: Column => Column = xxhash64(_)): DataFrame = {

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means — the clustering step under IVF index
+  * builds, SemDeDup cells, and topic-balanced sampling, expressed as
+  * "Spark as the parameter server" ([[Classify.trainLogistic]] /
+  * [[Pca.topComponents]]'s pattern): the driver holds only the k×d
+  * centroid matrix; each Lloyd iteration is ONE aggregation job.
+  *
+  * Scale shape:
+  *
+  *  - ASSIGNMENT is a pure map-side projection: the centroids are baked
+  *    into the plan as literals (the [[Similarity.IvfIndex]] broadcast
+  *    pattern), each row scores k dots against its embedding and takes
+  *    the argmin — O(k·d) per row fused into the scan, NO shuffle and
+  *    no corpus-× -centroid join. The k scores materialize as one
+  *    intermediate array projection so each is evaluated once per row
+  *    (an HOF lambda re-evaluates captured expressions per element —
+  *    [[Pca.removeTopComponents]]'s measured 40× lesson);
+  *  - the UPDATE step aggregates `(cluster, dim) → Σx, n` over one
+  *    posexplode with map-side partials — the only shuffled rows are
+  *    k×d partials, and the only driver traffic is the k×d centroid
+  *    frame per iteration;
+  *  - seeding is deterministic WITHOUT a scan ordering: the k rows with
+  *    the smallest seeded md5 of their id (a bounded
+  *    TakeOrderedAndProject, never a sort of the corpus).
+  *
+  * Determinism: distances ride `round(·, 9)` before comparison, ties
+  * break toward the lowest cluster index, and all update sums are
+  * decimal-exact — assignments and centroids are bit-identical under
+  * any partitioning, so the fit is golden-pinnable (no SQL oracle:
+  * iterative fits have no SQL form — [[Pca]]/[[graft.ops.Bpe]]'s
+  * precedent). Centroids round to 6 dp per iteration so the literal
+  * plans stay engine-exact downstream.
+  */
+object Kmeans {
+
+  private val D = "decimal(28,12)"
+
+  /** Fitted model: `centroids(c)(j)` = cluster c's dim-j coordinate
+    * (6 dp), `sizes(c)` = final assignment counts, `inertia` = Σ over
+    * rows of the squared distance to the assigned centroid (9 dp sums). */
+  final case class KmeansModel(centroids: Array[Array[Double]],
+                               sizes: Array[Long], inertia: Double, n: Long)
+
+  /** Fit k clusters with `iters` Lloyd iterations over `embCol` (array
+    * column, cast to double). Memoized per (plan, column, k, iters,
+    * seed) — the bench's repeat sweeps re-fit nothing ("train once,
+    * probe everywhere"). */
+  def fit(df: DataFrame, embCol: String, idCol: String, k: Int,
+          iters: Int = 8, seed: String = "kmeans",
+          memo: Boolean = true): KmeansModel = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
+      embCol, idCol, k, iters, seed)
+    if (memo) modelMemo.computeIfAbsent(key, _ =>
+      run(df, embCol, idCol, k, iters, seed))
+    else run(df, embCol, idCol, k, iters, seed)
+  }
+
+  private def run(df: DataFrame, embCol: String, idCol: String, k: Int,
+                  iters: Int, seed: String): KmeansModel = {
+    val x = df.select(col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("x"))
+      .where(col("x").isNotNull)
+    // deterministic seeding: k corpus vectors in seeded-hash order of id
+    // (TakeOrderedAndProject — per-partition heaps, k-row merge)
+    val seeds = x.select($"x",
+        md5(concat(lit(seed + " "), $"id".cast("string"))).as("hk"))
+      .orderBy($"hk").limit(k).collect()
+      .map(_.getAs[Seq[Double]]("x").toArray)
+    require(seeds.length == k, s"corpus has fewer than k=$k rows")
+    var cents = seeds.map(_.map(r6))
+
+    var sizes = Array.fill(k)(0L)
+    var inertia = 0.0
+    var n = 0L
+    for (it <- 1 to iters) {
+      val assigned = x.withColumn("c", assignExpr($"x", cents))
+      if (it < iters) {
+        // update: (cluster, dim)-keyed decimal sums, k×d rows back
+        val rows = assigned
+          .select($"c", posexplode($"x").as(Seq("dim", "v")))
+          .groupBy($"c", $"dim")
+          .agg(sum(round($"v", 9).cast(D)).cast("double").as("s"),
+            count(lit(1)).as("cnt"))
+          .collect()
+        val next = cents.map(_.clone()) // empty cluster keeps its centroid
+        rows.foreach { r =>
+          next(r.getAs[Int]("c"))(r.getAs[Int]("dim")) =
+            r6(r.getAs[Double]("s") / r.getAs[Long]("cnt"))
+        }
+        cents = next
+      } else {
+        // final pass: sizes + inertia from the same assignment
+        val rows = assigned
+          .withColumn("d2", distExpr($"x", cents))
+          .groupBy($"c")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round($"d2", 9).cast(D)).cast("double").as("i"))
+          .collect()
+        sizes = Array.fill(k)(0L)
+        rows.foreach { r =>
+          val c = r.getAs[Int]("c")
+          sizes(c) = r.getAs[Long]("cnt")
+          inertia += r.getAs[Double]("i")
+        }
+        n = sizes.sum
+      }
+    }
+    KmeansModel(cents, sizes, inertia, n)
+  }
+
+  /** Map-side cluster assignment for `emb` against literal centroids:
+    * argmin over round(‖x−c‖², 9) with ties to the lowest cluster
+    * index. The k distances materialize as ONE array projection. */
+  def assignExpr(emb: Column, cents: Array[Array[Double]]): Column = {
+    val d2s = array(cents.map(c => sqDist(emb, c)): _*)
+    // array_position finds the FIRST occurrence → lowest-index tie-break
+    (array_position(d2s, array_min(d2s)) - 1).cast("int")
+  }
+
+  /** round(‖x − assigned centroid‖², 9) for the inertia pass. */
+  private def distExpr(emb: Column, cents: Array[Array[Double]]): Column =
+    array_min(array(cents.map(c => sqDist(emb, c)): _*))
+
+  private def sqDist(emb: Column, c: Array[Double]): Column =
+    round(aggregate(zip_with(emb, array(c.map(lit): _*),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v), 9)
+
+  /** Attach the model's assignment as `outCol` — a stateless projection
+    * (scoring never re-fits; same contract as [[Classify.score]]). */
+  def assign(df: DataFrame, embCol: String, outCol: String,
+             model: KmeansModel): DataFrame =
+    df.withColumn(outCol,
+      assignExpr(col(embCol).cast("array<double>"), model.centroids))
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Int, Int, String), KmeansModel]()
+}

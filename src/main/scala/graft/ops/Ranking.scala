@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation — the metric harness run before an
+  * embedding model or ANN index is trusted for retrieval-augmented
+  * training data: rank every query's neighbors, treat same-label
+  * items as relevant, and report MRR@k / precision@k / recall@k /
+  * nDCG@k per label class.
+  *
+  * Scale shape: the ranking comes from whatever candidate generator the
+  * caller trusts — here [[Similarity.knnBruteForce]] over an
+  * EVALUATION-SIZED slice (the standard eval protocol: exact
+  * ground-truth ranking on a held-out set; at corpus scale the same
+  * metric frame runs over [[Similarity.knnIvf]]/[[Similarity.knnLsh]]
+  * candidates, q111's recall-eval precedent). Everything after the
+  * ranked frame is per-query then per-label aggregation — work
+  * proportional to queries×k, never corpus².
+  *
+  * Determinism: the DCG discounts 1/log₂(rank+1) and their prefix sums
+  * (the ideal DCG) are precomputed driver-side and baked in as plan
+  * LITERALS, so both engines in a cross-check consume bit-identical
+  * constants instead of each taking its own log₂; per-query metrics
+  * round to 9 dp before the decimal-exact per-label mean. */
+object Ranking {
+
+  private val D = "decimal(28,12)"
+
+  /** DCG discount table: discounts(i) = 1/log₂(i+2) for 0-based i
+    * (rank i+1), and idcg(r) = Σ_{j<r} discounts(j). */
+  def discounts(k: Int): Array[Double] =
+    Array.tabulate(k)(i => 1.0 / (math.log(i + 2.0) / math.log(2.0)))
+  def idcgTable(k: Int): Array[Double] =
+    discounts(k).scanLeft(0.0)(_ + _).tail
+
+  /** Per-label retrieval metrics over `vecs` (a [[Similarity.prepared]]
+    * frame) with `labels` = (id, label). Relevant = same label as the
+    * query, self excluded. Output one row per label: n_queries and the
+    * label-mean MRR@k, precision@k, recall@k, nDCG@k (9 dp).
+    *
+    * recall@k and the ideal DCG normalize by min(k, R) where R = the
+    * query's total relevant count (label size − 1) — the standard
+    * truncated-ideal convention, so a label larger than k can still
+    * reach 1.0. */
+  def retrievalEval(vecs: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val disc = discounts(k)
+    val idcg = idcgTable(k)
+
+    val lab = labels.select(col("id"), col("label"))
+    val ranked = Similarity.knnBruteForce(vecs, vecs, k)
+      .join(broadcast(lab.select($"id".as("query_id"),
+        $"label".as("q_label"))), Seq("query_id"))
+      .join(broadcast(lab.select($"id".as("neighbor_id"),
+        $"label".as("n_label"))), Seq("neighbor_id"))
+      .withColumn("rel", ($"q_label" === $"n_label").cast("int"))
+
+    // R per query = label size − 1 (self excluded) — label-cardinality
+    val labelSizes = lab.groupBy($"label".as("q_label"))
+      .agg(count(lit(1)).cast("long").as("__lsz"))
+
+    val discLit = array(disc.map(lit): _*)
+    val idcgLit = array(idcg.map(lit): _*)
+    val perQuery = ranked.groupBy($"query_id", $"q_label")
+      .agg(
+        min(when($"rel" === 1, $"rank")).as("first_rel"),
+        sum($"rel").cast("long").as("n_rel_at_k"),
+        sum(round(when($"rel" === 1,
+            element_at(discLit, $"rank")).otherwise(lit(0.0)), 9)
+          .cast(D)).cast("double").as("dcg"))
+      .join(broadcast(labelSizes), Seq("q_label"))
+      .select($"q_label",
+        round(coalesce(lit(1.0) / $"first_rel", lit(0.0)), 9).as("mrr"),
+        round($"n_rel_at_k" / lit(k.toDouble), 9).as("prec"),
+        round(when($"__lsz" > 1,
+            $"n_rel_at_k" / least(lit(k.toLong), $"__lsz" - 1))
+          .otherwise(lit(0.0)), 9).as("rec"),
+        round(when($"__lsz" > 1,
+            $"dcg" / element_at(idcgLit,
+              least(lit(k), ($"__lsz" - 1).cast("int"))))
+          .otherwise(lit(0.0)), 9).as("ndcg"))
+
+    def dmean(c: String) =
+      round(sum(col(c).cast(D)).cast("double") / count(lit(1)), 9).as(c)
+    perQuery.groupBy($"q_label".as("label"))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        dmean("mrr"), dmean("prec"), dmean("rec"), dmean("ndcg"))
+  }
+}

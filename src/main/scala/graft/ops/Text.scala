@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -465,6 +465,90 @@ object Text {
     j.join(broadcast(tot))
       .select($"token", $"c_old", $"c_new",
         round((p - q) * log(p / q), 9).as("psi"))
+  }
+
+  /** Lexical-diversity / vocabulary-growth datasheet per group (e.g.
+    * language): total tokens, vocabulary size, hapax legomena, TTR,
+    * hapax fraction, and a HEAPS' LAW fit — β and log K from the
+    * least-squares line ln V = log K + β·ln N over `buckets` corpus
+    * prefixes in doc-id order. β tells a curation team how fast NEW
+    * vocabulary still arrives (β near the 0.4–0.6 natural-text band =
+    * healthy growth; β ≈ 0 = the corpus is saturated / template-heavy;
+    * β ≈ 1 = id-like token churn), which prices both dedup headroom
+    * and tokenizer-vocab sizing before a 100 TB crawl is committed.
+    *
+    * Shape: ONE token explode feeds a (group, token)-keyed aggregation
+    * (count + first doc id — the vocab collapse; partial aggregation
+    * applies); everything after is vocab- or bucket-cardinality. The
+    * doc-rank window partitions by group in doc-id order — exact prefix
+    * semantics for the fit; at extreme per-group cardinality replace it
+    * with precomputed id-quantile boundaries ([[Sketches]] histogram
+    * quantiles, q120's documented path) — the fit only needs bucket
+    * MEMBERSHIP, not exact ranks. Prefix cumulations are windows over
+    * ≤ `buckets` rows per group. The regression is q124's closed form:
+    * 9 dp rounds before decimal-exact sums, so the fit is bit-stable
+    * across engines and partitionings. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  groupCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(28,12)"
+    val docs = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      tokenCount(col(textCol)).cast("long").as("n_toks"))
+    val nDocs = docs.groupBy($"g").agg(count(lit(1)).cast("long").as("n_docs"))
+    val ranked = docs.withColumn("rnk",
+        row_number().over(Window.partitionBy($"g").orderBy($"id")))
+      .join(broadcast(nDocs), Seq("g"))
+      .withColumn("bkt",
+        ceil($"rnk" * lit(buckets) / $"n_docs").cast("int"))
+    // N(b): cumulative tokens over the ≤`buckets`-row per-group frame
+    val nCum = ranked.groupBy($"g", $"bkt")
+      .agg(sum($"n_toks").cast("long").as("toks"))
+      .withColumn("n_at", sum($"toks").over(
+        Window.partitionBy($"g").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // vocab collapse: token count + first-occurrence doc per group
+    val vocab = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy($"g", $"tok")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        min($"id").as("first_id"))
+    // V(b): new-vocabulary counts by first-occurrence bucket — LEFT
+    // joined onto the complete bucket spine so a bucket with no new
+    // vocabulary still carries the inherited cumulative V (a saturated
+    // corpus must fit β = 0, not lose its flat points)
+    val vNew = vocab
+      .join(ranked.select($"g", $"id".as("first_id"), $"bkt"),
+        Seq("g", "first_id"))
+      .groupBy($"g", $"bkt")
+      .agg(count(lit(1)).cast("long").as("newv"))
+    val fit = nCum.join(vNew, Seq("g", "bkt"), "left")
+      .withColumn("v_at", sum(coalesce($"newv", lit(0L))).over(
+        Window.partitionBy($"g").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"g", round(log($"n_at".cast("double")), 9).as("x"),
+        round(log($"v_at".cast("double")), 9).as("y"))
+      .groupBy($"g")
+      .agg(count(lit(1)).cast("double").as("np"),
+        sum($"x".cast(dec)).cast("double").as("sx"),
+        sum($"y".cast(dec)).cast("double").as("sy"),
+        sum(round($"x" * $"y", 9).cast(dec)).cast("double").as("sxy"),
+        sum(round($"x" * $"x", 9).cast(dec)).cast("double").as("sxx"))
+      .select($"g",
+        round(($"np" * $"sxy" - $"sx" * $"sy") /
+          ($"np" * $"sxx" - $"sx" * $"sx"), 6).as("heaps_beta"),
+        round(($"sy" - (($"np" * $"sxy" - $"sx" * $"sy") /
+          ($"np" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"np", 6)
+          .as("heaps_logk"))
+    val stats = vocab.groupBy($"g")
+      .agg(sum($"cnt").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when($"cnt" === 1L, 1L).otherwise(0L)).cast("long").as("hapax"))
+    broadcast(nDocs).join(stats, Seq("g")).join(fit, Seq("g"))
+      .select($"g".as(groupCol), $"n_docs", $"n_tokens", $"vocab", $"hapax",
+        round($"vocab" / $"n_tokens".cast("double"), 9).as("ttr"),
+        round($"hapax" / $"vocab".cast("double"), 9).as("hapax_frac"),
+        $"heaps_beta", $"heaps_logk")
   }
 
   /** Pointwise-mutual-information collocations — the corpus-statistics

@@ -27,7 +27,8 @@ object Golden {
     "q82_image_dhash", "q83_bpe_vocab", "q84_audio_fp",
     "q85_video_frame_hashes", "q87_semdedup", "q88_bpe_encode",
     "q98_ppl_buckets_scaled", "q105_fertility", "q111_ann_recall",
-    "q125_compress_ratio", "q137_pca_components", "q140_anisotropy_removal")
+    "q125_compress_ratio", "q137_pca_components", "q140_anisotropy_removal",
+    "q142_kmeans")
 
   val sfDir = "/root/testdata/sf0.01"
 

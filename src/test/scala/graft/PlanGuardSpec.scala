@@ -41,7 +41,9 @@ class PlanGuardSpec extends SparkSuite {
     "q126_bootstrap_ci",   // 1-row CI frame × broadcast(1-row point mean)
     "q129_fk_health",      // 1-row child count × broadcast(1-row orphan count), per edge
     "q134_mutual_knn",     // 200-row eval slice × broadcast(itself), brute-force top-1
-    "q136_annotator_kappa") // 1-row totals × broadcast(1-row chance agreement)
+    "q136_annotator_kappa", // 1-row totals × broadcast(1-row chance agreement)
+    "q141_retrieval_eval", // q134's eval-slice brute-force ranking under the metrics
+    "q143_krippendorff")   // 1-row totals × broadcast(1-row marginal sum)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
