@@ -33,7 +33,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries ++
       graft.queries.AdvQueries.queries ++ graft.queries.CurateQueries.queries ++
       graft.queries.ExtraQueries.queries ++ graft.queries.Wave3Queries.queries ++
-      graft.queries.Wave4Queries.queries ++ graft.queries.Wave6Queries.queries
+      graft.queries.Wave4Queries.queries ++ graft.queries.Wave6Queries.queries ++
+      graft.queries.Wave7Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle ++
       graft.queries.AdvQueries.oracle ++ graft.queries.CurateQueries.oracle ++
       graft.queries.ExtraQueries.oracle ++ graft.queries.Wave3Queries.oracle ++
-      graft.queries.Wave4Queries.oracle ++ graft.queries.Wave6Queries.oracle
+      graft.queries.Wave4Queries.oracle ++ graft.queries.Wave6Queries.oracle ++
+      graft.queries.Wave7Queries.oracle
 }

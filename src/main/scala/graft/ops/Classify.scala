@@ -196,15 +196,19 @@ object Classify {
   }
 
   /** Long-format (unit, annotator, label) melt of wide annotation
-    * columns, nulls (missing ratings) dropped. One scan per annotator
-    * column over the same frame — Spark unions share the scan; at scale
-    * annotations usually arrive long-format already and skip this. */
+    * columns, nulls (missing ratings) dropped — ONE scan via a
+    * struct-array explode (a union-per-annotator melt re-scans the
+    * frame once per column; at scale annotations usually arrive
+    * long-format already and skip this entirely). */
   private def meltRatings(df: DataFrame, unitCol: String,
                           annotatorCols: Seq[String]): DataFrame =
-    annotatorCols.map { a =>
-      df.select(col(unitCol).as("unit"), lit(a).as("annotator"),
-        col(a).cast("string").as("label"))
-    }.reduce(_ unionByName _).where($"label".isNotNull)
+    df.select(col(unitCol).as("unit"),
+        explode(array(annotatorCols.map(a =>
+          struct(lit(a).as("annotator"),
+            col(a).cast("string").as("label"))): _*)).as("__r"))
+      .select($"unit", $"__r.annotator".as("annotator"),
+        $"__r.label".as("label"))
+      .where($"label".isNotNull)
 
   /** Krippendorff's alpha (nominal) over ≥2 annotator columns WITH
     * missing ratings — the agreement coefficient that, unlike
@@ -300,6 +304,64 @@ object Classify {
       .select(lit("__consensus__").as("annotator"), $"n_rated",
         $"n_agree", $"score")
     perAnn.unionByName(confRow)
+  }
+
+  /** Accuracy-weighted re-vote — one Dawid–Skene-style refinement over
+    * [[majorityVoteReport]]'s plain majority: estimate each annotator's
+    * reliability against the majority consensus, convert it to a
+    * log-odds weight w_a = ln(acc′/(1−acc′)) with Laplace-smoothed
+    * accuracy acc′ = (agree+1)/(rated+2) (the smoothing keeps a perfect
+    * annotator's weight finite and the arithmetic rational), then
+    * re-elect each unit's label by summed weight (ties to the
+    * lexicographically smallest). The one-step form is the standard
+    * practical compromise: it captures most of EM's gain without an
+    * iteration count to tune, and every quantity stays
+    * oracle-replayable.
+    *
+    * Output one row per label: units won under majority, units won
+    * under the weighted vote, units that changed INTO the label
+    * (9 dp-stable weight sums; labels appearing under either vote).
+    *
+    * Shape: one melt + unit-keyed vote counts (shared with the majority
+    * pass), an annotator-cardinality weight frame broadcast back onto
+    * the ratings, one (unit,label) weight aggregation, and `min(struct)`
+    * argmaxes — no pass is more than unit-cardinality after the melt. */
+  def weightedVoteReport(df: DataFrame, unitCol: String,
+                         annotatorCols: Seq[String]): DataFrame = {
+    require(annotatorCols.size >= 2, "need at least 2 annotator columns")
+    val ratings = meltRatings(df, unitCol, annotatorCols)
+    val votes = ratings.groupBy($"unit", $"label")
+      .agg(count(lit(1)).cast("long").as("v"))
+    val majority = votes.groupBy($"unit")
+      .agg(min(struct((-$"v").as("nv"), $"label")).as("__w"))
+      .select($"unit", $"__w.label".as("majority"))
+    val weights = ratings.join(majority, Seq("unit"))
+      .groupBy($"annotator")
+      .agg(count(lit(1)).cast("long").as("n_rated"),
+        sum(when($"label" === $"majority", 1L).otherwise(0L))
+          .cast("long").as("n_agree"))
+      .select($"annotator",
+        round(log((($"n_agree" + 1) / ($"n_rated" + 2).cast("double")) /
+          (lit(1.0) - ($"n_agree" + 1) / ($"n_rated" + 2).cast("double"))), 9)
+          .as("w"))
+    val weighted = ratings.join(broadcast(weights), Seq("annotator"))
+      .groupBy($"unit", $"label")
+      .agg(sum($"w".cast(D)).cast("double").as("wsum"))
+      .groupBy($"unit")
+      .agg(min(struct((-round($"wsum", 9)).as("nw"), $"label")).as("__w"))
+      .select($"unit", $"__w.label".as("weighted"))
+    val joined = majority.join(weighted, Seq("unit"))
+    val byMaj = joined.groupBy($"majority".as("label"))
+      .agg(count(lit(1)).cast("long").as("n_majority"))
+    val byWt = joined.groupBy($"weighted".as("label"))
+      .agg(count(lit(1)).cast("long").as("n_weighted"),
+        sum(when($"majority" =!= $"weighted", 1L).otherwise(0L))
+          .cast("long").as("n_gained"))
+    byMaj.join(byWt, Seq("label"), "full_outer")
+      .select($"label",
+        coalesce($"n_majority", lit(0L)).as("n_majority"),
+        coalesce($"n_weighted", lit(0L)).as("n_weighted"),
+        coalesce($"n_gained", lit(0L)).as("n_gained"))
   }
 
   /** Cohen's kappa between two label columns — chance-corrected

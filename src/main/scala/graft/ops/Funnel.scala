@@ -108,6 +108,45 @@ object Funnel {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** First-/last-touch attribution — for every conversion event, which
+    * touch type (strictly earlier in the user's stream) gets the
+    * credit: the user's FIRST qualifying touch (first-touch model) and
+    * their LATEST one before the conversion (last-touch model), the two
+    * bookend models every attribution report starts from. Conversions
+    * with no prior touch credit `(none)`. Output one row per credited
+    * type: conversions credited first-touch / last-touch.
+    *
+    * Shape: ONE user-keyed Exchange carries both window passes (same
+    * partitioning + ordering ⇒ one Window node with two frames over the
+    * `rows (-∞, -1)` prefix, `ignoreNulls` skipping non-touch rows);
+    * everything after the conversion filter is type-cardinality. Ties
+    * at equal timestamps order by the event id ([[eventTransitions]]'
+    * convention). */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, convType: String,
+                  touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touchTypes must be non-empty and exclude '$convType'")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isInCollection(touchTypes), col(typeCol))
+    val conv = events
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .where(col(typeCol) === convType)
+      .select(coalesce($"__first", lit("(none)")).as("first_touch"),
+        coalesce($"__last", lit("(none)")).as("last_touch"))
+    val byFirst = conv.groupBy($"first_touch".as("touch_type"))
+      .agg(count(lit(1)).cast("long").as("n_first"))
+    val byLast = conv.groupBy($"last_touch".as("touch_type"))
+      .agg(count(lit(1)).cast("long").as("n_last"))
+    byFirst.join(byLast, Seq("touch_type"), "full_outer")
+      .select($"touch_type",
+        coalesce($"n_first", lit(0L)).as("n_first"),
+        coalesce($"n_last", lit(0L)).as("n_last"))
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of their
     * FIRST event; for each (cohort week, week offset ≥ 0) the output
     * carries the distinct users active that week, the cohort size, and

@@ -138,6 +138,39 @@ object Kmeans {
     df.withColumn(outCol,
       assignExpr(col(embCol).cast("array<double>"), model.centroids))
 
+  /** Assignment-confidence report — the cell-quality check an IVF index
+    * or SemDeDup partition runs after a fit: per cluster, how many
+    * members sit NEAR THE BOUNDARY to another cluster. A row's margin
+    * is the distance gap √d₂ − √d₁ between its two nearest centroids
+    * (a difference, not a ratio — defined even when a row coincides
+    * with its centroid); margin < `ambThreshold` counts as ambiguous.
+    * Output per cluster: members, ambiguous members, mean margin
+    * (9 dp decimal-exact mean).
+    *
+    * Map-side except the final k-row rollup: the k distances, their
+    * sort, and the margin are projections against literal centroids —
+    * the same single-pass shape as [[assignExpr]]. */
+  def marginReport(df: DataFrame, embCol: String, model: KmeansModel,
+                   ambThreshold: Double): DataFrame = {
+    require(model.centroids.length >= 2, "margin needs k >= 2")
+    val emb = col(embCol).cast("array<double>")
+    val scored = df
+      .withColumn("__d2s", array(model.centroids.map(c =>
+        sqDist(emb, c)): _*))
+      .withColumn("__srt", array_sort($"__d2s"))
+      .select(
+        (array_position($"__d2s", element_at($"__srt", 1)) - 1)
+          .cast("int").as("cluster"),
+        round(sqrt(element_at($"__srt", 2)) -
+          sqrt(element_at($"__srt", 1)), 9).as("margin"))
+    scored.groupBy($"cluster")
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        sum(when($"margin" < ambThreshold, 1L).otherwise(0L))
+          .cast("long").as("n_ambiguous"),
+        round(sum($"margin".cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 9).as("mean_margin"))
+  }
+
   private def r6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 

@@ -20,7 +20,7 @@ object Wave6Queries {
     * is the corpus lang label; `b` disagrees on every 6th doc (q136's
     * cycle); `c` is MISSING on every 5th doc and disagrees via a second
     * cycle on every 7th — both engines construct the identical frame. */
-  private def annotators(s: SparkSession, d: String): DataFrame = {
+  private[queries] def annotators(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cycle1 = when($"lang" === "en", "de").when($"lang" === "de", "es")
       .when($"lang" === "es", "fr").when($"lang" === "fr", "zh")

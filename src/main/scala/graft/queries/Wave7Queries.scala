@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Classify, Funnel, Kmeans}
+
+/** Round-9 seventh-wave queries: accuracy-weighted label re-vote (one
+  * Dawid–Skene step), k-means assignment-margin confidence, and
+  * first-/last-touch conversion attribution. q147/q149 are
+  * DuckDB-oracle-checked; q148 rides the golden-pinned k-means fit. */
+object Wave7Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Accuracy-weighted re-vote ([[Classify.weightedVoteReport]]) over
+    * the shared 3-annotator frame: per label, units won under plain
+    * majority vs under log-odds-weighted voting, and how many units the
+    * weighted vote moved into the label. */
+  private val q147: Q = (s, d) => {
+    import s.implicits._
+    Classify.weightedVoteReport(Wave6Queries.annotators(s, d), "doc_id",
+        Seq("a", "b", "c"))
+      .orderBy($"label")
+  }
+
+  /** Assignment-margin confidence report ([[Kmeans.marginReport]]) for
+    * q142's fit (same memoized model): per cluster, members whose gap
+    * to the second-nearest centroid is under 0.02 — the boundary-mass
+    * check an IVF/SemDeDup partitioning runs before trusting its cells.
+    * Golden-pinned (centroids come from the iterative fit). */
+  private val q148: Q = (s, d) => {
+    import s.implicits._
+    val m = Kmeans.fit(Tables.embeddings(s, d), "embedding", "vec_id",
+      k = 4, iters = 8)
+    Kmeans.marginReport(Tables.embeddings(s, d), "embedding", m,
+        ambThreshold = 0.02)
+      .orderBy($"cluster")
+  }
+
+  /** First-/last-touch attribution ([[Funnel.attribution]]): which touch
+    * type gets credit for each purchase, under both bookend models, in
+    * one user-keyed window pass. */
+  private val q149: Q = (s, d) => {
+    import s.implicits._
+    Funnel.attribution(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", convType = "purchase",
+        touchTypes = Seq("view", "click", "signup"))
+      .orderBy($"touch_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q147_weighted_vote" -> q147,
+    "q148_kmeans_margin" -> q148,
+    "q149_attribution" -> q149)
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  private val annSql =
+    """ann AS (SELECT doc_id,
+      |    lang AS a,
+      |    CASE WHEN doc_id % 6 = 0 THEN
+      |      CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es'
+      |        WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'en' END
+      |    ELSE lang END AS b,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL
+      |      WHEN doc_id % 7 = 0 THEN
+      |        CASE lang WHEN 'en' THEN 'es' WHEN 'de' THEN 'fr'
+      |          WHEN 'es' THEN 'zh' WHEN 'fr' THEN 'en' ELSE 'de' END
+      |    ELSE lang END AS c
+      |  FROM documents),
+      |ratings AS (
+      |  SELECT doc_id AS unit, 'a' AS annotator, a AS label FROM ann
+      |  UNION ALL SELECT doc_id, 'b', b FROM ann
+      |  UNION ALL SELECT doc_id, 'c', c FROM ann WHERE c IS NOT NULL)"""
+      .stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // q148_kmeans_margin: golden-pinned — centroids come from the
+    // iterative Lloyd fit (q142's precedent)
+    "q147_weighted_vote" ->
+      s"""WITH $annSql,
+         |votes AS (SELECT unit, label, CAST(count(*) AS BIGINT) AS v
+         |  FROM ratings GROUP BY 1, 2),
+         |maj AS (SELECT unit, label AS majority FROM (
+         |  SELECT unit, label, row_number() OVER (PARTITION BY unit
+         |      ORDER BY v DESC, label) AS rn FROM votes) WHERE rn = 1),
+         |wt AS (SELECT annotator,
+         |    round(ln(((n_agree + 1) / CAST(n_rated + 2 AS DOUBLE)) /
+         |      (1.0 - (n_agree + 1) / CAST(n_rated + 2 AS DOUBLE))), 9) AS w
+         |  FROM (SELECT annotator, CAST(count(*) AS BIGINT) AS n_rated,
+         |      CAST(sum(CASE WHEN label = majority THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS n_agree
+         |    FROM ratings JOIN maj USING (unit) GROUP BY 1)),
+         |ws AS (SELECT unit, label,
+         |    CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS wsum
+         |  FROM ratings JOIN wt USING (annotator) GROUP BY 1, 2),
+         |wv AS (SELECT unit, label AS weighted FROM (
+         |  SELECT unit, label, row_number() OVER (PARTITION BY unit
+         |      ORDER BY round(wsum, 9) DESC, label) AS rn FROM ws)
+         |  WHERE rn = 1),
+         |j AS (SELECT maj.unit, majority, weighted
+         |  FROM maj JOIN wv ON maj.unit = wv.unit),
+         |bm AS (SELECT majority AS label, CAST(count(*) AS BIGINT)
+         |    AS n_majority FROM j GROUP BY 1),
+         |bw AS (SELECT weighted AS label, CAST(count(*) AS BIGINT)
+         |    AS n_weighted,
+         |    CAST(sum(CASE WHEN majority <> weighted THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_gained
+         |  FROM j GROUP BY 1)
+         |SELECT label, coalesce(n_majority, 0) AS n_majority,
+         |  coalesce(n_weighted, 0) AS n_weighted,
+         |  coalesce(n_gained, 0) AS n_gained
+         |FROM bm FULL JOIN bw USING (label)
+         |ORDER BY label""".stripMargin,
+    "q149_attribution" ->
+      """WITH w AS (SELECT event_type,
+        |    first_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+        |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+        |  FROM events),
+        |conv AS (SELECT coalesce(f, '(none)') AS first_touch,
+        |    coalesce(l, '(none)') AS last_touch
+        |  FROM w WHERE event_type = 'purchase'),
+        |bf AS (SELECT first_touch AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_first FROM conv GROUP BY 1),
+        |bl AS (SELECT last_touch AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_last FROM conv GROUP BY 1)
+        |SELECT touch_type, coalesce(n_first, 0) AS n_first,
+        |  coalesce(n_last, 0) AS n_last
+        |FROM bf FULL JOIN bl USING (touch_type)
+        |ORDER BY touch_type""".stripMargin)
+}
