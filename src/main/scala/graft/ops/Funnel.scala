@@ -137,14 +137,18 @@ object Funnel {
       .where(col(typeCol) === convType)
       .select(coalesce($"__first", lit("(none)")).as("first_touch"),
         coalesce($"__last", lit("(none)")).as("last_touch"))
-    val byFirst = conv.groupBy($"first_touch".as("touch_type"))
-      .agg(count(lit(1)).cast("long").as("n_first"))
-    val byLast = conv.groupBy($"last_touch".as("touch_type"))
-      .agg(count(lit(1)).cast("long").as("n_last"))
-    byFirst.join(byLast, Seq("touch_type"), "full_outer")
-      .select($"touch_type",
-        coalesce($"n_first", lit(0L)).as("n_first"),
-        coalesce($"n_last", lit(0L)).as("n_last"))
+    // both models roll up in ONE aggregation over an exploded
+    // (kind, touch_type) pair — two independent groupBys full-outer
+    // joined would re-scan and re-window the event stream per model
+    conv.select(explode(array(
+        struct(lit("f").as("kind"), $"first_touch".as("touch_type")),
+        struct(lit("l").as("kind"), $"last_touch".as("touch_type"))))
+        .as("__e"))
+      .groupBy($"__e.touch_type".as("touch_type"))
+      .agg(sum(when($"__e.kind" === "f", 1L).otherwise(0L))
+          .cast("long").as("n_first"),
+        sum(when($"__e.kind" === "l", 1L).otherwise(0L))
+          .cast("long").as("n_last"))
   }
 
   /** Weekly cohort retention: users are cohorted by the ISO week of their
