@@ -1126,6 +1126,41 @@ object Dedup {
       .withColumnRenamed("doc", idCol)
   }
 
+  /** Duplication-hub diagnostics — WHICH documents sit at the center of
+    * duplication clusters (template pages, mirrored articles, spam
+    * blasts): per document, the number of partners sharing at least
+    * `minShared` rare tiles and the heaviest single overlap, top
+    * `topK` hubs by degree. Volume reports (q103/q108's shape) say how
+    * MUCH duplication exists; this names the documents to pull and
+    * inspect before choosing a removal threshold.
+    *
+    * Same candidate bound as [[containmentPairs]]: pair work is Σ df²
+    * over df-capped tiles, never |docs|²; the head is
+    * `orderBy().limit(topK)` — per-partition heaps, no global sort. */
+  def duplicationHubs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, maxDf: Int = 64, minShared: Int = 2,
+                      topK: Int = 50,
+                      tileKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val tiles = tileSegments(df, idCol, textCol, k)
+      .select($"doc", tileKey($"tile").as("h")).distinct()
+    val rare = tiles.join(
+      tiles.groupBy($"h").agg(count(lit(1)).as("__df"))
+        .where($"__df" <= maxDf).select($"h"),
+      Seq("h"))
+    rare.select($"h", $"doc".as("doc_a"))
+      .join(rare.select($"h", $"doc".as("doc_b")), Seq("h"))
+      .where($"doc_a" =!= $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where($"n_shared" >= minShared)
+      .groupBy($"doc_a".as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_partners"),
+        max($"n_shared").cast("long").as("max_shared"))
+      .orderBy($"n_partners".desc, $"max_shared".desc, col(idCol))
+      .limit(topK)
+  }
+
   def tileDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8,
                          tileKey: Column => Column = xxhash64(_)): DataFrame = {

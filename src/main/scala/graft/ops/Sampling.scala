@@ -355,6 +355,45 @@ object Sampling {
     * One shuffle (the per-group rank window); groups with ≤ k rows pass
     * through whole. At 100 TB, bucket the input by `groupCol` and the
     * exchange disappears. */
+  /** Deterministic curriculum / interleave schedule — the training-data
+    * ORDER a loader consumes after mixing ratios are chosen
+    * (q95-style weights say HOW MUCH of each group; this says WHEN):
+    * stride scheduling, the classic proportional-share interleave.
+    * Each row ranks inside its group by the seeded hash (rerun- and
+    * partitioning-stable, [[exactKPerGroup]]'s key) and is assigned
+    * virtual time vt = rank/weight; consuming rows in vt order yields
+    * every prefix with group proportions tracking the weights to within
+    * one stride — no RNG, no coordination, replayable from any offset.
+    *
+    * Output: id, group, rank_in_group, vt (9 dp), in (vt, group, id)
+    * order. One shuffle (the per-group rank window — bucket by group at
+    * 100 TB and it disappears); the schedule ORDER is a distributed
+    * range sort, never a global window. `weights` must cover every
+    * group (checked: unmatched groups fail fast rather than silently
+    * dropping). */
+  def curriculumOrder(df: DataFrame, groupCol: String, idCol: String,
+                      weights: Map[String, Double], seed: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val h = conv(substring(md5(concat_ws(" ", lit(seed),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("bigint")
+    // built over the INTERNAL "group" name — the weight case expression
+    // is applied after the select that renames `groupCol`
+    val w = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, wt)) => when(col("group") === g, wt).otherwise(acc) }
+    val wChecked = when(w.isNull, raise_error(concat(
+        lit("curriculumOrder: no weight for group "), col("group"))))
+      .otherwise(w)
+    Windows.topNPerGroup(
+        df.select(col(idCol).as("id"), col(groupCol).as("group"),
+          h.as("__h")),
+        Seq(col("group")), Seq(col("__h"), col("id")), Int.MaxValue)
+      .withColumnRenamed("rn", "rank_in_group")
+      .select($"id", $"group", $"rank_in_group",
+        round($"rank_in_group" / wChecked, 9).as("vt"))
+      .orderBy($"vt", $"group", $"id")
+  }
+
   def exactKPerGroup(df: DataFrame, groupCol: String, idCol: String,
                      k: Int, seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

@@ -3,12 +3,13 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Classify, Funnel, Kmeans}
+import graft.ops.{Classify, Dedup, Funnel, Kmeans, Sampling}
 
 /** Round-9 seventh-wave queries: accuracy-weighted label re-vote (one
-  * Dawid–Skene step), k-means assignment-margin confidence, and
-  * first-/last-touch conversion attribution. q147/q149 are
-  * DuckDB-oracle-checked; q148 rides the golden-pinned k-means fit. */
+  * Dawid–Skene step), k-means assignment-margin confidence,
+  * first-/last-touch conversion attribution, stride-scheduled
+  * curriculum ordering, and duplication-hub diagnostics. All
+  * DuckDB-oracle-checked except q148 (golden-pinned k-means fit). */
 object Wave7Queries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -48,10 +49,47 @@ object Wave7Queries {
       .orderBy($"touch_type")
   }
 
+  /** The q150 mixing weights — chosen, not derived, as a loader config
+    * would be (q95 is where ratios get COMPUTED). */
+  private val currWeights = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+    "fr" -> 0.15, "zh" -> 0.15)
+
+  /** Stride-scheduled curriculum order ([[Sampling.curriculumOrder]]):
+    * the deterministic training-consumption order whose every prefix
+    * tracks the language mixing weights — rank-in-group by seeded hash,
+    * virtual time rank/weight, consumed in vt order. */
+  private val q150: Q = (s, d) => {
+    import s.implicits._
+    Sampling.curriculumOrder(Tables.documents(s, d), "lang", "doc_id",
+        currWeights, seed = "curr1")
+      .select($"id".as("doc_id"), $"group".as("lang"),
+        $"rank_in_group", $"vt")
+  }
+
+  /** 16 planted template tokens — two full 8-token tiles when prepended
+    * (q146's alignment argument). */
+  private val tmpl16 = "template header boilerplate nav sidebar footer " +
+    "promo banner subscribe follow share like comment related trending latest"
+
+  /** Duplication-hub diagnostics ([[Dedup.duplicationHubs]]) over a
+    * corpus where every 11th doc carries the planted template header:
+    * the ~45 template docs surface as the degree-44 hub family. md5
+    * tile keys on the oracle surface (xxhash64 in production). */
+  private val q151: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id",
+      when($"doc_id" % 11 === 0, concat(lit(tmpl16 + " "), $"text"))
+        .otherwise($"text").as("text"))
+    Dedup.duplicationHubs(docs, "doc_id", "text", k = 8, maxDf = 64,
+      minShared = 2, topK = 50, tileKey = c => md5(c))
+  }
+
   val queries: Map[String, Q] = Map(
     "q147_weighted_vote" -> q147,
     "q148_kmeans_margin" -> q148,
-    "q149_attribution" -> q149)
+    "q149_attribution" -> q149,
+    "q150_curriculum" -> q150,
+    "q151_dup_hubs" -> q151)
 
   // ---- oracle SQL -------------------------------------------------------
 
@@ -133,5 +171,44 @@ object Wave7Queries {
         |SELECT touch_type, coalesce(n_first, 0) AS n_first,
         |  coalesce(n_last, 0) AS n_last
         |FROM bf FULL JOIN bl USING (touch_type)
-        |ORDER BY touch_type""".stripMargin)
+        |ORDER BY touch_type""".stripMargin,
+    "q150_curriculum" -> {
+      val wCase = currWeights.map { case (g, w) =>
+        s"WHEN '$g' THEN $w" }.mkString(" ")
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    CAST(concat('0x', substr(md5(concat('curr1 ',
+         |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hk
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+         |      AS INTEGER) AS rank_in_group FROM h)
+         |SELECT doc_id, lang, rank_in_group,
+         |  round(rank_in_group / (CASE lang $wCase END), 9) AS vt
+         |FROM r ORDER BY vt, lang, doc_id""".stripMargin
+    },
+    "q151_dup_hubs" ->
+      s"""WITH corpus AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN '$tmpl16 ' || text
+         |    ELSE text END AS text
+         |  FROM documents),
+         |t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |t1 AS (SELECT doc_id, w,
+         |    CAST(unnest(range(CAST(ceil(len(w) / 8.0) AS INTEGER)))
+         |      AS INTEGER) AS pos FROM t0),
+         |tk AS (SELECT DISTINCT doc_id,
+         |    md5(array_to_string(list_slice(w, pos*8 + 1, pos*8 + 8), ' '))
+         |      AS h
+         |  FROM t1),
+         |rare AS (SELECT tk.doc_id, tk.h FROM tk
+         |  JOIN (SELECT h FROM tk GROUP BY h HAVING count(*) <= 64) g
+         |    USING (h)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+         |  CAST(max(n_shared) AS BIGINT) AS max_shared
+         |FROM p GROUP BY 1
+         |ORDER BY n_partners DESC, max_shared DESC, doc_id LIMIT 50"""
+        .stripMargin)
 }

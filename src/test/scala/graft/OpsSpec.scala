@@ -10,6 +10,19 @@ class OpsSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** The distributed CC fixpoint's RESULT frame is rebased on its final
+    * localCheckpoint RDD, which stays persisted until the ContextCleaner
+    * GCs the reference — nondeterministic in a shared test JVM and a
+    * flaky trap for suites (StagedSpec) that audit persistent-RDD state.
+    * Tests that force the distributed path unpersist their new blocks
+    * eagerly once the assertions are done. */
+  private def withRddCleanup[T](f: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try f finally spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   test("Quality.split is a partition: valid ∪ invalid = input, disjoint") {
     val ev = Tables.events(spark, sf)
     val pred = col("value") >= 0.0 && col("value") <= 100.0
@@ -498,45 +511,53 @@ class OpsSpec extends SparkSuite {
   }
 
   test("connectedComponents fails loudly when maxIter is too small to converge") {
-    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 1, driverLimit = 0L).collect()
+    withRddCleanup {
+      val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+      intercept[IllegalStateException] {
+        Dedup.connectedComponents(chain, maxIter = 1, driverLimit = 0L).collect()
+      }
     }
   }
 
   test("connectedComponents: distributed fixpoint equals driver union-find") {
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L), (100L, 1L),
-      (50L, 60L), (60L, 70L), (70L, 50L)).toDF("doc_a", "doc_b")
-    val small = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
-    val dist = Dedup.connectedComponents(pairs, driverLimit = 0L)
-      .as[(Long, Long)].collect().toMap
-    assert(small == dist)
-    assert(small(100L) == 1L && small(70L) == 50L)
+    withRddCleanup {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L), (100L, 1L),
+        (50L, 60L), (60L, 70L), (70L, 50L)).toDF("doc_a", "doc_b")
+      val small = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      val dist = Dedup.connectedComponents(pairs, driverLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(small == dist)
+      assert(small(100L) == 1L && small(70L) == 50L)
+    }
   }
 
   test("connectedComponents path choice: driver under the limit, distributed above") {
-    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
-    // driver union-find materializes to a local relation — no distributed ops
-    val driverPlan = Dedup.connectedComponents(pairs)
-      .queryExecution.optimizedPlan.toString
-    assert(driverPlan.contains("LocalRelation") && !driverPlan.contains("Join"),
-      driverPlan)
-    // driverLimit = 0 forces the distributed fixpoint, whose result is
-    // rebased on the final round's checkpointed RDD (never a LocalRelation)
-    val distPlan = Dedup.connectedComponents(pairs, driverLimit = 0L)
-      .queryExecution.optimizedPlan.toString
-    assert(distPlan.contains("LogicalRDD") && !distPlan.contains("LocalRelation"),
-      distPlan)
+    withRddCleanup {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+      // driver union-find materializes to a local relation — no distributed ops
+      val driverPlan = Dedup.connectedComponents(pairs)
+        .queryExecution.optimizedPlan.toString
+      assert(driverPlan.contains("LocalRelation") && !driverPlan.contains("Join"),
+        driverPlan)
+      // driverLimit = 0 forces the distributed fixpoint, whose result is
+      // rebased on the final round's checkpointed RDD (never a LocalRelation)
+      val distPlan = Dedup.connectedComponents(pairs, driverLimit = 0L)
+        .queryExecution.optimizedPlan.toString
+      assert(distPlan.contains("LogicalRDD") && !distPlan.contains("LocalRelation"),
+        distPlan)
+    }
   }
 
   test("connectedComponents converges on a diameter-50 chain without raising maxIter") {
-    // pure min-label propagation needs 50 rounds here; the pointer-jump
-    // rounds (from round 3) halve label-chain depth per round, so the
-    // default maxIter = 20 must suffice on the distributed path
-    val chain = (0L until 50L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(chain, driverLimit = 0L)
-      .as[(Long, Long)].collect().toMap
-    assert(got.size == 51 && got.values.forall(_ == 0L), got.toSeq.sorted.take(5).toString)
+    withRddCleanup {
+      // pure min-label propagation needs 50 rounds here; the pointer-jump
+      // rounds (from round 3) halve label-chain depth per round, so the
+      // default maxIter = 20 must suffice on the distributed path
+      val chain = (0L until 50L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponents(chain, driverLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == 51 && got.values.forall(_ == 0L), got.toSeq.sorted.take(5).toString)
+    }
   }
 
   test("AsOf.join preserves a NULL payload value on the matched row") {

@@ -41,7 +41,20 @@ class StagedSpec extends SparkSuite {
     }
   }
 
+  /** Blocks another suite left behind (e.g. a distributed-CC checkpoint
+    * pending ContextCleaner GC) are not THIS spec's leak — assert that
+    * no NEW ids survive, not that the shared JVM is globally empty. */
+  private def baselineIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+  private def assertNoNewBlocks(baseline: Set[Int], what: String): Unit = {
+    val extra = spark.sparkContext.getPersistentRDDs.filterNot {
+      case (id, _) => baseline(id) }
+    assert(extra.isEmpty,
+      s"$what leaked persistent RDDs: ${extra.values.map(_.name).mkString(", ")}")
+  }
+
   test("release is correctness-neutral: staged operator results identical") {
+    val base = baselineIds
     val docs = Tables.documents(spark, sf)
     val a = Staged.scoped {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
@@ -52,11 +65,13 @@ class StagedSpec extends SparkSuite {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
         .collect().toSet
     }
-    assert(a == b && spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(a == b)
+    assertNoNewBlocks(base, "scoped jaccard runs")
   }
 
   test("releaseAll is thread-scoped: a concurrent caller cannot release another's frames") {
     Staged.releaseAll(); spark.catalog.clearCache()
+    val base = baselineIds
     // caller A (this thread) stages a frame and is still consuming it
     val mine = Staged(Tables.documents(spark, sf).select($"doc_id"))
     assert(mine.count() > 0 && mine.storageLevel.useMemory)
@@ -78,6 +93,6 @@ class StagedSpec extends SparkSuite {
     // A's release still frees A's frame
     Staged.releaseAll()
     assert(!mine.storageLevel.useMemory)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assertNoNewBlocks(base, "thread-scoped release round-trip")
   }
 }

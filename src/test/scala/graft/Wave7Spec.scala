@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.ops.{Classify, Funnel, Kmeans, Sampling}
+import graft.ops.{Classify, Dedup, Funnel, Kmeans, Sampling}
 import graft.pipeline.ReservoirStream
 
 /** Seventh-wave operators: weighted re-vote (a reliable annotator
@@ -80,6 +80,64 @@ class Wave7Spec extends SparkSuite {
     assert(rep.map(_._2).sum == 5L, rep.toString)
     assert(rep.map(_._3).sum == 1L,
       s"exactly the midpoint is ambiguous: $rep")
+  }
+
+  // ---- curriculum order -------------------------------------------------
+
+  test("curriculumOrder: every prefix tracks the weights within one stride") {
+    // 300 docs, 2:1 weights -> any prefix of length 3k holds ~2k a / ~k b
+    val docs = (1L to 300L).map(i =>
+      (i, if (i <= 200) "a" else "b")).toDF("id", "grp")
+    val sched = Sampling.curriculumOrder(docs, "grp", "id",
+        Map("a" -> 2.0, "b" -> 1.0), seed = "c1")
+      .select($"group").as[String].collect()
+    for (k <- Seq(30, 90, 150, 300)) {
+      val nA = sched.take(k).count(_ == "a")
+      val expected = k * 2 / 3
+      assert(math.abs(nA - expected) <= 2,
+        s"prefix $k: $nA a's vs ~$expected")
+    }
+  }
+
+  test("curriculumOrder: deterministic under repartitioning, exhaustive") {
+    // caller-side column names deliberately differ from the operator's
+    // internal id/group names (a rename-shadowing regression hid here)
+    val docs = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "x" else "y")).toDF("d_key", "category")
+    val w = Map("x" -> 1.0, "y" -> 3.0)
+    val a = Sampling.curriculumOrder(docs, "category", "d_key", w, "c2")
+      .select($"id", $"vt").as[(Long, Double)].collect().toSeq
+    val b = Sampling.curriculumOrder(docs.repartition(7), "category", "d_key", w, "c2")
+      .select($"id", $"vt").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._1).sorted == (1L to 60L), "schedule covers every doc once")
+  }
+
+  test("curriculumOrder: a group without a weight fails fast") {
+    val docs = Seq((1L, "a"), (2L, "zz")).toDF("id", "grp")
+    val ex = intercept[Exception] {
+      Sampling.curriculumOrder(docs, "grp", "id", Map("a" -> 1.0), "c3")
+        .collect()
+    }
+    assert(ex.getMessage.contains("no weight") ||
+      ex.getCause != null, ex.getMessage)
+  }
+
+  // ---- duplication hubs -------------------------------------------------
+
+  test("duplicationHubs: planted template family surfaces as the hub set") {
+    val tmpl = "one two three four five six seven eight"
+    val docs = ((1L to 6L).map(i => (i, s"$tmpl uniq${i}a uniq${i}b uniq${i}c")) ++
+      (7L to 9L).map(i => (i, s"plain${i}a plain${i}b plain${i}c plain${i}d")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicationHubs(docs, "doc_id", "text", k = 4,
+        maxDf = 64, minShared = 2, topK = 10, tileKey = c => md5(c))
+      .select($"doc_id", $"n_partners", $"max_shared")
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1-6 share the 2 template tiles (tiles are 4 tokens, k=4):
+    // each has 5 partners at n_shared=2; plain docs never appear
+    assert(got.map(_._1).toSet == (1L to 6L).toSet, got.toString)
+    assert(got.forall(r => r._2 == 5L && r._3 == 2L), got.toString)
   }
 
   // ---- streaming reservoir ----------------------------------------------
