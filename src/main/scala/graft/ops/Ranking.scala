@@ -43,13 +43,27 @@ object Ranking {
     * query's total relevant count (label size − 1) — the standard
     * truncated-ideal convention, so a label larger than k can still
     * reach 1.0. */
-  def retrievalEval(vecs: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+  def retrievalEval(vecs: DataFrame, labels: DataFrame, k: Int): DataFrame =
+    retrievalEvalRanked(Similarity.knnBruteForce(vecs, vecs, k),
+      labels, k)
+
+  /** Same metric frame over a CALLER-SUPPLIED ranking `(query_id,
+    * neighbor_id, rank)` — the corpus-scale path: feed
+    * [[Similarity.knnIvf]]/[[Similarity.knnLsh]] candidates (or any
+    * reranked retrieval) and get the identical per-label report, so an
+    * ANN index is graded by the SAME metrics as the exact ground truth
+    * it approximates. A query with no candidates at all simply has no
+    * row in `ranked` and drops from its label's mean (an ANN miss-all
+    * is visible in n_queries, not silently scored). */
+  def retrievalEvalRanked(rankedCandidates: DataFrame, labels: DataFrame,
+                          k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val disc = discounts(k)
     val idcg = idcgTable(k)
 
     val lab = labels.select(col("id"), col("label"))
-    val ranked = Similarity.knnBruteForce(vecs, vecs, k)
+    val ranked = rankedCandidates
+      .where($"rank" <= k)
       .join(broadcast(lab.select($"id".as("query_id"),
         $"label".as("q_label"))), Seq("query_id"))
       .join(broadcast(lab.select($"id".as("neighbor_id"),

@@ -129,6 +129,34 @@ object Similarity {
     rerank(c.join(broadcast(q), Seq("bucket")).where($"query_id" =!= $"neighbor_id"), k)
   }
 
+  /** Multi-probe LSH kNN — the recall/cost knob single-bucket LSH
+    * ([[knnLsh]]) lacks: each query probes its own sign-bucket PLUS
+    * every bucket at Hamming distance 1 (flip one of the `h` bits), so
+    * a near neighbor that landed just across one hyperplane is still
+    * found. Candidate volume grows ~(h+1)× per query while the
+    * candidate CORPUS side is untouched — the standard way to buy
+    * recall without adding hash tables or re-bucketing the corpus.
+    *
+    * Shape: the probe expansion is a query-side explode of h+1 literal
+    * XORs (queries are the small side and stay broadcast); each
+    * (query, candidate) pair arises in at most one probe bucket (a
+    * candidate has ONE bucket), so no dedup pass is needed before the
+    * shared rerank. */
+  def knnLshMultiProbe(queries: DataFrame, candidates: DataFrame, k: Int,
+                       h: Int = 8): DataFrame = {
+    val dim = embDim(candidates)
+    val planes = hyperplanes(h, dim)
+    val q = queries.select($"id".as("query_id"), $"emb".as("q_emb"),
+        $"norm".as("q_norm"), lshBucket($"emb", planes).as("__b"))
+      .withColumn("bucket", explode(array(
+        ($"__b" +: (0 until h).map(i => $"__b".bitwiseXOR(lit(1L << i)))): _*)))
+      .drop("__b")
+    val c = candidates.select($"id".as("neighbor_id"), $"emb".as("c_emb"),
+      $"norm".as("c_norm"), lshBucket($"emb", planes).as("bucket"))
+    rerank(c.join(broadcast(q), Seq("bucket"))
+      .where($"query_id" =!= $"neighbor_id"), k)
+  }
+
   /** A trained IVF coarse quantizer: unit-sphere centroids held as
     * driver-side constants, baked into plans as literals (the 100 TB
     * shape — an index is trained once, then broadcast into every probe

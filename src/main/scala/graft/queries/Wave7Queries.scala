@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Classify, Dedup, Funnel, Kmeans, Sampling}
+import graft.ops.{Classify, Dedup, Funnel, Kmeans, Ranking, Sampling, Similarity}
 
 /** Round-9 seventh-wave queries: accuracy-weighted label re-vote (one
   * Dawid–Skene step), k-means assignment-margin confidence,
@@ -84,12 +84,59 @@ object Wave7Queries {
       minShared = 2, topK = 50, tileKey = c => md5(c))
   }
 
+  /** Multi-probe-vs-single-probe LSH recall report
+    * ([[Similarity.knnLshMultiProbe]]): mean recall@5 against the exact
+    * brute-force ground truth for the same hash bits — the recall the
+    * Hamming-1 probe expansion buys without re-bucketing the corpus.
+    * Golden-pinned (seeded hyperplanes aren't DuckDB-expressible —
+    * q28/q111's precedent). */
+  private val q152: Q = (s, d) => {
+    import s.implicits._
+    val e = Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+    val qs = e.where($"id" < 50)
+    val bf = Similarity.knnBruteForce(qs, e, k = 5)
+      .select($"query_id", $"neighbor_id")
+    def meanRecall(cand: DataFrame, mode: String) = {
+      val hits = bf.join(cand.select($"query_id", $"neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+      qs.select($"id".as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .agg(round(sum(round(coalesce($"n_hit", lit(0L)) / 5.0, 9)
+            .cast("decimal(28,12)")).cast("double") / count(lit(1)), 9)
+          .as("mean_recall_at_5"))
+        .select(lit(mode).as("probe_mode"), $"mean_recall_at_5")
+    }
+    meanRecall(Similarity.knnLsh(qs, e, k = 5, h = 8), "single")
+      .unionByName(
+        meanRecall(Similarity.knnLshMultiProbe(qs, e, k = 5, h = 8), "multi"))
+      .orderBy($"probe_mode")
+  }
+
+  /** Retrieval metrics over IVF candidates
+    * ([[Ranking.retrievalEvalRanked]]): the corpus-scale path q141's
+    * operator documents — the ANN index graded by the SAME per-label
+    * MRR/P/R/nDCG frame as the exact ranking, so its quality cost is a
+    * side-by-side read against q141. Golden-pinned (IVF centroids come
+    * from the trained quantizer). */
+  private val q153: Q = (s, d) => {
+    import s.implicits._
+    val slice = Tables.embeddings(s, d).where($"vec_id" < 200)
+    val vecs = Similarity.prepared(slice, "vec_id", "embedding")
+    Ranking.retrievalEvalRanked(
+        Similarity.knnIvf(vecs, vecs, k = 10, nCells = 16, nProbe = 2),
+        slice.select($"vec_id".as("id"), $"label"), k = 10)
+      .orderBy($"label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q147_weighted_vote" -> q147,
     "q148_kmeans_margin" -> q148,
     "q149_attribution" -> q149,
     "q150_curriculum" -> q150,
-    "q151_dup_hubs" -> q151)
+    "q151_dup_hubs" -> q151,
+    "q152_multiprobe_recall" -> q152,
+    "q153_ivf_retrieval_eval" -> q153)
 
   // ---- oracle SQL -------------------------------------------------------
 

@@ -28,7 +28,8 @@ object Golden {
     "q85_video_frame_hashes", "q87_semdedup", "q88_bpe_encode",
     "q98_ppl_buckets_scaled", "q105_fertility", "q111_ann_recall",
     "q125_compress_ratio", "q137_pca_components", "q140_anisotropy_removal",
-    "q142_kmeans", "q148_kmeans_margin")
+    "q142_kmeans", "q148_kmeans_margin", "q152_multiprobe_recall",
+    "q153_ivf_retrieval_eval")
 
   val sfDir = "/root/testdata/sf0.01"
 

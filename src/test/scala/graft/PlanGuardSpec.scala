@@ -43,7 +43,8 @@ class PlanGuardSpec extends SparkSuite {
     "q134_mutual_knn",     // 200-row eval slice × broadcast(itself), brute-force top-1
     "q136_annotator_kappa", // 1-row totals × broadcast(1-row chance agreement)
     "q141_retrieval_eval", // q134's eval-slice brute-force ranking under the metrics
-    "q143_krippendorff")   // 1-row totals × broadcast(1-row marginal sum)
+    "q143_krippendorff",   // 1-row totals × broadcast(1-row marginal sum)
+    "q152_multiprobe_recall") // q111's brute-force ground truth under the recall compare
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

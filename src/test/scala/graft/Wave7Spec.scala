@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.ops.{Classify, Dedup, Funnel, Kmeans, Sampling}
+import graft.ops.{Classify, Dedup, Funnel, Kmeans, Ranking, Sampling, Similarity}
 import graft.pipeline.ReservoirStream
 
 /** Seventh-wave operators: weighted re-vote (a reliable annotator
@@ -80,6 +80,39 @@ class Wave7Spec extends SparkSuite {
     assert(rep.map(_._2).sum == 5L, rep.toString)
     assert(rep.map(_._3).sum == 1L,
       s"exactly the midpoint is ambiguous: $rep")
+  }
+
+  // ---- multi-probe LSH / ranked retrieval eval --------------------------
+
+  test("knnLshMultiProbe recall dominates single-probe at the same hash bits") {
+    val e = Similarity.prepared(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "vec_id", "embedding")
+    val qs = e.where($"id" < 30)
+    val bf = Similarity.knnBruteForce(qs, e, k = 5)
+      .select($"query_id", $"neighbor_id")
+    def recall(c: org.apache.spark.sql.DataFrame): Double = {
+      val hit = bf.join(c.select($"query_id", $"neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      hit.toDouble / bf.count()
+    }
+    val single = recall(Similarity.knnLsh(qs, e, k = 5, h = 8))
+    val multi = recall(Similarity.knnLshMultiProbe(qs, e, k = 5, h = 8))
+    // probe expansion is a superset of the single bucket's candidates
+    assert(multi >= single, s"multi $multi < single $single")
+    assert(multi > 0.0)
+  }
+
+  test("retrievalEvalRanked over the brute-force ranking equals retrievalEval") {
+    val e = Similarity.prepared(
+      Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .where($"vec_id" < 100), "vec_id", "embedding")
+    val labels = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where($"vec_id" < 100).select($"vec_id".as("id"), $"label")
+    val direct = Ranking.retrievalEval(e, labels, k = 5).collect().toSet
+    val viaRanked = Ranking.retrievalEvalRanked(
+      Similarity.knnBruteForce(e, e, k = 5), labels, k = 5).collect().toSet
+    assert(direct == viaRanked)
   }
 
   // ---- curriculum order -------------------------------------------------
