@@ -260,4 +260,41 @@ object Curate {
       .withColumn("noisy_count",
         round(($"true_count" + noise), 6))
   }
+
+  /** Winsorization report — the tail-clipping cleanup a metrics/feature
+    * pipeline applies before means and models see sensor spikes: per
+    * group, the exact [pLo, pHi] quantile bounds, how many values each
+    * tail clips, and the mean before vs after clipping.
+    *
+    * Two passes by necessity (bounds must exist before clipping): a
+    * per-group exact-percentile aggregation, broadcast back onto the
+    * scan (group cardinality is small — event types, sensors — so the
+    * bounds frame broadcasts at any corpus size), then one clipped
+    * re-aggregation. Same shape as the median/MAD outlier gate (q110).
+    *
+    * Determinism: interpolated percentiles are the one value the two
+    * engines compute via different lerp expression trees, so bounds
+    * round to 6 dp BEFORE the clip comparisons — identical thresholds on
+    * both sides; means are reduction-order-free decimal-exact sums. */
+  def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
+                      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad bounds: $pLo, $pHi")
+    val D = "decimal(28,12)"
+    val bounds = df.groupBy(col(groupCol).as("__g")).agg(
+      round(percentile(col(valueCol), lit(pLo)), 6).as("p_lo"),
+      round(percentile(col(valueCol), lit(pHi)), 6).as("p_hi"))
+    df.select(col(groupCol).as("__g"), col(valueCol).as("v"))
+      .join(broadcast(bounds), Seq("__g"))
+      .withColumn("w", least(greatest($"v", $"p_lo"), $"p_hi"))
+      .groupBy($"__g".as(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(($"v" < $"p_lo").cast("long")).as("n_lo"),
+        sum(($"v" > $"p_hi").cast("long")).as("n_hi"),
+        round(min($"p_lo"), 6).as("p_lo"),
+        round(max($"p_hi"), 6).as("p_hi"),
+        round(sum($"v".cast(D)).cast("double") / count(lit(1)), 9)
+          .as("mean_raw"),
+        round(sum($"w".cast(D)).cast("double") / count(lit(1)), 9)
+          .as("mean_winsor"))
+  }
 }

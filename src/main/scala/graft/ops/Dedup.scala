@@ -1140,7 +1140,25 @@ object Dedup {
   def duplicationHubs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, maxDf: Int = 64, minShared: Int = 2,
                       topK: Int = 50,
-                      tileKey: Column => Column = xxhash64(_)): DataFrame = {
+                      tileKey: Column => Column = xxhash64(_)): DataFrame =
+    rareTilePairs(df, idCol, textCol, k, maxDf, minShared, tileKey)
+      .groupBy($"doc_a".as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_partners"),
+        max($"n_shared").cast("long").as("max_shared"))
+      .orderBy($"n_partners".desc, $"max_shared".desc, col(idCol))
+      .limit(topK)
+
+  /** The rare-tile overlap pair frame behind [[duplicationHubs]] — the
+    * duplication GRAPH itself, both edge directions: `(doc_a, doc_b,
+    * n_shared)` for every ordered pair of distinct docs sharing at least
+    * `minShared` tiles whose document frequency is ≤ `maxDf`. Same Σ df²
+    * candidate bound as [[containmentPairs]]; the df cap is what keeps
+    * the self-join off boilerplate tiles, so pair work never approaches
+    * |docs|². Feeds graph analytics over the duplication structure
+    * ([[Graph.pageRank]] authority, connected components). */
+  def rareTilePairs(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, maxDf: Int = 64, minShared: Int = 2,
+                    tileKey: Column => Column = xxhash64(_)): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     val tiles = tileSegments(df, idCol, textCol, k)
       .select($"doc", tileKey($"tile").as("h")).distinct()
@@ -1154,12 +1172,8 @@ object Dedup {
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).cast("long").as("n_shared"))
       .where($"n_shared" >= minShared)
-      .groupBy($"doc_a".as(idCol))
-      .agg(count(lit(1)).cast("long").as("n_partners"),
-        max($"n_shared").cast("long").as("max_shared"))
-      .orderBy($"n_partners".desc, $"max_shared".desc, col(idCol))
-      .limit(topK)
   }
+
 
   def tileDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8,

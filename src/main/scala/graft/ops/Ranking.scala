@@ -101,4 +101,55 @@ object Ranking {
       .agg(count(lit(1)).cast("long").as("n_queries"),
         dmean("mrr"), dmean("prec"), dmean("rec"), dmean("ndcg"))
   }
+
+  /** Okapi BM25 top-k retrieval — the lexical ranking a RAG/data-mining
+    * pipeline runs beside its embedding kNN: for each query (a bag of
+    * terms in `queryTerms(query_id, term)`), the `topK` highest-scoring
+    * documents under BM25(k1, b).
+    *
+    * Scale shape: one corpus scan builds the (doc, term, tf, dl)
+    * postings RESTRICTED to query vocabulary (the broadcast semi-join
+    * prunes before the aggregation, so posting volume is bounded by the
+    * query vocabulary's document frequency, not corpus size); document
+    * frequency and the per-query scores derive from that postings frame
+    * alone; corpus stats (N, avgdl) attach as a 1-row broadcast. The
+    * head is a per-query top-k window over score-matched docs only —
+    * candidates per query are the union of its terms' postings, the
+    * inverted-index bound every search engine relies on.
+    *
+    * Determinism: per-(query,doc,term) scores round to 9 dp, sum
+    * exactly as DECIMAL(28,12), and the rank orders by the rounded
+    * score with a doc-id tie-break — reproducible on any engine
+    * computing the same tree (constants embedded via Double.toString).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, topK: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = docs.select(col(idCol).as("doc"),
+      Text.tokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("long").as("n"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val terms = queryTerms.select($"term").distinct()
+    val postings = docs.select(col(idCol).as("doc"),
+        Text.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy($"doc", $"term")
+      .agg(count(lit(1)).cast("long").as("tf"), min($"dl").as("dl"))
+    val dfreq = postings.groupBy($"term")
+      .agg(count(lit(1)).cast("long").as("dfc"))
+    val scored = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(queryTerms.select($"query_id", $"term")), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc",
+        round(log(lit(1.0) + ($"n" - $"dfc" + lit(0.5)) / ($"dfc" + lit(0.5))) *
+          (($"tf" * lit(k1 + 1.0)) /
+            ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * ($"dl" / $"avgdl")))),
+          9).as("s"))
+    val agg = scored.groupBy($"query_id", $"doc")
+      .agg(round(sum($"s".cast(D)).cast("double"), 9).as("score"))
+    Windows.topNPerGroup(agg, Seq($"query_id"), Seq($"score".desc, $"doc"), topK)
+      .select($"query_id", $"doc".as(idCol), $"score", $"rn".as("rnk"))
+  }
 }

@@ -76,6 +76,39 @@ object Similarity {
     * with [[knnIvf]]/[[knnLsh]] and apply the SAME mutual join — the
     * filter is one self-equi-join on the (query, neighbor) pair either
     * way, never a second scan. */
+  /** Hard-negative mining — the contrastive-training data step: for each
+    * query vector, the `k` most-similar candidates whose label DIFFERS
+    * from the query's (the near-miss negatives that make an embedding
+    * model actually learn a boundary; easy random negatives teach
+    * nothing). `labels` is `(id, label)`.
+    *
+    * Exact brute-force over an evaluation/batch-sized query slice
+    * (queries + their labels broadcast; the label-exclusion predicate
+    * rides the same broadcast join, so same-label pairs are never
+    * scored). At corpus scale, generate candidates with
+    * [[knnIvf]]/[[knnLsh]] and apply the same label anti-filter before
+    * the re-rank — the shape mirrors [[knnBruteForce]] vs its ANN paths.
+    * Output: `(query_id, neighbor_id, sim (6 dp), rnk, n_label)`. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+                    labels: DataFrame, k: Int): DataFrame = {
+    val lab = labels.select(col("id"), col("label"))
+    val q = queries
+      .select($"id".as("query_id"), $"emb".as("q_emb"), $"norm".as("q_norm"))
+      .join(lab.select($"id".as("query_id"), $"label".as("q_label")),
+        Seq("query_id"))
+    val c = candidates
+      .select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"))
+      .join(lab.select($"id".as("neighbor_id"), $"label".as("n_label")),
+        Seq("neighbor_id"))
+    val scored = c.join(broadcast(q),
+        $"query_id" =!= $"neighbor_id" && $"q_label" =!= $"n_label")
+      .withColumn("sim", cosine($"q_emb", $"c_emb", $"q_norm", $"c_norm"))
+    Windows.topNPerGroup(scored, Seq($"query_id"),
+        Seq($"sim".desc, $"neighbor_id"), k)
+      .select($"query_id", $"neighbor_id", round($"sim", 6).as("sim"),
+        $"rn".as("rnk"), $"n_label")
+  }
+
   def mutualTopOnePairs(vecs: DataFrame): DataFrame = {
     val t1 = knnBruteForce(vecs, vecs, 1)
       .select($"query_id", $"neighbor_id", $"cosine")

@@ -591,4 +591,29 @@ object Text {
       .orderBy($"pmi".desc, $"w1", $"w2")
       .limit(topK)
   }
+
+  /** Flesch reading-ease per document — the readability gate a
+    * training-data curation pass runs beside [[qualityScore]]: too-hard
+    * (legalese, OCR noise) and too-easy (listicles, keyword stuffing)
+    * tails both get thresholds from this score's distribution.
+    *
+    * Pure per-row projection (counts + one arithmetic expression), so it
+    * runs map-side inside whole-stage codegen at any corpus size.
+    * Sentences are literal-dot-terminated (`greatest(1, dots)` keeps
+    * unpunctuated rows defined); syllables use the standard vowel-group
+    * approximation (`[aeiouy]+` runs — ASCII class so the Java and RE2
+    * regex dialects agree). The arithmetic tree is mirrored verbatim in
+    * the DuckDB oracle: long counts divide as doubles, score rounds to
+    * 9 dp. Adds `n_words`, `n_sents`, `n_sylls`, `flesch`. */
+  def readabilityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_words", tokenCount(t).cast("long"))
+      .withColumn("n_sents",
+        greatest(lit(1), size(split(t, "\\.")) - 1).cast("long"))
+      .withColumn("n_sylls",
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long"))
+      .withColumn("flesch",
+        round(lit(206.835) - lit(1.015) * ($"n_words" / $"n_sents") -
+          lit(84.6) * ($"n_sylls" / $"n_words"), 9))
+  }
 }

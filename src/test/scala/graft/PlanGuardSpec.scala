@@ -44,7 +44,10 @@ class PlanGuardSpec extends SparkSuite {
     "q136_annotator_kappa", // 1-row totals × broadcast(1-row chance agreement)
     "q141_retrieval_eval", // q134's eval-slice brute-force ranking under the metrics
     "q143_krippendorff",   // 1-row totals × broadcast(1-row marginal sum)
-    "q152_multiprobe_recall") // q111's brute-force ground truth under the recall compare
+    "q152_multiprobe_recall", // q111's brute-force ground truth under the recall compare
+    "q154_bm25",           // postings × broadcast(1-row corpus stats)
+    "q155_pagerank",       // node frame × broadcast(1-row node count)
+    "q157_hard_negatives") // q27's brute-force shape with a label anti-predicate
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
