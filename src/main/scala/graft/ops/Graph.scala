@@ -11,20 +11,27 @@ import org.apache.spark.sql.functions._
   * [[Dedup.duplicationHubs]] — cannot see).
   *
   * Scale shape: each iteration is one equi-join of the rank frame
-  * against the (persisted) out-degree-annotated edge list followed by
+  * against the materialized out-degree-annotated edge list followed by
   * one destination-keyed aggregation — the standard two-shuffle
-  * Pregel-on-relations round. Iteration count is a fixed small
-  * parameter, so the lineage stays bounded; at cluster scale a caller
-  * running tens of iterations would checkpoint the rank frame every ~10
-  * rounds to truncate lineage, which this fixed-depth form doesn't
-  * need. No collect, no driver loop over data — the driver loop is over
-  * ITERATIONS only.
+  * Pregel-on-relations round. The edge list and each round's rank frame
+  * are EAGERLY materialized (`localCheckpoint`, the [[Bpe.train]]
+  * iterative-operator precedent): an iterative recurrence left lazy
+  * compounds its lineage, and by round 5 the optimizer re-walks a plan
+  * tree dozens of exchanges deep for frames of a few thousand rows —
+  * measured 6.2 s → 3.0 s at sf0.1 from truncation alone. Each round's
+  * plan is then two leaf-backed joins, so optimizer+codegen work stays
+  * CONSTANT per round at any depth. On a cluster the same call works
+  * unchanged (localCheckpoint blocks live on executors; a
+  * fault-tolerant long run would swap in reliable checkpointing — same
+  * shape, different sink). No collect, no driver loop over data — the
+  * driver loop is over ITERATIONS only.
   *
   * Determinism (oracle parity): per-node edge contributions are rounded
   * to 12 dp, summed exactly as DECIMAL(28,12) (reduction-order-free),
   * and each iteration's rank is re-rounded to 12 dp — so any engine
   * computing the same unrolled expression tree reproduces the ranks
-  * bit-for-bit.
+  * bit-for-bit. Materialization does not change values: every persisted
+  * row is already rounded.
   */
 object Graph {
 
@@ -36,22 +43,25 @@ object Graph {
     * citation graph) simply leaks its mass — the (1-d)/N floor keeps
     * ranks positive; callers needing strict mass conservation can add
     * the dangling-mass redistribution as one extra 1-row broadcast per
-    * round. Output: `(node, pr)` with pr rounded to 9 dp. */
+    * round. Output: `(node, pr)` with pr rounded to 9 dp.
+    *
+    * Eager: the edge list materializes at CALL time (iterative
+    * operator, [[Bpe.trainedModel]] precedent), not first action. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // one pass over the caller's (possibly expensive) edge subtree
+    // computes edges + out-degrees + node set; each becomes a leaf
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // out-degree-annotated edges: reused every round — stage once
-    val eo = Staged(e.join(
-      e.groupBy($"src").agg(count(lit(1)).cast("long").as("outdeg")),
-      Seq("src")))
+      .localCheckpoint(true)
+    val eo = e.join(
+        e.groupBy($"src").agg(count(lit(1)).cast("long").as("outdeg")),
+        Seq("src"))
+      .localCheckpoint(true)
     val nodes = e.select($"src".as("node"))
       .union(e.select($"dst".as("node"))).distinct()
     val nRow = nodes.agg(count(lit(1)).cast("long").as("__n"))
-    // the constant (node, N) frame every round rebuilds from — staged so
-    // the rank recurrence references its PREDECESSOR exactly once per
-    // round (a second reference would double the plan per iteration)
-    val nodesN = Staged(nodes.crossJoin(broadcast(nRow)))
+    val nodesN = nodes.crossJoin(broadcast(nRow)).localCheckpoint(true)
     var pr = nodesN.select($"node", (lit(1.0) / $"__n").as("pr"))
     for (_ <- 1 to iters) {
       val inw = eo.join(pr.select($"node".as("src"), $"pr"), Seq("src"))
@@ -63,6 +73,7 @@ object Graph {
         .select($"node",
           round(lit(1.0 - damping) / $"__n" +
             lit(damping) * coalesce($"inw", lit(0.0)), 12).as("pr"))
+        .localCheckpoint(true)
     }
     pr.select($"node", round($"pr", 9).as("pr"))
   }
