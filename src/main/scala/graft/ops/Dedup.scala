@@ -1175,6 +1175,37 @@ object Dedup {
   }
 
 
+  /** Suffix→prefix stitch candidates — the shard-reassembly /
+    * split-document detector: doc A's LAST `k` tokens equal doc B's
+    * FIRST `k` tokens, the signature of one document split across two
+    * records (crawl pagination, chunked exports, truncated+continued
+    * logs). Output `(doc_a, doc_b)`: read "a continues into b".
+    *
+    * One projection computes each doc's two edge tiles (head k-gram,
+    * tail k-gram — positional, deliberately NOT alignment-bucketed like
+    * [[tileSegments]]: the stitch point falls anywhere); the join is
+    * tail-key = head-key with both sides df-capped at `maxDf`, so
+    * fan-out is bounded by Σ df_head·df_tail per key, never corpus².
+    * Docs under `k` tokens have no full edge tile and drop out. */
+  def stitchPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, maxDf: Int = 64,
+                  tileKey: Column => Column = xxhash64(_)): DataFrame = {
+    val w = split(col(textCol), " ")
+    val frames = df.where(size(w) >= k)
+      .select(col(idCol).as("doc"),
+        tileKey(array_join(slice(w, 1, k), " ")).as("hh"),
+        tileKey(array_join(slice(w, -k, k), " ")).as("ht"))
+    val heads = frames.select($"doc".as("doc_b"), $"hh".as("h"))
+    val tails = frames.select($"doc".as("doc_a"), $"ht".as("h"))
+    def capped(side: DataFrame) = side.join(
+      side.groupBy($"h").agg(count(lit(1)).as("__df"))
+        .where($"__df" <= maxDf).select($"h"),
+      Seq("h"))
+    capped(tails).join(capped(heads), Seq("h"))
+      .where($"doc_a" =!= $"doc_b")
+      .select($"doc_a", $"doc_b")
+  }
+
   def tileDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8,
                          tileKey: Column => Column = xxhash64(_)): DataFrame = {

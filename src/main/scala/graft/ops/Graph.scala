@@ -77,4 +77,46 @@ object Graph {
     }
     pr.select($"node", round($"pr", 9).as("pr"))
   }
+
+  /** Semi-supervised label propagation — the cheap label-spreading pass
+    * a curation pipeline runs when a fraction of documents carry
+    * trusted labels (human-annotated language, topic, quality tier) and
+    * the duplication/similarity graph should carry them to near-copies:
+    * each round, every still-unlabeled node adopts the MODAL label of
+    * its labeled in-neighbors (ties break to the lexicographically
+    * smallest label); labeled nodes never change. `seeds` is `(node,
+    * label)`; nodes absent from the edge list take no part.
+    *
+    * Same round shape and eager-materialization rationale as
+    * [[pageRank]] — one labeled-neighbor join + a (dst,label) count +
+    * a `min(struct)` argmax (q121's no-window pattern) per round.
+    * Entirely integer/string arithmetic: deterministic on any engine
+    * with the same tie-break, no float parity concerns at all.
+    * Output: `(node, label)`, label null where propagation never
+    * reached. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct()
+    var lab = nodes
+      .join(seeds.select(col("node"), col("label").as("__seed")),
+        Seq("node"), "left")
+      .select($"node", $"__seed".as("label")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = e.join(
+          lab.where($"label".isNotNull).select($"node".as("src"), $"label"),
+          Seq("src"))
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
+        .groupBy($"dst")
+        .agg(min(struct((-$"cnt").as("neg"), $"label".as("l"))).as("top"))
+        .select($"dst".as("node"), $"top.l".as("__new"))
+      lab = lab.join(votes, Seq("node"), "left")
+        .select($"node", coalesce($"label", $"__new").as("label"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
 }

@@ -404,4 +404,43 @@ object Sampling {
       .withColumnRenamed("rn", "sample_rank")
       .drop("__h")
   }
+
+  /** UniMax mixture allocation (Chung et al. 2023, "UniMax: fairer and
+    * more effective language sampling") — split a token `budget` across
+    * domains, capping every domain at `maxEpochs` passes over its data
+    * and redistributing what the cap frees to the still-open domains:
+    * visit domains by ascending token count; each takes
+    * `min(tokens·maxEpochs, remaining/domains_left)`.
+    *
+    * The per-domain token totals aggregate DISTRIBUTED (map-side
+    * partials over any corpus size); only the ≤|taxonomy|-row total
+    * table collects for the sequential water-fill — the same bounded
+    * collect as the BPE merge table, because the recurrence is
+    * inherently ordered. The fold is pure IEEE +,−,÷,min (no libm), so
+    * any engine replaying it on the same longs reproduces the doubles
+    * bit-for-bit; rounding happens in-plan on the returned frame.
+    * Output: `(domain, tokens, alloc (6 dp), epochs (9 dp))`. */
+  def unimaxAllocation(df: DataFrame, domainCol: String, tokenCol: String,
+                       budget: Double, maxEpochs: Double): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, s"bad budget/epochs: $budget, $maxEpochs")
+    val s = df.sparkSession
+    import s.implicits._
+    val totals = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(tokenCol).cast("long")).as("tokens"))
+      .select(col("domain").cast("string"), col("tokens").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (dom, tok) => (tok, dom) }
+    var rem = budget
+    var left = totals.length
+    val rows = totals.map { case (dom, tok) =>
+      require(tok > 0, s"domain '$dom' has no tokens")
+      val a = math.min(tok.toDouble * maxEpochs, rem / left)
+      rem -= a; left -= 1
+      (dom, tok, a)
+    }
+    rows.toSeq.toDF("domain", "tokens", "__a")
+      .select(col("domain"), col("tokens"), round(col("__a"), 6).as("alloc"),
+        round(col("__a") / col("tokens"), 9).as("epochs"))
+  }
 }

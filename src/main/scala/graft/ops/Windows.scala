@@ -113,4 +113,44 @@ object Windows {
           .cast("double") / count(valueCol).over(w))
       .withColumn("n_frame", count(valueCol).over(w))
   }
+
+  /** Exponentially time-decayed mean per group — the freshness-weighted
+    * aggregate a metrics/reputation pipeline publishes instead of the
+    * all-history mean: each value weights by `2^(-age/halfLifeDays)`
+    * with age measured back from the corpus' latest event, so a
+    * half-life-old observation counts half. Null values are excluded
+    * from BOTH sums (their weight must not dilute the mean).
+    *
+    * Shape: one 1-row max-timestamp broadcast onto the scan, then one
+    * group-keyed aggregation with map-side partials — two passes over
+    * the frame, no window, no shuffle beyond the final group key. Age
+    * uses exact integer epoch-MICROSECONDS (`unix_micros`; DuckDB
+    * `epoch_us`) so both engines see identical longs. exp() is the one
+    * libm call (engines may differ by ~1 ulp): its ARGUMENT quantizes
+    * to 6 dp (pure-double arithmetic, so identical) and the weight
+    * rounds to 6 dp — at a 1e-6 grid the odds an ulp disagreement
+    * straddles a rounding boundary are ~1e-10 per distinct timestamp
+    * (at 1e-9 it measurably flaked: one boundary row at sf0.01). */
+  def decayedMean(df: DataFrame, groupCol: String, tsCol: String,
+                  valueCol: String, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be > 0: $halfLifeDays")
+    val D = "decimal(28,12)"
+    val ln2 = math.log(2.0)
+    val maxTs = df.agg(max(unix_micros(col(tsCol))).as("__max_us"))
+    val ageDays = ($"__max_us" - unix_micros(col(tsCol))) /
+      lit(86400000000.0)
+    val w = round(exp(round(lit(-ln2) * ageDays / lit(halfLifeDays), 6)), 6)
+    df.where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(maxTs))
+      .select(col(groupCol), col(valueCol).as("__v"), w.as("__w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(round($"__v" * $"__w", 9).cast(D)).cast("double"), 9)
+          .as("decayed_sum"),
+        round(sum($"__w".cast(D)).cast("double"), 9).as("weight_sum"),
+        round(sum($"__v".cast(D)).cast("double") / count(lit(1)), 9)
+          .as("mean_raw"))
+      .withColumn("mean_decayed",
+        round($"decayed_sum" / $"weight_sum", 9))
+  }
 }

@@ -36,7 +36,7 @@ object Wave8Queries {
 
   /** 16 planted template tokens — q151's corpus, so the duplication
     * graph has real hub structure to rank. */
-  private val tmpl16 = "template header boilerplate nav sidebar footer " +
+  private[queries] val tmpl16 = "template header boilerplate nav sidebar footer " +
     "promo banner subscribe follow share like comment related trending latest"
 
   /** PageRank authority over the rare-tile duplication graph
@@ -110,7 +110,7 @@ object Wave8Queries {
 
   /** q151's rare-tile pair CTEs over the template-planted corpus —
     * q155's edge list (both directions). */
-  private val dupEdgeSql =
+  private[queries] val dupEdgeSql =
     s"""corpus AS (SELECT doc_id,
        |    CASE WHEN doc_id % 11 = 0 THEN '$tmpl16 ' || text
        |    ELSE text END AS text

@@ -47,7 +47,8 @@ class PlanGuardSpec extends SparkSuite {
     "q152_multiprobe_recall", // q111's brute-force ground truth under the recall compare
     "q154_bm25",           // postings × broadcast(1-row corpus stats)
     "q155_pagerank",       // node frame × broadcast(1-row node count)
-    "q157_hard_negatives") // q27's brute-force shape with a label anti-predicate
+    "q157_hard_negatives", // q27's brute-force shape with a label anti-predicate
+    "q160_time_decay")     // event scan × broadcast(1-row max timestamp)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
