@@ -109,6 +109,48 @@ object Similarity {
         $"rn".as("rnk"), $"n_label")
   }
 
+  /** Contrastive (anchor, positive, hard-negative) triplet mining — the
+    * training-data artifact a contrastive embedding run consumes: per
+    * query, the most-similar SAME-label vector (hardest positive to
+    * hold on to is not wanted — the closest one anchors the pair) and
+    * the most-similar DIFFERENT-label vector ([[hardNegatives]]'
+    * near-miss), plus the margin between them. A query whose label has
+    * no other member yields null pos columns (visible, not dropped).
+    *
+    * ONE broadcast-join scoring pass feeds both sides: the
+    * (query, is-positive) window ranks positives and negatives in the
+    * same shuffle, then a query-keyed pivot folds the two rank-1 rows
+    * into one triplet row. Same eval-slice posture as [[hardNegatives]];
+    * at corpus scale feed IVF/LSH candidates through the identical
+    * window+pivot. Output: `(query_id, pos_id, pos_sim, neg_id,
+    * neg_sim, margin)`, sims 6 dp. */
+  def contrastiveTriplets(queries: DataFrame, candidates: DataFrame,
+                          labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("label"))
+    val q = queries
+      .select($"id".as("query_id"), $"emb".as("q_emb"), $"norm".as("q_norm"))
+      .join(lab.select($"id".as("query_id"), $"label".as("q_label")),
+        Seq("query_id"))
+    val c = candidates
+      .select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"))
+      .join(lab.select($"id".as("neighbor_id"), $"label".as("n_label")),
+        Seq("neighbor_id"))
+    val scored = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .withColumn("sim", cosine($"q_emb", $"c_emb", $"q_norm", $"c_norm"))
+      .withColumn("is_pos", $"q_label" === $"n_label")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id", $"is_pos")
+      .orderBy($"sim".desc, $"neighbor_id")
+    scored.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .groupBy($"query_id")
+      .agg(
+        max(when($"is_pos", $"neighbor_id")).as("pos_id"),
+        max(when($"is_pos", round($"sim", 6))).as("pos_sim"),
+        max(when(!$"is_pos", $"neighbor_id")).as("neg_id"),
+        max(when(!$"is_pos", round($"sim", 6))).as("neg_sim"))
+      .withColumn("margin", round($"pos_sim" - $"neg_sim", 6))
+  }
+
   def mutualTopOnePairs(vecs: DataFrame): DataFrame = {
     val t1 = knnBruteForce(vecs, vecs, 1)
       .select($"query_id", $"neighbor_id", $"cosine")

@@ -48,7 +48,9 @@ class PlanGuardSpec extends SparkSuite {
     "q154_bm25",           // postings × broadcast(1-row corpus stats)
     "q155_pagerank",       // node frame × broadcast(1-row node count)
     "q157_hard_negatives", // q27's brute-force shape with a label anti-predicate
-    "q160_time_decay")     // event scan × broadcast(1-row max timestamp)
+    "q160_time_decay",     // event scan × broadcast(1-row max timestamp)
+    "q164_degree_dist",    // degree histogram × broadcast(1-row node total)
+    "q166_triplets")       // q157's brute-force shape, dual-rank pivot
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
