@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.ExtraQueries.queries ++ graft.queries.Wave3Queries.queries ++
       graft.queries.Wave4Queries.queries ++ graft.queries.Wave6Queries.queries ++
       graft.queries.Wave7Queries.queries ++ graft.queries.Wave8Queries.queries ++
-      graft.queries.Wave9Queries.queries ++ graft.queries.Wave10Queries.queries
+      graft.queries.Wave9Queries.queries ++ graft.queries.Wave10Queries.queries ++
+      graft.queries.Wave11Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.ExtraQueries.oracle ++ graft.queries.Wave3Queries.oracle ++
       graft.queries.Wave4Queries.oracle ++ graft.queries.Wave6Queries.oracle ++
       graft.queries.Wave7Queries.oracle ++ graft.queries.Wave8Queries.oracle ++
-      graft.queries.Wave9Queries.oracle ++ graft.queries.Wave10Queries.oracle
+      graft.queries.Wave9Queries.oracle ++ graft.queries.Wave10Queries.oracle ++
+      graft.queries.Wave11Queries.oracle
 }
