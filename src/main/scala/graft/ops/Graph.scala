@@ -119,4 +119,61 @@ object Graph {
     }
     lab
   }
+
+  /** Triangle count + local clustering coefficient per node — the graph
+    * diagnostic that separates a TEMPLATE family (near-clique: high
+    * triangle density, coefficient → 1) from a HUB-and-spoke mirror
+    * pattern (star: high degree, zero triangles), which degree (q164)
+    * and PageRank (q155) cannot tell apart. Input `pairs` is an
+    * undirected pair list in either or both directions; edges are
+    * canonicalized (least, greatest) + distinct first.
+    *
+    * Scale shape: edges are ORIENTED from the (degree, id)-smaller
+    * endpoint to the larger before the two-hop self-join — the standard
+    * compact-forward bound: every out-degree is ≤ √(2m), so the wedge
+    * join costs Σ d_out² ≤ m·√(2m) instead of the Σ d² a naive
+    * orientation pays on a skewed graph (one 10⁶-degree hub would
+    * otherwise contribute 10¹² wedges alone). Each triangle is counted
+    * exactly once (the orientation is acyclic), then credited to its 3
+    * vertices by one explode. Canonical edge list and degree frame are
+    * eagerly materialized ([[pageRank]] precedent) — each is read three
+    * times downstream.
+    *
+    * Output: `(node, degree, n_tri, clust_coef)` for every node of the
+    * graph, coefficient = 2·T/(deg·(deg−1)) rounded to 9 dp (0.0 for
+    * degree-1 nodes). Pure integer arithmetic until the one final
+    * division — no float-parity surface. */
+  def triangles(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = pairs
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where($"a" =!= $"b").distinct()
+      .localCheckpoint(true)
+    val deg = und.select($"a".as("node"))
+      .unionAll(und.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).cast("long").as("degree"))
+      .localCheckpoint(true)
+    val fwd = $"__da" < $"__db" || ($"__da" === $"__db" && $"a" < $"b")
+    val oriented = und
+      .join(deg.select($"node".as("a"), $"degree".as("__da")), Seq("a"))
+      .join(deg.select($"node".as("b"), $"degree".as("__db")), Seq("b"))
+      .select(when(fwd, $"a").otherwise($"b").as("src"),
+        when(fwd, $"b").otherwise($"a").as("dst"))
+      .localCheckpoint(true)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+    val tn = tri.select(explode(array($"u", $"v", $"w")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).cast("long").as("n_tri"))
+    deg.join(tn, Seq("node"), "left")
+      .select($"node", $"degree",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        round(when($"degree" > 1,
+          lit(2.0) * coalesce($"n_tri", lit(0L)) /
+            ($"degree".cast("double") * ($"degree" - 1)))
+          .otherwise(0.0), 9).as("clust_coef"))
+  }
 }
