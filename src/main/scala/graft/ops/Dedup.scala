@@ -1039,6 +1039,17 @@ object Dedup {
     * `sequence(0, -1)` DESCENDS to [0, -1] in Spark and a null doc would
     * grow two phantom empty tiles — measured, and divergent from the
     * oracles' `range()`, which is empty on a negative bound). */
+  /** Distinct (doc, tile-key) frame over non-overlapping k-token tiles —
+    * the shared indexing step of the tile-based dedup family, exposed
+    * for compositions that consume tile sets directly (novelty curves,
+    * cross-snapshot diffing) rather than through the pair joins. One
+    * explode, one distinct; tile keys via `tileKey` (xxhash64 default;
+    * md5 on oracle-checked surfaces). */
+  def docTiles(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+               tileKey: Column => Column = xxhash64(_)): DataFrame =
+    tileSegments(df, idCol, textCol, k)
+      .select($"doc", tileKey($"tile").as("h")).distinct()
+
   private[ops] def tileSegments(df: DataFrame, idCol: String,
                                 textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"tile length k must be >= 1, got $k")

@@ -120,6 +120,47 @@ object Graph {
     lab
   }
 
+  /** `rounds` peeling rounds toward the k-core of an undirected graph —
+    * the degeneracy structure a dedup pipeline reads to find the DENSE
+    * heart of a duplication cluster (a k-core survives removing any
+    * single hub; a star collapses at k=2). Each round drops every node
+    * whose remaining degree is < k and restricts the edge list to
+    * survivors — monotone, so after convergence the survivors are
+    * exactly the k-core; with a fixed round budget the result is an
+    * UPPER BOUND on the core (long peeling chains may need more
+    * rounds), the trade that keeps the unrolled computation
+    * engine-replayable. Peeling depth needed in practice is small: each
+    * round removes a full "shell" of the graph, not one node.
+    *
+    * Input: pair list in either or both directions (canonicalized and
+    * symmetrized internally). Each round is one degree aggregation +
+    * two semi-joins, eagerly materialized ([[pageRank]] precedent).
+    * Output: `(node, degree)` of survivors with their within-core
+    * degree, pure integer arithmetic. */
+  def kCore(pairs: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val und = pairs
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where($"a" =!= $"b").distinct()
+    var sym = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy($"src").agg(count(lit(1)).as("__deg"))
+        .where($"__deg" >= k).select($"src")
+      sym = sym
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select($"src".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+        .localCheckpoint(true)
+    }
+    sym.groupBy($"src".as("node"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+  }
+
   /** Triangle count + local clustering coefficient per node — the graph
     * diagnostic that separates a TEMPLATE family (near-clique: high
     * triangle density, coefficient → 1) from a HUB-and-spoke mirror

@@ -45,4 +45,38 @@ class Wave12Spec extends SparkSuite {
     assert(run(raw) == expect)
     assert(run(raw.repartition(7)) == expect)
   }
+
+  // ---- k-core -----------------------------------------------------------
+
+  private def core(k: Int, rounds: Int, pairs: (Long, Long)*) =
+    Graph.kCore(pairs.toDF("a", "b"), "a", "b", k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: the clique survives, the tail chain peels shell by shell") {
+    // K4 on 1..4 with a chain 4-5-6 hanging off; 3-core = the K4 alone,
+    // but node 5 only becomes peelable AFTER 6 goes — two rounds needed
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(3, 5, g: _*) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // with a 1-round budget the chain is only partially peeled: 6 (deg 1)
+    // and 5 (deg 2) both drop in round 1, but 4 keeps its within-core
+    // degree from the clique — already converged here
+    assert(core(3, 1, g: _*) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: a star has no 2-core; a cycle IS its own 2-core") {
+    assert(core(2, 3, (10L, 1L), (10L, 2L), (10L, 3L)).isEmpty)
+    assert(core(2, 3, (1L, 2L), (2L, 3L), (3L, 1L)) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: partitioning irrelevant") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val a = Graph.kCore(g, "a", "b", 3, 3).as[(Long, Long)].collect().toMap
+    val b = Graph.kCore(g.repartition(5), "a", "b", 3, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
