@@ -161,6 +161,50 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("degree"))
   }
 
+  /** Common-neighbor link prediction — the "missed duplicate" candidate
+    * generator: pairs NOT directly connected in the graph but sharing
+    * many neighbors (two docs never tile-matched, yet both near-dups of
+    * the same third documents, e.g. two clean re-renders of one
+    * template). Output `(u, w, n_common, jaccard)` for non-adjacent
+    * pairs, jaccard = |N(u)∩N(w)| / (deg(u)+deg(w)−|∩|).
+    *
+    * Scale shape: wedges are enumerated at their CENTER, and centers
+    * with degree > `maxCenterDeg` are skipped — the Σ deg(z)² wedge
+    * bound with the boilerplate-hub tail cut off (a 10⁵-degree hub
+    * would contribute 10¹⁰ wedges while certifying almost nothing:
+    * co-citation of a universal hub is not evidence of similarity —
+    * same rationale as [[Dedup.rareTilePairs]]' df cap, documented
+    * semantics rather than an approximation). Degrees in the Jaccard
+    * denominator stay UNcapped, so capped scores are conservative. */
+  def linkCandidates(pairs: DataFrame, srcCol: String, dstCol: String,
+                     maxCenterDeg: Int = 64): DataFrame = {
+    require(maxCenterDeg >= 2, s"maxCenterDeg must be >= 2: $maxCenterDeg")
+    val und = pairs
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where($"a" =!= $"b").distinct()
+      .localCheckpoint(true)
+    val sym = und.select($"a".as("z"), $"b".as("nbr"))
+      .unionAll(und.select($"b".as("z"), $"a".as("nbr")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy($"z")
+      .agg(count(lit(1)).cast("long").as("degree"))
+      .localCheckpoint(true)
+    val symC = sym.join(
+      deg.where($"degree" <= maxCenterDeg).select($"z"), Seq("z"), "left_semi")
+    symC.select($"z", $"nbr".as("u"))
+      .join(symC.select($"z", $"nbr".as("w")), Seq("z"))
+      .where($"u" < $"w")
+      .groupBy($"u", $"w")
+      .agg(count(lit(1)).cast("long").as("n_common"))
+      .join(und.select($"a".as("u"), $"b".as("w")), Seq("u", "w"), "left_anti")
+      .join(deg.select($"z".as("u"), $"degree".as("__du")), Seq("u"))
+      .join(deg.select($"z".as("w"), $"degree".as("__dw")), Seq("w"))
+      .select($"u", $"w", $"n_common",
+        round($"n_common".cast("double") / ($"__du" + $"__dw" - $"n_common"),
+          9).as("jaccard"))
+  }
+
   /** Triangle count + local clustering coefficient per node — the graph
     * diagnostic that separates a TEMPLATE family (near-clique: high
     * triangle density, coefficient → 1) from a HUB-and-spoke mirror

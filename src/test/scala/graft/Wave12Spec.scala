@@ -71,6 +71,35 @@ class Wave12Spec extends SparkSuite {
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  // ---- link prediction --------------------------------------------------
+
+  private def links(maxDeg: Int, pairs: (Long, Long)*) =
+    Graph.linkCandidates(pairs.toDF("a", "b"), "a", "b", maxDeg)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+  test("linkCandidates: shared neighbors predict, adjacency excludes") {
+    // 1 and 2 share neighbors 10, 11 but are NOT adjacent → predicted
+    // with n_common=2; deg(1)=deg(2)=2 → jaccard 2/(2+2-2)=1.0.
+    // 1-10 are adjacent → never emitted even though they share nothing.
+    val got = links(64, (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+    assert(got((1L, 2L)) == ((2L, 1.0)), got.toString)
+    assert(!got.contains((1L, 10L)) && !got.contains((1L, 11L)))
+    // 10 and 11 also share {1, 2}: the symmetric prediction, and the
+    // only other candidate — C4 has exactly two diagonals
+    assert(got((10L, 11L)) == ((2L, 1.0)) && got.size == 2, got.toString)
+  }
+
+  test("linkCandidates: a center above the degree cap contributes no wedges") {
+    // star center 100 with 5 spokes; cap 4 < 5 → no candidate pairs
+    val spokes = (1L to 5L).map(i => (100L, i))
+    assert(links(4, spokes: _*).isEmpty)
+    // raising the cap to 5 admits the center: C(5,2)=10 spoke pairs,
+    // each deg-1 endpoints → jaccard 1/(1+1-1)=1.0
+    val open = links(5, spokes: _*)
+    assert(open.size == 10 && open.values.forall(_ == ((1L, 1.0))))
+  }
+
   test("kCore: partitioning irrelevant") {
     val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L)).toDF("a", "b")
