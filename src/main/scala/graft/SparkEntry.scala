@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Wave7Queries.queries ++ graft.queries.Wave8Queries.queries ++
       graft.queries.Wave9Queries.queries ++ graft.queries.Wave10Queries.queries ++
       graft.queries.Wave11Queries.queries ++ graft.queries.Wave12Queries.queries ++
-      graft.queries.Wave13Queries.queries ++ graft.queries.Wave14Queries.queries
+      graft.queries.Wave13Queries.queries ++ graft.queries.Wave14Queries.queries ++
+      graft.queries.Wave15Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.Wave7Queries.oracle ++ graft.queries.Wave8Queries.oracle ++
       graft.queries.Wave9Queries.oracle ++ graft.queries.Wave10Queries.oracle ++
       graft.queries.Wave11Queries.oracle ++ graft.queries.Wave12Queries.oracle ++
-      graft.queries.Wave13Queries.oracle ++ graft.queries.Wave14Queries.oracle
+      graft.queries.Wave13Queries.oracle ++ graft.queries.Wave14Queries.oracle ++
+      graft.queries.Wave15Queries.oracle
 }

@@ -52,7 +52,8 @@ class PlanGuardSpec extends SparkSuite {
     "q164_degree_dist",    // degree histogram × broadcast(1-row node total)
     "q166_triplets",       // q157's brute-force shape, dual-rank pivot
     "q177_novelty",        // doc scan × broadcast(1-row max doc_id)
-    "q179_token_bursts")   // doc scan × broadcast(1-row max id + total)
+    "q179_token_bursts",   // doc scan × broadcast(1-row max id + total)
+    "q181_ks_drift")       // length grid × broadcast(sources + 1-row total)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
