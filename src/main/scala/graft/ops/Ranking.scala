@@ -152,4 +152,36 @@ object Ranking {
     Windows.topNPerGroup(agg, Seq($"query_id"), Seq($"score".desc, $"doc"), topK)
       .select($"query_id", $"doc".as(idCol), $"score", $"rn".as("rnk"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    * runs — the standard hybrid-retrieval combiner (BM25 + dense, or
+    * any pair of rankers): score(q, d) = Σ_runs 1/(k0 + rank), items
+    * absent from a run contribute 0. Scores depend only on RANKS, so
+    * fusion is immune to the incomparable score scales that break
+    * linear interpolation — the reason RRF is the default in hybrid
+    * search stacks.
+    *
+    * Scale shape: one full-outer equi-join of two (query, item, rank)
+    * frames that are already top-k-sized (queries×k rows, never
+    * corpus-sized), then a per-query window over ≤ 2k candidates. The
+    * reciprocal terms are exact small-integer divisions summed in a
+    * FIXED two-term expression order — engine-bit-reproducible, no
+    * decimal machinery needed. Ranks surface as nullable `rank_a` /
+    * `rank_b` so a consumer can see which system contributed. */
+  def rrfFuse(runA: DataFrame, runB: DataFrame, queryCol: String,
+              itemCol: String, rankCol: String, k0: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    val a = runA.select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+      col(rankCol).as("rank_a"))
+    val b = runB.select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+      col(rankCol).as("rank_b"))
+    val fused = a.join(b, Seq("__q", "__i"), "full_outer")
+      .select($"__q", $"__i", $"rank_a", $"rank_b",
+        round(coalesce(lit(1.0) / (lit(k0) + $"rank_a"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + $"rank_b"), lit(0.0)), 9).as("rrf"))
+    Windows.topNPerGroup(fused, Seq($"__q"), Seq($"rrf".desc, $"__i"), topK)
+      .select($"__q".as(queryCol), $"__i".as(itemCol), $"rank_a", $"rank_b",
+        $"rrf", $"rn".as("rnk"))
+  }
 }

@@ -18,7 +18,7 @@ object Wave8Queries {
   /** The fixed query workload: three 3-term queries over the corpus
     * vocabulary — chosen, not derived, as a search/eval harness's query
     * set would be. */
-  private val bm25Queries: Seq[(String, String)] = Seq(
+  private[queries] val bm25Queries: Seq[(String, String)] = Seq(
     "qa" -> "table", "qa" -> "key", "qa" -> "scan",
     "qb" -> "vector", "qb" -> "window", "qb" -> "merge",
     "qc" -> "batch", "qc" -> "data", "qc" -> "group")
@@ -147,11 +147,12 @@ object Wave8Queries {
   private val bm25ValuesSql = bm25Queries
     .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
 
-  val oracle: Map[String, String] = Map(
-    "q154_bm25" -> {
-      val k1p1 = bm25K1 + 1.0
-      val oneMb = 1.0 - bm25B
-      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $bm25ValuesSql)),
+  /** The full BM25 scoring replay as CTE text (through ranked frame
+    * `r`) — q154's oracle body, shared with the q183 fusion replay. */
+  private[queries] val bm25RunSql: String = {
+    val k1p1 = bm25K1 + 1.0
+    val oneMb = 1.0 - bm25B
+    s"""q(query_id, term) AS (SELECT * FROM (VALUES $bm25ValuesSql)),
          |lens AS (SELECT doc_id AS doc,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
          |  FROM documents),
@@ -181,10 +182,14 @@ object Wave8Queries {
          |r AS (SELECT query_id, doc AS doc_id, score,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, doc) AS INTEGER) AS rnk
-         |  FROM agg)
+         |  FROM agg)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q154_bm25" ->
+      s"""WITH $bm25RunSql
          |SELECT query_id, doc_id, score, rnk FROM r
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-    },
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q155_pagerank" -> {
       val damping = 0.85
       s"""WITH $dupEdgeSql,

@@ -53,7 +53,8 @@ class PlanGuardSpec extends SparkSuite {
     "q166_triplets",       // q157's brute-force shape, dual-rank pivot
     "q177_novelty",        // doc scan × broadcast(1-row max doc_id)
     "q179_token_bursts",   // doc scan × broadcast(1-row max id + total)
-    "q181_ks_drift")       // length grid × broadcast(sources + 1-row total)
+    "q181_ks_drift",       // length grid × broadcast(sources + 1-row total)
+    "q183_rrf_fusion")     // q154's postings × broadcast(1-row corpus stats)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

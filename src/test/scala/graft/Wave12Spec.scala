@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Graph
+import graft.ops.{Graph, Ranking}
 
 /** Wave-14 operator: triangle census (clique vs star vs path fixtures,
   * duplicate/reversed-edge canonicalization, partition invariance). */
@@ -69,6 +69,33 @@ class Wave12Spec extends SparkSuite {
     assert(core(2, 3, (10L, 1L), (10L, 2L), (10L, 3L)).isEmpty)
     assert(core(2, 3, (1L, 2L), (2L, 3L), (3L, 1L)) ==
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  // ---- reciprocal-rank fusion -------------------------------------------
+
+  test("rrfFuse: agreement outranks either single-run winner") {
+    // run A: x@1, y@2; run B: y@1, z@2 — y (1/62 + 1/61) beats
+    // x (1/61) and z (1/62); absent runs contribute 0, ranks surface
+    val a = Seq(("q1", "x", 1), ("q1", "y", 2)).toDF("query", "item", "rnk")
+    val b = Seq(("q1", "y", 1), ("q1", "z", 2)).toDF("query", "item", "rnk")
+    val got = Ranking.rrfFuse(a, b, "query", "item", "rnk")
+      .as[(String, String, Option[Int], Option[Int], Double, Int)]
+      .collect().sortBy(_._6)
+    assert(got.map(r => (r._2, r._3, r._4, r._6)).toSeq == Seq(
+      ("y", Some(2), Some(1), 1), ("x", Some(1), None, 2),
+      ("z", None, Some(2), 3)), got.mkString(", "))
+    val y = got.head
+    assert(math.abs(y._5 - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+  }
+
+  test("rrfFuse: equal scores tie-break by item; topK truncates") {
+    // symmetric ranks → identical scores for p and s; p < s wins rank 1
+    val a = Seq(("q1", "p", 1), ("q1", "s", 2)).toDF("query", "item", "rnk")
+    val b = Seq(("q1", "s", 1), ("q1", "p", 2)).toDF("query", "item", "rnk")
+    val got = Ranking.rrfFuse(a, b, "query", "item", "rnk", topK = 1)
+      .as[(String, String, Option[Int], Option[Int], Double, Int)].collect()
+    assert(got.length == 1 && got.head._2 == "p" && got.head._6 == 1,
+      got.mkString(", "))
   }
 
   // ---- link prediction --------------------------------------------------
