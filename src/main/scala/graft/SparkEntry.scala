@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.Wave11Queries.queries ++ graft.queries.Wave12Queries.queries ++
       graft.queries.Wave13Queries.queries ++ graft.queries.Wave14Queries.queries ++
       graft.queries.Wave15Queries.queries ++ graft.queries.Wave16Queries.queries ++
-      graft.queries.Wave17Queries.queries
+      graft.queries.Wave17Queries.queries ++ graft.queries.Wave18Queries.queries ++
+      graft.queries.Wave19Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.Wave11Queries.oracle ++ graft.queries.Wave12Queries.oracle ++
       graft.queries.Wave13Queries.oracle ++ graft.queries.Wave14Queries.oracle ++
       graft.queries.Wave15Queries.oracle ++ graft.queries.Wave16Queries.oracle ++
-      graft.queries.Wave17Queries.oracle
+      graft.queries.Wave17Queries.oracle ++ graft.queries.Wave18Queries.oracle ++
+      graft.queries.Wave19Queries.oracle
 }
