@@ -127,6 +127,69 @@ class Wave12Spec extends SparkSuite {
     assert(open.size == 10 && open.values.forall(_ == ((1L, 1.0))))
   }
 
+  // ---- randomized cross-checks vs in-memory reference -------------------
+
+  /** Deterministic pseudo-random edge sets (seeded LCG — no
+    * Math.random in tests either). */
+  private def randomGraph(seed: Long, nodes: Int, edges: Int): Seq[(Long, Long)] = {
+    var x = seed
+    def next(bound: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33) % bound + bound) % bound).toInt
+    }
+    (1 to edges).map(_ => (next(nodes).toLong, next(nodes).toLong))
+      .filter(p => p._1 != p._2)
+  }
+
+  private def canon(es: Seq[(Long, Long)]): Set[(Long, Long)] =
+    es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+
+  test("triangles: matches brute-force enumeration on random graphs") {
+    for (seed <- 1L to 4L) {
+      val es = randomGraph(seed * 7919, nodes = 10, edges = 18)
+      if (es.nonEmpty) {
+        val und = canon(es)
+        val adj = und.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val nodes = adj.keySet.toSeq.sorted
+        val refTri = nodes.map { u =>
+          u -> (for {
+            v <- adj(u).toSeq; w <- adj(u).toSeq
+            if v < w && adj(v).contains(w)
+          } yield 1).size.toLong
+        }.toMap
+        val got = Graph.triangles(es.toDF("a", "b"), "a", "b")
+          .as[(Long, Long, Long, Double)].collect()
+          .map(r => r._1 -> r._3).toMap
+        assert(got == refTri.filter { case (n, _) => adj(n).nonEmpty },
+          s"seed $seed: $got vs $refTri")
+      }
+    }
+  }
+
+  test("kCore: converged result matches in-memory peel on random graphs") {
+    for (seed <- 1L to 4L) {
+      val es = randomGraph(seed * 104729, nodes = 12, edges = 20)
+      if (es.nonEmpty) {
+        var und = canon(es)
+        var stable = false
+        while (!stable) {
+          val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).map { case (k, v) => k -> v.size }
+          val keep = deg.filter(_._2 >= 2).keySet
+          val next = und.filter(e => keep(e._1) && keep(e._2))
+          stable = next == und
+          und = next
+        }
+        val refDeg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val got = Graph.kCore(es.toDF("a", "b"), "a", "b", k = 2,
+            rounds = 12).as[(Long, Long)].collect().toMap
+        assert(got == refDeg, s"seed $seed: $got vs $refDeg")
+      }
+    }
+  }
+
   test("kCore: partitioning irrelevant") {
     val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L)).toDF("a", "b")
