@@ -120,17 +120,25 @@ object Graph {
     lab
   }
 
-  /** `rounds` peeling rounds toward the k-core of an undirected graph —
-    * the degeneracy structure a dedup pipeline reads to find the DENSE
+  /** The k-core of an undirected graph, peeled to FIXPOINT — the
+    * degeneracy structure a dedup pipeline reads to find the DENSE
     * heart of a duplication cluster (a k-core survives removing any
     * single hub; a star collapses at k=2). Each round drops every node
     * whose remaining degree is < k and restricts the edge list to
-    * survivors — monotone, so after convergence the survivors are
-    * exactly the k-core; with a fixed round budget the result is an
-    * UPPER BOUND on the core (long peeling chains may need more
-    * rounds), the trade that keeps the unrolled computation
-    * engine-replayable. Peeling depth needed in practice is small: each
-    * round removes a full "shell" of the graph, not one node.
+    * survivors — monotone, so once a round removes nothing the
+    * survivors are EXACTLY the k-core, and every reported degree is a
+    * genuine within-core degree ≥ k. Convergence is certified, never
+    * assumed: a round budget that ran out mid-peel (through round 9 the
+    * loop was a fixed 5-round unroll) could emit survivor rows whose
+    * degree still sat below k — rows that self-contradict the k-core
+    * contract — so an unconverged run now FAILS LOUD
+    * (`IllegalStateException`, the [[Dedup.connectedComponents]]
+    * fail-before-wrong-output discipline) instead of returning an
+    * unlabeled upper bound. Peeling depth needed in practice is small —
+    * each round removes a full "shell", not one node — and the
+    * convergence check is a `count()` on the round's already-
+    * materialized checkpoint, so fixpoint costs one extra no-op round
+    * over the old unroll.
     *
     * Input: pair list in either or both directions (canonicalized and
     * symmetrized internally). Each round is one degree aggregation +
@@ -138,9 +146,9 @@ object Graph {
     * Output: `(node, degree)` of survivors with their within-core
     * degree, pure integer arithmetic. */
   def kCore(pairs: DataFrame, srcCol: String, dstCol: String, k: Int,
-            rounds: Int = 5): DataFrame = {
+            maxRounds: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     val und = pairs
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -148,7 +156,10 @@ object Graph {
     var sym = und.select($"a".as("src"), $"b".as("dst"))
       .unionAll(und.select($"b".as("src"), $"a".as("dst")))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var edgeRows = sym.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
       val keep = sym.groupBy($"src").agg(count(lit(1)).as("__deg"))
         .where($"__deg" >= k).select($"src")
       sym = sym
@@ -156,7 +167,16 @@ object Graph {
         .join(keep.select($"src".as("dst")), Seq("dst"), "left_semi")
         .select($"src", $"dst")
         .localCheckpoint(true)
+      val next = sym.count()
+      converged = next == edgeRows // peel removed nothing → at fixpoint
+      edgeRows = next
+      r += 1
     }
+    if (!converged)
+      throw new IllegalStateException(s"kCore: peeling did not converge " +
+        s"within maxRounds=$maxRounds ($edgeRows directed edges remain); " +
+        "raise maxRounds — emitting the unconverged survivor set would " +
+        "break the degree >= k contract")
     sym.groupBy($"src".as("node"))
       .agg(count(lit(1)).cast("long").as("degree"))
   }

@@ -45,17 +45,26 @@ object Kmeans {
   final case class KmeansModel(centroids: Array[Array[Double]],
                                sizes: Array[Long], inertia: Double, n: Long)
 
-  /** Fit k clusters with `iters` Lloyd iterations over `embCol` (array
-    * column, cast to double). Memoized per (plan, column, k, iters,
-    * seed) — the bench's repeat sweeps re-fit nothing ("train once,
-    * probe everywhere"). */
+  /** Fit k clusters with `iters` FULL Lloyd iterations (assignment +
+    * centroid update each) over `embCol` (array column, cast to
+    * double), then one extra assignment pass for sizes/inertia under
+    * the final centroids — the textbook iteration count, not n−1.
+    * Memoized per (plan, fingerprint, column, k, iters, seed) — the
+    * bench's repeat sweeps re-fit nothing ("train once, probe
+    * everywhere"). */
   def fit(df: DataFrame, embCol: String, idCol: String, k: Int,
           iters: Int = 8, seed: String = "kmeans",
           memo: Boolean = true): KmeansModel = {
     require(k >= 1, s"k must be >= 1: $k")
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
-      embCol, idCol, k, iters, seed)
+    // key = full canonicalized plan + file-listing fingerprint (the
+    // ivfCache discipline) — NOT the 32-bit semanticHash, whose
+    // collisions would silently hand a model fitted on a different
+    // frame to the caller; the fingerprint additionally catches
+    // same-plan reads over rewritten parquet files
+    val key = (df.queryExecution.analyzed.canonicalized,
+      Similarity.fileFingerprint(df), embCol, idCol, k, iters, seed)
+    if (modelMemo.size() > MemoMax) modelMemo.clear()
     if (memo) modelMemo.computeIfAbsent(key, _ =>
       run(df, embCol, idCol, k, iters, seed))
     else run(df, embCol, idCol, k, iters, seed)
@@ -75,43 +84,42 @@ object Kmeans {
     require(seeds.length == k, s"corpus has fewer than k=$k rows")
     var cents = seeds.map(_.map(r6))
 
-    var sizes = Array.fill(k)(0L)
-    var inertia = 0.0
-    var n = 0L
-    for (it <- 1 to iters) {
-      val assigned = x.withColumn("c", assignExpr($"x", cents))
-      if (it < iters) {
-        // update: (cluster, dim)-keyed decimal sums, k×d rows back
-        val rows = assigned
-          .select($"c", posexplode($"x").as(Seq("dim", "v")))
-          .groupBy($"c", $"dim")
-          .agg(sum(round($"v", 9).cast(D)).cast("double").as("s"),
-            count(lit(1)).as("cnt"))
-          .collect()
-        val next = cents.map(_.clone()) // empty cluster keeps its centroid
-        rows.foreach { r =>
-          next(r.getAs[Int]("c"))(r.getAs[Int]("dim")) =
-            r6(r.getAs[Double]("s") / r.getAs[Long]("cnt"))
-        }
-        cents = next
-      } else {
-        // final pass: sizes + inertia from the same assignment
-        val rows = assigned
-          .withColumn("d2", distExpr($"x", cents))
-          .groupBy($"c")
-          .agg(count(lit(1)).as("cnt"),
-            sum(round($"d2", 9).cast(D)).cast("double").as("i"))
-          .collect()
-        sizes = Array.fill(k)(0L)
-        rows.foreach { r =>
-          val c = r.getAs[Int]("c")
-          sizes(c) = r.getAs[Long]("cnt")
-          inertia += r.getAs[Double]("i")
-        }
-        n = sizes.sum
+    // exactly `iters` full Lloyd iterations (assignment + centroid
+    // update), then ONE separate stats pass under the final centroids —
+    // so `iters = n` means n genuine updates, matching a reference Lloyd
+    // implementation run for the same nominal count (through round 9 the
+    // last iteration was repurposed for sizes/inertia, leaving n−1
+    // updates: a documented-nowhere off-by-one vs any textbook run)
+    for (_ <- 1 to iters) {
+      // update: (cluster, dim)-keyed decimal sums, k×d rows back
+      val rows = x.withColumn("c", assignExpr($"x", cents))
+        .select($"c", posexplode($"x").as(Seq("dim", "v")))
+        .groupBy($"c", $"dim")
+        .agg(sum(round($"v", 9).cast(D)).cast("double").as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      rows.foreach { r =>
+        next(r.getAs[Int]("c"))(r.getAs[Int]("dim")) =
+          r6(r.getAs[Double]("s") / r.getAs[Long]("cnt"))
       }
+      cents = next
     }
-    KmeansModel(cents, sizes, inertia, n)
+    // final pass: sizes + inertia under the FINAL centroids
+    val stats = x.withColumn("c", assignExpr($"x", cents))
+      .withColumn("d2", distExpr($"x", cents))
+      .groupBy($"c")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round($"d2", 9).cast(D)).cast("double").as("i"))
+      .collect()
+    val sizes = Array.fill(k)(0L)
+    var inertia = 0.0
+    stats.foreach { r =>
+      val c = r.getAs[Int]("c")
+      sizes(c) = r.getAs[Long]("cnt")
+      inertia += r.getAs[Double]("i")
+    }
+    KmeansModel(cents, sizes, inertia, sizes.sum)
   }
 
   /** Map-side cluster assignment for `emb` against literal centroids:
@@ -174,6 +182,10 @@ object Kmeans {
   private def r6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  // never individually evicted; cleared wholesale past a small bound so a
+  // long-lived driver doesn't accumulate plan trees (ivfCache precedent)
+  private val MemoMax = 64
   private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String, Int, Int, String), KmeansModel]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, String,
+      String, Int, Int, String), KmeansModel]()
 }

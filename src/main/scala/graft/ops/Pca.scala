@@ -50,8 +50,14 @@ object Pca {
                     iters: Int = 12, memo: Boolean = true): PcaModel = {
     require(k >= 1, s"k must be >= 1: $k")
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
-      embCol, k, iters)
+    // key = full canonicalized plan + file-listing fingerprint (the
+    // ivfCache discipline, Similarity.scala) — NOT the 32-bit
+    // semanticHash, whose collisions would silently hand a model fitted
+    // on a different frame to the caller; the fingerprint additionally
+    // catches same-plan reads over rewritten parquet files
+    val key = (df.queryExecution.analyzed.canonicalized,
+      Similarity.fileFingerprint(df), embCol, k, iters)
+    if (modelMemo.size() > MemoMax) modelMemo.clear()
     if (memo) modelMemo.computeIfAbsent(key, _ => fit(df, embCol, k, iters))
     else fit(df, embCol, k, iters)
   }
@@ -169,6 +175,10 @@ object Pca {
     if (nrm > 0) { var i = 0; while (i < a.length) { a(i) /= nrm; i += 1 } }
   }
 
-  private val modelMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int), PcaModel]()
+  // never individually evicted; cleared wholesale past a small bound so a
+  // long-lived driver doesn't accumulate plan trees (ivfCache precedent)
+  private val MemoMax = 64
+  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, String,
+      Int, Int), PcaModel]()
 }

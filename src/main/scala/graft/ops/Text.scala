@@ -604,7 +604,15 @@ object Text {
     * approximation (`[aeiouy]+` runs — ASCII class so the Java and RE2
     * regex dialects agree). The arithmetic tree is mirrored verbatim in
     * the DuckDB oracle: long counts divide as doubles, score rounds to
-    * 9 dp. Adds `n_words`, `n_sents`, `n_sylls`, `flesch`. */
+    * 9 dp. Adds `n_words`, `n_sents`, `n_sylls`, `flesch`.
+    *
+    * Zero-word documents (empty/whitespace text) score a DEFINED
+    * `flesch` of 206.835 — the formula's intercept, i.e. both penalty
+    * terms read 0 — never NULL: `n_sylls/n_words` on n_words = 0 would
+    * make the score null, and a null silently falls out of every
+    * downstream threshold filter (`flesch < 50` is null → dropped from
+    * BOTH branches), the failure mode where empty docs vanish from a
+    * readability report instead of surfacing as trivially-easy rows. */
   def readabilityScore(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_words", tokenCount(t).cast("long"))
@@ -613,7 +621,9 @@ object Text {
       .withColumn("n_sylls",
         size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long"))
       .withColumn("flesch",
-        round(lit(206.835) - lit(1.015) * ($"n_words" / $"n_sents") -
-          lit(84.6) * ($"n_sylls" / $"n_words"), 9))
+        when($"n_words" > 0,
+          round(lit(206.835) - lit(1.015) * ($"n_words" / $"n_sents") -
+            lit(84.6) * ($"n_sylls" / $"n_words"), 9))
+          .otherwise(lit(206.835)))
   }
 }

@@ -41,12 +41,12 @@ object Wave13Queries {
       .orderBy($"type_a", $"type_b")
   }
 
-  /** 3-core of the rare-tile duplication graph ([[Graph.kCore]], 5
-    * peeling rounds, q155's planted corpus): the dense heart of the
-    * template family survives, hub-and-spoke mirrors and incidental
-    * pair dups peel away — the cluster-collapse candidate set that
-    * degree thresholds (q164) overcount. md5 tile keys on the oracle
-    * surface. */
+  /** 3-core of the rare-tile duplication graph ([[Graph.kCore]],
+    * peeled to certified fixpoint, q155's planted corpus): the dense
+    * heart of the template family survives, hub-and-spoke mirrors and
+    * incidental pair dups peel away — the cluster-collapse candidate
+    * set that degree thresholds (q164) overcount. md5 tile keys on the
+    * oracle surface. */
   private val q176: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id",
@@ -56,7 +56,7 @@ object Wave13Queries {
     Graph.kCore(
         Dedup.rareTilePairs(docs, "doc_id", "text", k = 8, maxDf = 64,
           minShared = 2, tileKey = c => md5(c)),
-        "doc_a", "doc_b", k = 3, rounds = 5)
+        "doc_a", "doc_b", k = 3, maxRounds = 20)
       .select($"node".as("doc_id"), $"degree")
       .orderBy($"doc_id")
   }

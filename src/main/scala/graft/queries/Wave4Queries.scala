@@ -16,12 +16,19 @@ object Wave4Queries {
   /** The deterministic dirty-record drop q130 links back to the part
     * master: token swaps (normal form absorbs), case noise (normal form
     * absorbs), and a suffix typo on the first token (survives the
-    * truncated blocking key; costs edit distance 1). */
+    * truncated blocking key; costs edit distance 1).
+    *
+    * Both swap operands are FIXED token indexes (1 and 2) — matching the
+    * oracle's `split_part(p_name, ' ', i)` verbatim — never a
+    * "last token" selector: on the current 2-token `p_name` fixture
+    * last==second, but a positional expression stays in lockstep with
+    * the oracle if the generator ever grows names to 3+ tokens, where
+    * last-token and token-2 silently diverge. */
   private def dirtyParts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val p = Tables.part(s, d).select($"p_partkey", $"p_name")
-    val first = substring_index($"p_name", " ", 1)
-    val last = substring_index($"p_name", " ", -1)
+    val first = element_at(split($"p_name", " "), 1)
+    val last = element_at(split($"p_name", " "), 2)
     p.where($"p_partkey" % 3 === 0)
       .select(($"p_partkey" + 1000000L).as("p_partkey"),
         concat(last, lit(" "), first).as("p_name"))

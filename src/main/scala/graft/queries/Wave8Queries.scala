@@ -215,8 +215,10 @@ object Wave8Queries {
         |      AS n_sylls
         |  FROM c),
         |f AS (SELECT lang, n_words, n_sents,
-        |    round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) -
-        |      84.6 * (CAST(n_sylls AS DOUBLE) / n_words), 9) AS flesch
+        |    CASE WHEN n_words > 0 THEN
+        |      round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) -
+        |        84.6 * (CAST(n_sylls AS DOUBLE) / n_words), 9)
+        |    ELSE 206.835 END AS flesch
         |  FROM r)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  round(CAST(sum(CAST(flesch AS DECIMAL(28,12))) AS DOUBLE) /

@@ -48,21 +48,28 @@ class Wave12Spec extends SparkSuite {
 
   // ---- k-core -----------------------------------------------------------
 
-  private def core(k: Int, rounds: Int, pairs: (Long, Long)*) =
-    Graph.kCore(pairs.toDF("a", "b"), "a", "b", k, rounds)
+  private def core(k: Int, maxRounds: Int, pairs: (Long, Long)*) =
+    Graph.kCore(pairs.toDF("a", "b"), "a", "b", k, maxRounds)
       .as[(Long, Long)].collect().toMap
 
   test("kCore: the clique survives, the tail chain peels shell by shell") {
-    // K4 on 1..4 with a chain 4-5-6 hanging off; 3-core = the K4 alone,
-    // but node 5 only becomes peelable AFTER 6 goes — two rounds needed
+    // K4 on 1..4 with a chain 4-5-6 hanging off; 3-core = the K4 alone
     val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L), (5L, 6L))
     assert(core(3, 5, g: _*) ==
       Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
-    // with a 1-round budget the chain is only partially peeled: 6 (deg 1)
-    // and 5 (deg 2) both drop in round 1, but 4 keeps its within-core
-    // degree from the clique — already converged here
-    assert(core(3, 1, g: _*) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // round 1 peels 5 and 6; a 1-round budget ends mid-peel with
+    // convergence UNcertified → fail-loud, never a maybe-core
+    assertThrows[IllegalStateException](core(3, 1, g: _*))
+  }
+
+  test("kCore: unconverged long chain fails loud, converges given budget") {
+    // path 1-2-...-8: k=2 peels one endpoint pair per round (~4 rounds
+    // to empty); a 2-round budget must throw, a 10-round budget must
+    // certify the empty core (a path has no 2-core)
+    val path = (1L to 7L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException](core(2, 2, path: _*))
+    assert(core(2, 10, path: _*).isEmpty)
   }
 
   test("kCore: a star has no 2-core; a cycle IS its own 2-core") {
@@ -184,7 +191,7 @@ class Wave12Spec extends SparkSuite {
         val refDeg = und.toSeq.flatMap(e => Seq(e._1, e._2))
           .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
         val got = Graph.kCore(es.toDF("a", "b"), "a", "b", k = 2,
-            rounds = 12).as[(Long, Long)].collect().toMap
+            maxRounds = 12).as[(Long, Long)].collect().toMap
         assert(got == refDeg, s"seed $seed: $got vs $refDeg")
       }
     }
