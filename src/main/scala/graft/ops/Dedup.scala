@@ -1293,4 +1293,104 @@ object Dedup {
       .agg(sum($"pairs").as("dup_pairs"))
       .where($"dup_pairs" > 0)
   }
+
+  // ──────────────────── persisted cluster store ────────────────────
+  //
+  // The near-dup cluster table (pair generation + connected components)
+  // is the single most expensive derivation in the library — tens of
+  // seconds at sf1, hours at 100 TB — yet it is a pure function of the
+  // corpus, and EVERY downstream cluster analytic (purity, size
+  // histogram, survivor selection, drop-rate reports) reads the same
+  // logical table. The operational pattern is therefore the same as
+  // [[Similarity.saveIvfIndex]]: derive ONCE, publish to storage with a
+  // staleness fingerprint, and let every later query/session/cluster
+  // load the parquet instead of re-running the O(Σdf²) pair machinery.
+  //
+  // Layout under `path`:
+  //   path/clusters — (doc_id bigint, component_id bigint) parquet,
+  //                   partition-parallel (NOT coalesced: at 100 TB this
+  //                   table has billions of rows)
+  //   path/meta     — ONE row (corpus_fp, plan_fp, n, threshold):
+  //                   corpus_fp = (path, len, mtime) hash of every file
+  //                   behind the input frame (fileFingerprint); plan_fp
+  //                   = hash of the canonicalized input plan, so two
+  //                   DIFFERENT frames over the SAME files (e.g. a
+  //                   filtered sub-corpus) cannot collide on corpus_fp
+  //                   alone and silently share a store.
+
+  /** Observable derivation count — lets specs assert publish-once. */
+  private[graft] val clusterComputeCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Hash of the canonicalized logical plan — the "which frame is this,
+    * beyond which files" half of the staleness key (canonicalization
+    * normalizes expression ids, so the hash is stable across sessions
+    * for the same query over the same tables). */
+  private[ops] def planFingerprint(df: DataFrame): Long =
+    scala.util.hashing.MurmurHash3.stringHash(
+      df.queryExecution.analyzed.canonicalized.toString).toLong
+
+  /** Publish a cluster table: data + one-row staleness meta. Callers
+    * normally use [[clustersPersisted]]; this is the explicit-publish
+    * half for pipelines that derive clusters their own way. */
+  def saveClusters(clusters: DataFrame, path: String,
+                   corpusFp: Long, planFp: Long,
+                   n: Int, threshold: Double): Unit = {
+    val spark = clusters.sparkSession
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    clusters.select($"doc_id".cast("long"), $"component_id".cast("long"))
+      .write.mode("overwrite").parquet(s"$path/clusters")
+    Seq((corpusFp, planFp, n, threshold))
+      .toDF("corpus_fp", "plan_fp", "n", "threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a published cluster table (no staleness check — the caller
+    * owns provenance; [[clustersPersisted]] is the checked path). */
+  def loadClusters(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(s"$path/clusters")
+
+  /** The checked read-through path: load the cluster table published at
+    * `path` if its fingerprints match `docs` and the parameters; else
+    * derive (routed exact-Jaccard pairs → connected components), publish,
+    * and return a READ of the published parquet — so downstream plans in
+    * both branches scan a parquet table rather than re-deriving, and the
+    * first caller's publish pays for every later query, session, and JVM.
+    * A stale store (corpus files rewritten, different input plan, or
+    * different n/threshold) is re-derived and republished loudly, never
+    * silently served. */
+  def clustersPersisted(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, n: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits.newProductEncoder
+    val want = (Similarity.fileFingerprint(docs), planFingerprint(docs),
+      n, threshold)
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val dataP = new org.apache.hadoop.fs.Path(s"$path/clusters")
+    val fs = metaP.getFileSystem(spark.sessionState.newHadoopConf())
+    def computeAndPublish(): DataFrame = {
+      clusterComputeCount.incrementAndGet()
+      val cc = connectedComponents(
+        ngramJaccardPairsAuto(docs, idCol, textCol, n = n,
+          threshold = threshold).select($"doc_a", $"doc_b"))
+      saveClusters(cc, path, want._1, want._2, n, threshold)
+      loadClusters(spark, path)
+    }
+    if (fs.exists(metaP) && fs.exists(dataP)) {
+      val have = spark.read.parquet(metaP.toString)
+        .select($"corpus_fp".cast("long"), $"plan_fp".cast("long"),
+          $"n".cast("int"), $"threshold".cast("double"))
+        .as[(Long, Long, Int, Double)].head()
+      if (have == want) {
+        log.info(s"clustersPersisted: loading published cluster table at $path")
+        loadClusters(spark, path)
+      } else {
+        log.warn(s"clustersPersisted: store at $path is stale " +
+          s"(have $have, want $want) — re-deriving and republishing")
+        computeAndPublish()
+      }
+    } else computeAndPublish()
+  }
 }

@@ -292,12 +292,11 @@ object ExtQueries {
     * dropping (q42) under-merges chains A~B~C. */
   private val q43: Q = (s, d) => {
     import s.implicits._
-    Dedup.connectedComponents(
-        // routed entry point — same exact pairs here, scale-safe past the
-        // Σdf² budget (see q76)
-        Dedup.ngramJaccardPairsAuto(Tables.documents(s, d), "doc_id", "text",
-          n = 3, threshold = 0.5).select($"doc_a", $"doc_b"))
-      .orderBy($"doc_id")
+    // read-through persisted store (Stores.docClusters): the first
+    // caller derives routed exact pairs → components and PUBLISHES; this
+    // query and every other cluster analytic (q185, q191–q193) then scan
+    // the published parquet instead of re-running the Σdf² machinery
+    Stores.docClusters(s, d).orderBy($"doc_id")
   }
 
   /** Gopher-style repetition quality signals per document. */

@@ -64,9 +64,10 @@ object Wave17Queries {
   private val q185: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val base = Dedup.connectedComponents(
-        Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", n = 3,
-          threshold = 0.5).select($"doc_a", $"doc_b"))
+    // cluster membership comes from the SHARED persisted store (one
+    // derivation per corpus, published by whichever family query runs
+    // first) — this query is now the rollup it always logically was
+    val base = Stores.docClusters(s, d)
       .join(docs.select($"doc_id", $"lang", $"source"), Seq("doc_id"))
       .select($"component_id", $"lang", $"source")
       .localCheckpoint(true)
@@ -129,8 +130,9 @@ object Wave17Queries {
   // ---- oracle SQL -------------------------------------------------------
 
   /** q43's 3-gram Jaccard≥0.5 pair graph + recursive component walk,
-    * ending in `comp(doc_id, comp)`. */
-  private val ccSql =
+    * ending in `comp(doc_id, comp)` — shared with the wave-22 cluster
+    * readers (Wave20Queries), which oracle against the same table. */
+  private[queries] val ccSql =
     """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT doc_id,
       |        unnest(list_transform(generate_series(1, len(w) - 2),
