@@ -36,7 +36,8 @@ object Golden {
     "q98_ppl_buckets_scaled", "q105_fertility", "q111_ann_recall",
     "q125_compress_ratio", "q137_pca_components", "q140_anisotropy_removal",
     "q142_kmeans", "q148_kmeans_margin", "q152_multiprobe_recall",
-    "q153_ivf_retrieval_eval")
+    "q153_ivf_retrieval_eval", "q194_pca_saved", "q195_kmeans_saved",
+    "q196_kmeans_label_profile")
 
   val sfDir = "/root/testdata/sf0.01"
 

@@ -37,6 +37,14 @@ import org.apache.spark.sql.functions._
   */
 object Kmeans {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Observable fit count — lets specs assert the persisted store's
+    * derive-once contract ([[graft.ops.Dedup.clusterComputeCount]]'s
+    * pattern). */
+  private[graft] val fitCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private val D = "decimal(28,12)"
 
   /** Fitted model: `centroids(c)(j)` = cluster c's dim-j coordinate
@@ -72,6 +80,7 @@ object Kmeans {
 
   private def run(df: DataFrame, embCol: String, idCol: String, k: Int,
                   iters: Int, seed: String): KmeansModel = {
+    fitCount.incrementAndGet()
     val x = df.select(col(idCol).as("id"),
         col(embCol).cast("array<double>").as("x"))
       .where(col("x").isNotNull)
@@ -120,6 +129,96 @@ object Kmeans {
       inertia += r.getAs[Double]("i")
     }
     KmeansModel(cents, sizes, inertia, sizes.sum)
+  }
+
+  // ---- persisted model store ----------------------------------------
+  //
+  // The Lloyd fit is a pure function of (corpus, embCol, idCol, k,
+  // iters, seed) — `iters`+2 aggregation jobs, each a full corpus scan:
+  // seconds at sf1, HOURS at 100 TB — and the model is k×d doubles + k
+  // longs. Publish/load mirror [[Pca.savePcaModel]] /
+  // [[Similarity.saveIvfIndex]]: train ONCE per corpus, every later
+  // session/cluster loads. Cluster ids are positional, so save/load
+  // round-trips centroid ORDER bit-exactly (the saveIvfIndex lesson —
+  // a reordering load would silently re-label every assignment).
+  //
+  // Layout under `path`:
+  //   path/centroids — (cluster, centroid array<double>, size), one row
+  //                    per cluster, order = cluster id
+  //   path/meta      — ONE row (corpus_fp, plan_fp, emb_col, id_col, k,
+  //                    iters, seed, inertia, n) — the staleness key plus
+  //                    the model's scalars.
+
+  /** Publish a fitted model: centroid rows + one-row staleness meta.
+    * Doubles round-trip parquet losslessly → loads are bit-exact. */
+  def saveKmeansModel(m: KmeansModel, spark: org.apache.spark.sql.SparkSession,
+                      path: String, corpusFp: Long, planFp: Long,
+                      embCol: String, idCol: String, iters: Int,
+                      seed: String): Unit = {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    m.centroids.indices
+      .map(c => (c, m.centroids(c).toSeq, m.sizes(c)))
+      .toDF("cluster", "centroid", "size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((corpusFp, planFp, embCol, idCol, m.centroids.length, iters, seed,
+        m.inertia, m.n))
+      .toDF("corpus_fp", "plan_fp", "emb_col", "id_col", "k", "iters",
+        "seed", "inertia", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a published model; inverse of [[saveKmeansModel]] (cluster
+    * order restored by id, contiguity validated loudly). */
+  def loadKmeansModel(spark: org.apache.spark.sql.SparkSession,
+                      path: String): KmeansModel = {
+    import spark.implicits.newProductEncoder
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("inertia").cast("double"), col("n").cast("long"))
+      .as[(Double, Long)].head()
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("cluster").cast("int"), col("centroid"),
+        col("size").cast("long"))
+      .as[(Int, Seq[Double], Long)].collect().sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"cluster ids at $path are not contiguous from 0 — corrupt model")
+    KmeansModel(rows.map(_._2.toArray), rows.map(_._3), meta._1, meta._2)
+  }
+
+  /** The checked read-through path: load the model published at `path`
+    * if its fingerprints match `df` and the parameters; else fit (via
+    * the in-JVM memo), publish, and return the fitted model. A stale
+    * store is re-fitted and republished loudly, never silently served. */
+  def fitPersisted(df: DataFrame, embCol: String, idCol: String, k: Int,
+                   iters: Int, seed: String, path: String): KmeansModel = {
+    val spark = df.sparkSession
+    import spark.implicits.newProductEncoder
+    val corpusFp = Similarity.fileFingerprint(df)
+    val planFp = Dedup.planFingerprint(df)
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val dataP = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = metaP.getFileSystem(spark.sessionState.newHadoopConf())
+    def fitAndPublish(): KmeansModel = {
+      val m = fit(df, embCol, idCol, k, iters, seed)
+      saveKmeansModel(m, spark, path, corpusFp, planFp, embCol, idCol,
+        iters, seed)
+      m
+    }
+    if (fs.exists(metaP) && fs.exists(dataP)) {
+      val have = spark.read.parquet(metaP.toString)
+        .select(col("corpus_fp").cast("long"), col("plan_fp").cast("long"),
+          col("emb_col"), col("id_col"), col("k").cast("int"),
+          col("iters").cast("int"), col("seed"))
+        .as[(Long, Long, String, String, Int, Int, String)].head()
+      if (have == ((corpusFp, planFp, embCol, idCol, k, iters, seed))) {
+        log.info(s"fitPersisted: loading published k-means model at $path")
+        loadKmeansModel(spark, path)
+      } else {
+        log.warn(s"fitPersisted: store at $path is stale (have $have) — " +
+          "re-fitting and republishing")
+        fitAndPublish()
+      }
+    } else fitAndPublish()
   }
 
   /** Map-side cluster assignment for `emb` against literal centroids:

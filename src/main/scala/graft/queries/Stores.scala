@@ -38,6 +38,31 @@ object Stores {
     s"${sys.props("java.io.tmpdir")}/graft-clusters-" +
       java.lang.Integer.toHexString(tableFp(d, "documents.parquet"))
 
+  /** Store root for the top-2 PCA model of `d`'s embeddings. */
+  def pcaStorePath(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-pca-" +
+      java.lang.Integer.toHexString(tableFp(d, "embeddings.parquet"))
+
+  /** Store root for the k=4 Lloyd k-means model of `d`'s embeddings. */
+  def kmeansStorePath(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-kmeans-" +
+      java.lang.Integer.toHexString(tableFp(d, "embeddings.parquet"))
+
+  /** The canonical top-2 PCA model of `d`'s embeddings (the q137 fit) —
+    * loaded from the published store or fitted + published on first
+    * touch. Deterministic: decimal-exact power iteration, so loaded and
+    * fitted models are bit-identical ([[graft.ops.Pca.savePcaModel]]). */
+  def pcaModel(s: SparkSession, d: String): graft.ops.Pca.PcaModel =
+    graft.ops.Pca.topComponentsPersisted(Tables.embeddings(s, d),
+      "embedding", k = 2, iters = 12, pcaStorePath(d))
+
+  /** The canonical k=4 k-means model of `d`'s embeddings (the q142
+    * fit) — loaded from the published store or fitted + published on
+    * first touch. */
+  def kmeansModel(s: SparkSession, d: String): graft.ops.Kmeans.KmeansModel =
+    graft.ops.Kmeans.fitPersisted(Tables.embeddings(s, d), "embedding",
+      "vec_id", k = 4, iters = 8, seed = "kmeans", kmeansStorePath(d))
+
   /** The canonical near-dup cluster table of `d`'s documents —
     * (doc_id, component_id), loaded from the published store or derived
     * + published on first touch. Deterministic: min-label components

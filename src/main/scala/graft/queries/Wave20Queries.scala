@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** FILE→WAVE MAP: Wave20Queries.scala holds round-10 WAVE-22 queries
-  * q191–q193 (file numbering lags wave numbering across this package —
-  * each file's header carries this map).
+  * q191–q193 and WAVE-23 queries q194–q196 (file numbering lags wave
+  * numbering across this package — each file's header carries this
+  * map).
   *
-  * Readers over the PERSISTED near-dup cluster store
+  * Wave 22 — readers over the PERSISTED near-dup cluster store
   * ([[Stores.docClusters]] → [[graft.ops.Dedup.clustersPersisted]]):
   * the size histogram, per-source drop-rate report, and
   * largest-cluster membership listing a curation team runs daily
@@ -16,7 +17,17 @@ import graft.Tables
   * per question. All three are DuckDB-oracle-checked against the same
   * recursive component walk as q43/q185 — identical rows whether the
   * store was hit or the derivation ran, because min-label components
-  * over exact routed Jaccard pairs are deterministic. */
+  * over exact routed Jaccard pairs are deterministic.
+  *
+  * Wave 23 — readers over the PERSISTED PCA / k-means model stores
+  * ([[Stores.pcaModel]]/[[Stores.kmeansModel]] →
+  * [[graft.ops.Pca.topComponentsPersisted]] /
+  * [[graft.ops.Kmeans.fitPersisted]]): the q137/q142 fits derived once
+  * per corpus and published with staleness meta, then loaded by every
+  * later session — cold repeat-session cost drops from the full
+  * iterative fit (25 jobs / 10 scans at sf1) to a few-KB parquet read.
+  * Golden-pinned (iterative fits have no SQL form; loaded and fitted
+  * models are bit-identical, so the goldens pin BOTH paths). */
 object Wave20Queries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -78,10 +89,62 @@ object Wave20Queries {
       .orderBy($"doc_id")
   }
 
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** q137's component table via the PERSISTED model store
+    * ([[Stores.pcaModel]]): first touch per corpus fits + publishes,
+    * every later session loads — identical rows either way (decimal-
+    * exact fit, lossless double round-trip). */
+  private val q194: Q = (s, d) => {
+    import s.implicits._
+    val m = Stores.pcaModel(s, d)
+    val rows = for {
+      c <- m.components.indices
+      j <- m.components(c).indices
+    } yield (c + 1, j, r6(m.components(c)(j)), r6(m.eigenvalues(c)))
+    rows.toDF("component", "dim", "loading", "eigenvalue")
+      .orderBy($"component", $"dim")
+  }
+
+  /** q142's cluster summary via the PERSISTED model store
+    * ([[Stores.kmeansModel]]) — sizes/inertia come from the published
+    * meta, so a warm session answers this without touching the corpus
+    * at all. */
+  private val q195: Q = (s, d) => {
+    import s.implicits._
+    val m = Stores.kmeansModel(s, d)
+    val rows = m.centroids.indices.map { c =>
+      (c, m.sizes(c),
+        r6(math.sqrt(m.centroids(c).map(x => x * x).sum)),
+        r6(m.inertia))
+    }
+    rows.toDF("cluster", "n_members", "centroid_norm", "inertia")
+      .orderBy($"cluster")
+  }
+
+  /** Cluster × label composition using the SAVED k-means model: load
+    * the centroids (never re-fit) and score the corpus with the
+    * map-side [[graft.ops.Kmeans.assign]] projection — the production
+    * "train once, score everywhere" path a labeling team runs to see
+    * which embedding clusters align with which labels. */
+  private val q196: Q = (s, d) => {
+    import s.implicits._
+    val m = Stores.kmeansModel(s, d)
+    graft.ops.Kmeans.assign(Tables.embeddings(s, d), "embedding",
+        "cluster", m)
+      .groupBy($"cluster", $"label")
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+      .orderBy($"cluster", $"label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q191_cluster_size_hist" -> q191,
     "q192_dedup_drop_by_source" -> q192,
-    "q193_largest_cluster" -> q193)
+    "q193_largest_cluster" -> q193,
+    "q194_pca_saved" -> q194,
+    "q195_kmeans_saved" -> q195,
+    "q196_kmeans_label_profile" -> q196)
 
   // ---- oracle SQL -------------------------------------------------------
 
