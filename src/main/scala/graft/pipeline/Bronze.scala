@@ -67,7 +67,8 @@ object Bronze {
     // schema includes the date partition column (see Schemas.rawLanding),
     // then drops it — keeping the plan schema stable whether or not
     // date= subdirs exist at stream start
-    val raw = spark.readStream.schema(Schemas.rawLanding).json(cfg.landingDir(sensor))
+    val raw = spark.readStream.schema(Schemas.rawLanding)
+      .options(cfg.sourceOptions).json(cfg.landingDir(sensor))
       .select(Schemas.raw.fieldNames.map(col).toIndexedSeq: _*)
     val derived = derive(raw)
     // optional streaming exact dedup: watermark-bounded state keyed on the

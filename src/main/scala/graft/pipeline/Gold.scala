@@ -21,7 +21,8 @@ object Gold {
   private def sensorAgg(spark: SparkSession, cfg: PipelineConfig, sensor: String,
                         aggExpr: org.apache.spark.sql.Column): DataFrame = {
     PipelineFs.ensureDir(spark, cfg.silverDir(sensor))
-    spark.readStream.schema(Schemas.silver).parquet(cfg.silverDir(sensor))
+    spark.readStream.schema(Schemas.silver)
+      .options(cfg.sourceOptions).parquet(cfg.silverDir(sensor))
       .withWatermark("event_time_ts", cfg.watermark)
       .groupBy(col("bridge_id"), window(col("event_time_ts"), cfg.windowLength))
       .agg(aggExpr)

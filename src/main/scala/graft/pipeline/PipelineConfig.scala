@@ -26,7 +26,23 @@ case class PipelineConfig(
       * [[PipelineConfig.RocksDbProvider]]: state moves off-heap into
       * embedded RocksDB with incremental checkpointing, so state size is
       * bounded by local disk, not heap. */
-    stateStoreProvider: Option[String] = None) {
+    stateStoreProvider: Option[String] = None,
+    /** Per-trigger file admission cap for every file-stream source in the
+      * DAG (`maxFilesPerTrigger`; also honored by AvailableNow, which
+      * then drains in MANY micro-batches instead of one). None = Spark's
+      * default (one batch per available set). Operationally this is the
+      * backlog-catch-up knob: a restart after downtime replays the
+      * backlog in bounded batches — bounded shuffle, bounded state delta,
+      * steady watermark advancement (windows finalize DURING the drain
+      * instead of all state accumulating to the end) — rather than one
+      * giant batch sized by the outage. */
+    sourceMaxFilesPerTrigger: Option[Int] = None) {
+
+  /** Source options shared by every file-stream read in the DAG. */
+  def sourceOptions: Map[String, String] =
+    sourceMaxFilesPerTrigger
+      .map(n => Map("maxFilesPerTrigger" -> n.toString))
+      .getOrElse(Map.empty)
 
   /** Apply session-level knobs (state store) — called by the pipeline
     * orchestrators before starting streaming queries. None leaves the

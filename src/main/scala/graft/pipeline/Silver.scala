@@ -23,7 +23,7 @@ object Silver {
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     PipelineFs.ensureDir(spark, cfg.bronzeDir(sensor))
     val bronzeStream = spark.readStream.schema(Schemas.bronze)
-      .parquet(cfg.bronzeDir(sensor))
+      .options(cfg.sourceOptions).parquet(cfg.bronzeDir(sensor))
     // J1: 5-row dimension — broadcast, so the fact stream never shuffles
     val dim = broadcast(bridges(spark, cfg))
     val fn: (Dataset[Row], Long) => Unit = (batch, batchId) =>

@@ -104,9 +104,11 @@ object CurateQueries {
   private val q99: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val pairs = graft.ops.Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text")
-      .select($"doc_a", $"doc_b")
-    val cc = graft.ops.Dedup.connectedComponents(pairs)
+    // canonical (n=3, 0.5) full-corpus components: READ the persisted
+    // cluster store instead of re-running the pair machinery — identical
+    // rows by construction (deterministic min-label components), and the
+    // derivation is paid once per corpus, not once per query
+    val cc = Stores.docClusters(s, d)
     Sampling.leakageFreeSplit(docs, "doc_id", cc,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select($"doc_id", $"split_key", $"split")

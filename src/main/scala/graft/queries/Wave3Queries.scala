@@ -166,9 +166,9 @@ object Wave3Queries {
     val stopRatio = Text.stopwordCount($"text") / wc
     val scored = Tables.documents(s, d).select($"doc_id",
       Text.qualityScore(wc, stopRatio, awl).as("q"))
-    val pairs = Dedup.ngramJaccardPairsAuto(Tables.documents(s, d),
-      "doc_id", "text", n = 3, threshold = 0.5).select($"doc_a", $"doc_b")
-    val cc = Dedup.connectedComponents(pairs)
+    // canonical components via the persisted cluster store — derived
+    // once per corpus ([[Stores.docClusters]]), identical rows
+    val cc = Stores.docClusters(s, d)
     scored.join(cc, Seq("doc_id"), "left")
       .withColumn("component_id", coalesce($"component_id", $"doc_id"))
       .groupBy($"component_id")

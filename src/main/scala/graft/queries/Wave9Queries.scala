@@ -66,9 +66,9 @@ object Wave9Queries {
   private val q162: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val cc = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", n = 3,
-        threshold = 0.5).select($"doc_a", $"doc_b"))
+    // canonical components via the persisted cluster store — derived
+    // once per corpus ([[Stores.docClusters]]), identical rows
+    val cc = Stores.docClusters(s, d)
     val sizes = cc.groupBy($"component_id")
       .agg(count(lit(1)).cast("long").as("csz"))
     docs.select($"doc_id", $"source",
