@@ -138,6 +138,51 @@ object Curate {
           when(!topOk, lit("top_word_frac"))).as("fail_reasons"))
   }
 
+  /** Gate ablation matrix — the calibration table read before shipping a
+    * [[gopherGate]] config: for each rule, how many documents it fails
+    * in total, how many it ALONE fails (the rule's marginal kill set —
+    * the docs you'd recover by dropping just that rule), and the token
+    * mass of that unique kill set. A rule with large `n_fail` but tiny
+    * `n_fail_unique` is redundant with the others; a rule whose unique
+    * kills carry real token mass is the one to re-threshold.
+    *
+    * Scale shape: ONE corpus scan — the per-doc gate booleans project
+    * map-side (same expressions as [[gopherGate]], same thresholds), a
+    * 4-struct literal array melts the per-rule columns position-wise,
+    * and the only shuffled rows are 4 partial-aggregate rows. Counts
+    * are exact longs throughout.
+    *
+    * Output per rule (fixed rule order): `rule`, `n_docs`, `n_fail`,
+    * `n_fail_unique`, `tokens_lost_unique`. */
+  val GateRules: Seq[String] =
+    Seq("n_words", "mean_wlen", "stop_frac", "top_word_frac")
+
+  def gateAblation(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 20, maxWords: Int = 100000,
+                   minMeanWlen: Double = 4.0, maxMeanWlen: Double = 10.0,
+                   minStopFrac: Double = 0.02,
+                   maxTopWordFrac: Double = 0.2): DataFrame = {
+    // build ON gopherGate's output — same expressions, same thresholds,
+    // same fixed rule order; the two views cannot drift apart
+    val gated = gopherGate(df, idCol, textCol, minWords, maxWords,
+        minMeanWlen, maxMeanWlen, minStopFrac, maxTopWordFrac)
+      .withColumn("__fails", split(col("fail_reasons"), ","))
+    val perRule = GateRules.map { name =>
+      val f = array_contains(col("__fails"), name)
+      struct(lit(name).as("rule"),
+        f.cast("long").as("fail"),
+        (f && size(col("__fails")) === 1).cast("long").as("uniq"),
+        when(f && size(col("__fails")) === 1, col("n_words"))
+          .otherwise(0L).as("toks"))
+    }
+    gated.select(posexplode(array(perRule: _*)).as(Seq("__i", "r")))
+      .groupBy(col("r.rule").as("rule"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("r.fail")).cast("long").as("n_fail"),
+        sum(col("r.uniq")).cast("long").as("n_fail_unique"),
+        sum(col("r.toks")).cast("long").as("tokens_lost_unique"))
+  }
+
   /** Corpus snapshot diff — the versioning primitive of an iterating
     * curation pipeline: between two corpus versions, which documents were
     * added, removed, changed (same id, different content), or unchanged.

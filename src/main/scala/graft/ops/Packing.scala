@@ -41,4 +41,43 @@ object Packing {
       .withColumn("bin_id", expr(s"__prec div $budget"))
       .drop("__prec")
   }
+
+  /** Context-length truncation loss curve — the sizing table a training
+    * team reads before fixing max_seq_len: for each candidate context
+    * length L, how many documents get truncated and what fraction of
+    * the corpus's tokens is cut off. `tokCol` is a per-row token count
+    * (long).
+    *
+    * Scale shape: ONE corpus scan. Each row projects a literal array of
+    * per-L structs (docs-over, tokens-kept), the array aggregates
+    * position-wise (exact longs — no doubles until the final ratio),
+    * and posexplode of the |lengths|-row result melts to the output —
+    * the q167 threshold-sweep pattern: never |lengths| scans.
+    *
+    * Output per L: `ctx_len`, `n_docs`, `n_truncated`, `total_tokens`,
+    * `kept_tokens`, `loss_frac` (9 dp). */
+  def truncationReport(df: DataFrame, tokCol: String,
+                       lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths == lengths.sorted,
+      s"lengths must be non-empty ascending: $lengths")
+    val tok = col(tokCol).cast("long")
+    val aggCols = lengths.zipWithIndex.flatMap { case (l, i) =>
+      Seq(sum(when(tok > l, 1L).otherwise(0L)).as(s"__tr$i"),
+        sum(least(tok, lit(l.toLong))).as(s"__kp$i"))
+    }
+    val melted = lengths.zipWithIndex.map { case (l, i) =>
+      struct(lit(l).as("ctx_len"), col(s"__tr$i").as("n_truncated"),
+        col(s"__kp$i").as("kept_tokens"))
+    }
+    df.agg(count(lit(1)).as("__n"), (sum(tok).as("__tot") +: aggCols): _*)
+      .select(col("__n"), col("__tot"),
+        posexplode(array(melted: _*)).as(Seq("__i", "r")))
+      .select(col("r.ctx_len"), col("__n").cast("long").as("n_docs"),
+        col("r.n_truncated").cast("long").as("n_truncated"),
+        col("__tot").cast("long").as("total_tokens"),
+        col("r.kept_tokens").cast("long").as("kept_tokens"),
+        round(lit(1.0) - col("r.kept_tokens").cast("double") /
+          col("__tot").cast("double"), 9).as("loss_frac"))
+      .orderBy(col("ctx_len"))
+  }
 }

@@ -56,7 +56,8 @@ class PlanGuardSpec extends SparkSuite {
     "q181_ks_drift",       // length grid × broadcast(sources + 1-row total)
     "q183_rrf_fusion",     // q154's postings × broadcast(1-row corpus stats)
     "q184_log_odds_terms", // count frame × broadcast(1-row corpus totals)
-    "q186_markov_stationary") // state frame × broadcast(1-row state count)
+    "q186_markov_stationary", // state frame × broadcast(1-row state count)
+    "q199_split_divergence") // token-count frame × broadcast(1-row split totals)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
