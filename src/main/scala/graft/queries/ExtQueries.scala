@@ -616,9 +616,9 @@ object ExtQueries {
       |      FROM d LEFT JOIN c USING (doc_id))""".stripMargin
 
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-  private def markerList(lang: String) =
+  private[queries] def markerList(lang: String) =
     Text.langMarkers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
-  private def langScoreSql(lang: String) =
+  private[queries] def langScoreSql(lang: String) =
     s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(lang)}, x))) AS INTEGER) AS s_$lang"
 
   // the same cumulative-threshold doubles splitAssign computes (0.8,
