@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.Wave15Queries.queries ++ graft.queries.Wave16Queries.queries ++
       graft.queries.Wave17Queries.queries ++ graft.queries.Wave18Queries.queries ++
       graft.queries.Wave19Queries.queries ++ graft.queries.Wave20Queries.queries ++
-      graft.queries.Wave21Queries.queries ++ graft.queries.Wave22Queries.queries
+      graft.queries.Wave21Queries.queries ++ graft.queries.Wave22Queries.queries ++
+      graft.queries.Wave23Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.Wave15Queries.oracle ++ graft.queries.Wave16Queries.oracle ++
       graft.queries.Wave17Queries.oracle ++ graft.queries.Wave18Queries.oracle ++
       graft.queries.Wave19Queries.oracle ++ graft.queries.Wave20Queries.oracle ++
-      graft.queries.Wave21Queries.oracle ++ graft.queries.Wave22Queries.oracle
+      graft.queries.Wave21Queries.oracle ++ graft.queries.Wave22Queries.oracle ++
+      graft.queries.Wave23Queries.oracle
 }

@@ -112,7 +112,7 @@ object Wave9Queries {
   // ---- oracle SQL -------------------------------------------------------
 
   /** One unrolled label-propagation round: v{i}/w{i}/l{i} from l{i-1}. */
-  private def lpRound(i: Int): String =
+  private[queries] def lpRound(i: Int): String =
     s"""v$i AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS cnt
        |  FROM e JOIN l${i - 1} l ON l.node = e.src
        |  WHERE l.label IS NOT NULL GROUP BY 1, 2),

@@ -57,7 +57,9 @@ class PlanGuardSpec extends SparkSuite {
     "q183_rrf_fusion",     // q154's postings × broadcast(1-row corpus stats)
     "q184_log_odds_terms", // count frame × broadcast(1-row corpus totals)
     "q186_markov_stationary", // state frame × broadcast(1-row state count)
-    "q199_split_divergence") // token-count frame × broadcast(1-row split totals)
+    "q199_split_divergence", // token-count frame × broadcast(1-row split totals)
+    "q203_lpa_modularity",  // community frame × broadcast(1-row edge total)
+    "q205_knn_hubness")     // q134's 200-row eval-slice brute-force kNN
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
