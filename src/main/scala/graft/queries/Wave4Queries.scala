@@ -159,8 +159,9 @@ object Wave4Queries {
     * have no SQL form; [[graft.ops.Bpe]]'s precedent). */
   private val q137: Q = (s, d) => {
     import s.implicits._
-    val m = graft.ops.Pca.topComponents(Tables.embeddings(s, d),
-      "embedding", k = 2, iters = 12)
+    // persisted model store: fit once per corpus, load in every later
+    // session ([[Stores.pcaModel]]); loaded == fitted bit-exactly
+    val m = Stores.pcaModel(s, d)
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = for {
@@ -209,7 +210,7 @@ object Wave4Queries {
   private val q140: Q = (s, d) => {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val m = graft.ops.Pca.topComponents(emb, "embedding", k = 2, iters = 12)
+    val m = Stores.pcaModel(s, d)
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val cleaned = graft.ops.Pca.removeTopComponents(emb, "embedding", "x", m)

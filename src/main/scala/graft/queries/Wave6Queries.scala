@@ -56,8 +56,9 @@ object Wave6Queries {
     * [[graft.ops.Pca]]/[[graft.ops.Bpe]] precedent). */
   private val q142: Q = (s, d) => {
     import s.implicits._
-    val m = Kmeans.fit(Tables.embeddings(s, d), "embedding", "vec_id",
-      k = 4, iters = 8)
+    // persisted model store: fit once per corpus, load in every later
+    // session ([[Stores.kmeansModel]]); loaded == fitted bit-exactly
+    val m = Stores.kmeansModel(s, d)
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = m.centroids.indices.map { c =>

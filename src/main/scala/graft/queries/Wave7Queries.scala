@@ -31,8 +31,7 @@ object Wave7Queries {
     * Golden-pinned (centroids come from the iterative fit). */
   private val q148: Q = (s, d) => {
     import s.implicits._
-    val m = Kmeans.fit(Tables.embeddings(s, d), "embedding", "vec_id",
-      k = 4, iters = 8)
+    val m = Stores.kmeansModel(s, d)
     Kmeans.marginReport(Tables.embeddings(s, d), "embedding", m,
         ambThreshold = 0.02)
       .orderBy($"cluster")
