@@ -160,11 +160,24 @@ object Bench {
     // latency; first-build cost is documented in PERF.md and the store
     // specs. A warm store makes these no-ops (fingerprint-checked
     // loads), so repeat benches pay nothing here.
+    // NonFatal ONLY, and loudly: a silently-swallowed store-build failure
+    // (disk full, corrupt store, code regression) would land the full
+    // derivation inside timed sweep 1 — recreating exactly the
+    // reads-as-host-contention artifact this warm-up exists to prevent,
+    // with no trace in the bench output. Fatal errors propagate.
     try {
+      graft.queries.Stores.docPairs(spark, sfDir).count()
       graft.queries.Stores.docClusters(spark, sfDir).count()
       graft.queries.Stores.pcaModel(spark, sfDir)
       graft.queries.Stores.kmeansModel(spark, sfDir)
-    } catch { case _: Throwable => }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"WARNING: bench store warm-up FAILED (${e.getClass.getName}: " +
+            s"${e.getMessage}) — the first timed sweep will pay the full " +
+            "store derivation and the contention heuristic may misread it")
+        e.printStackTrace()
+    }
     val warmWallSec = (System.nanoTime() - warmStart) / 1e9
     // Two full timed sweeps; report the per-query MINIMUM. Rationale
     // (documented in BASELINE.md): at sf0.1 most queries finish in well

@@ -43,9 +43,23 @@ object Golden {
   val sfDir = "/root/testdata/sf0.01"
 
   /** The committed golden directory, as an absolute path (the oracle SQL
-    * embeds it, and the driver's DuckDB runs from an unknown cwd). */
-  def goldenDir: String =
-    new java.io.File("src/test/resources/golden").getAbsolutePath
+    * embeds it, and the driver's DuckDB runs from an unknown cwd).
+    * Resolution order: `SPARK_GRAFT_GOLDEN_DIR`, then the repo-relative
+    * default against the JVM's cwd — with a FAIL-LOUD existence check,
+    * because an oracle SQL pointing at a nonexistent TSV (Verify
+    * launched from the wrong directory) would otherwise surface as 34
+    * baffling driver-side read_csv failures instead of one clear
+    * message at dump time. */
+  def goldenDir: String = {
+    val dir = sys.env.get("SPARK_GRAFT_GOLDEN_DIR")
+      .map(new java.io.File(_))
+      .getOrElse(new java.io.File("src/test/resources/golden"))
+    require(dir.isDirectory && new java.io.File(dir, s"${queries.head}.tsv").isFile,
+      s"golden directory ${dir.getAbsolutePath} is missing or has no " +
+        s"${queries.head}.tsv — run from the repo root or set " +
+        "SPARK_GRAFT_GOLDEN_DIR to the checkout's src/test/resources/golden")
+    dir.getAbsolutePath
+  }
 
   /** Canonical text form: header + tab-separated rows in the query's own
     * (total) ORDER BY, doubles via Double.toString (bit-exact). */

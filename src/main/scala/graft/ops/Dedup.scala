@@ -1318,31 +1318,167 @@ object Dedup {
   //                   filtered sub-corpus) cannot collide on corpus_fp
   //                   alone and silently share a store.
 
-  /** Observable derivation count — lets specs assert publish-once. */
+  /** Observable derivation counts — let specs assert publish-once. */
   private[graft] val clusterComputeCount =
     new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val pairComputeCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Bumpable algorithm versions, part of each store's staleness key: a
+    * semantics change to the derivation (new routing default, a scoring
+    * fix) must bump these so pre-existing stores — whose corpus/plan
+    * fingerprints and params all still match — are re-derived instead of
+    * silently served stale (the round-10 Lloyd n-vs-n−1 fix would have
+    * been exactly that hazard had the model store predated it). */
+  val ClustersAlgoVersion = 1
+  val PairsAlgoVersion = 1
 
   /** Hash of the canonicalized logical plan — the "which frame is this,
     * beyond which files" half of the staleness key (canonicalization
     * normalizes expression ids, so the hash is stable across sessions
-    * for the same query over the same tables). */
+    * for the same query over the same tables). Honest 64-bit
+    * ([[StoreIO.fp64]]) — persisted stores trust it across sessions. */
   private[ops] def planFingerprint(df: DataFrame): Long =
-    scala.util.hashing.MurmurHash3.stringHash(
-      df.queryExecution.analyzed.canonicalized.toString).toLong
+    StoreIO.fp64(df.queryExecution.analyzed.canonicalized.toString)
 
-  /** Publish a cluster table: data + one-row staleness meta. Callers
-    * normally use [[clustersPersisted]]; this is the explicit-publish
-    * half for pipelines that derive clusters their own way. */
+  /** Read a store's one-row meta as a typed tuple; None when the meta is
+    * missing, unreadable, or schema-incompatible (all mean: stale). */
+  private def readMeta[T: org.apache.spark.sql.Encoder](
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[org.apache.spark.sql.Column]): Option[T] =
+    scala.util.Try(
+      spark.read.parquet(path).select(cols: _*).as[T].head()).toOption
+
+  // ──────────────────── persisted scored-pair store ────────────────────
+  //
+  // The θ-scored exact-Jaccard pair table is the upstream half of the
+  // cluster derivation and the shared input of the whole pair-analytics
+  // family (raw pair listings, curation anti-joins, threshold sweeps,
+  // decontamination splits, LSH ground truth). Stored once at the
+  // LOOSEST threshold any consumer uses (θ=0.3 here): Jaccard is a
+  // pairwise function — independent of the rest of the corpus — so every
+  // tighter-θ consumer, every sub-corpus consumer (both endpoints
+  // filtered), and every split consumer (endpoints on opposite sides)
+  // is a FILTER over this one table, never a re-derivation.
+  //
+  // Layout under `path`:
+  //   path/pairs — (doc_a bigint, doc_b bigint, jaccard double), doc_a <
+  //                doc_b, partition-parallel (billions of rows at 100 TB)
+  //   path/meta  — ONE row (corpus_fp, plan_fp, n, threshold, algo_version)
+
+  /** Publish a scored-pair table: data + one-row staleness meta, via
+    * [[StoreIO.publish]] (atomic rename — readers never see partial
+    * state; a concurrent second writer is a no-op). */
+  def savePairs(pairs: DataFrame, path: String,
+                corpusFp: Long, planFp: Long,
+                n: Int, threshold: Double): Boolean = {
+    val spark = pairs.sparkSession
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    StoreIO.publish(spark, path) { tmp =>
+      pairs.select($"doc_a".cast("long"), $"doc_b".cast("long"),
+          $"jaccard".cast("double"))
+        .write.mode("overwrite").parquet(s"$tmp/pairs")
+      Seq((corpusFp, planFp, n, threshold, PairsAlgoVersion))
+        .toDF("corpus_fp", "plan_fp", "n", "threshold", "algo_version")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** Load a published pair table (no staleness check — the caller owns
+    * provenance; [[pairsPersisted]] is the checked path). */
+  def loadPairs(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    spark.read.parquet(s"$path/pairs")
+
+  /** The checked read-through path for the scored-pair store: load the
+    * pair table published at `path` if its fingerprints (corpus files,
+    * input plan, params, algorithm version) match; else derive via the
+    * routed exact-Jaccard entry point, publish atomically, and return a
+    * READ of the published parquet. The returned frame is always
+    * (doc_a, doc_b, jaccard) with jaccard ≥ `threshold`; consumers
+    * filter to their own tighter θ / id subset. */
+  def pairsPersisted(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, n: Int = 3,
+                     threshold: Double = 0.3): DataFrame = {
+    val spark = docs.sparkSession
+    val want = (Similarity.fileFingerprint(docs), planFingerprint(docs),
+      n, threshold, PairsAlgoVersion)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def haveMeta(): Option[(Long, Long, Int, Double, Int)] = {
+      import spark.implicits.newProductEncoder
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$path/pairs"))) None
+      else readMeta[(Long, Long, Int, Double, Int)](spark, s"$path/meta",
+        Seq($"corpus_fp".cast("long"), $"plan_fp".cast("long"),
+          $"n".cast("int"), $"threshold".cast("double"),
+          $"algo_version".cast("int")))
+    }
+    def computeAndPublish(): DataFrame = {
+      pairComputeCount.incrementAndGet()
+      val scored = ngramJaccardPairsAuto(docs, idCol, textCol, n = n,
+        threshold = threshold)
+      savePairs(scored, path, want._1, want._2, n, threshold)
+      // whether this writer won or lost the publish race, the live store
+      // now holds the same pure function of the same inputs — verified:
+      if (!haveMeta().contains(want)) sys.error(
+        s"pairsPersisted: store at $path does not match its own publish " +
+          s"(want $want) — concurrent writer with different inputs?")
+      loadPairs(spark, path)
+    }
+    haveMeta() match {
+      case Some(have) if have == want =>
+        log.info(s"pairsPersisted: loading published pair table at $path")
+        loadPairs(spark, path)
+      case Some(have) =>
+        log.warn(s"pairsPersisted: store at $path is stale " +
+          s"(have $have, want $want) — re-deriving and republishing")
+        computeAndPublish()
+      case None => computeAndPublish()
+    }
+  }
+
+  // ──────────────────── persisted cluster store ────────────────────
+  //
+  // The near-dup cluster table (pair generation + connected components)
+  // is the single most expensive derivation in the library — tens of
+  // seconds at sf1, hours at 100 TB — yet it is a pure function of the
+  // corpus, and EVERY downstream cluster analytic (purity, size
+  // histogram, survivor selection, drop-rate reports) reads the same
+  // logical table. The operational pattern is therefore the same as
+  // [[Similarity.saveIvfIndex]]: derive ONCE, publish to storage with a
+  // staleness fingerprint, and let every later query/session/cluster
+  // load the parquet instead of re-running the O(Σdf²) pair machinery.
+  //
+  // Layout under `path`:
+  //   path/clusters — (doc_id bigint, component_id bigint) parquet,
+  //                   partition-parallel (NOT coalesced: at 100 TB this
+  //                   table has billions of rows)
+  //   path/meta     — ONE row (corpus_fp, plan_fp, n, threshold,
+  //                   algo_version): corpus_fp = honest-64-bit
+  //                   (path, len, mtime) hash of every file behind the
+  //                   input frame (fileFingerprint); plan_fp = hash of
+  //                   the canonicalized input plan, so two DIFFERENT
+  //                   frames over the SAME files (e.g. a filtered
+  //                   sub-corpus) cannot collide on corpus_fp alone and
+  //                   silently share a store.
+
+  /** Publish a cluster table: data + one-row staleness meta, via
+    * [[StoreIO.publish]] (atomic rename). Callers normally use
+    * [[clustersPersisted]]; this is the explicit-publish half for
+    * pipelines that derive clusters their own way. */
   def saveClusters(clusters: DataFrame, path: String,
                    corpusFp: Long, planFp: Long,
-                   n: Int, threshold: Double): Unit = {
+                   n: Int, threshold: Double): Boolean = {
     val spark = clusters.sparkSession
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
-    clusters.select($"doc_id".cast("long"), $"component_id".cast("long"))
-      .write.mode("overwrite").parquet(s"$path/clusters")
-    Seq((corpusFp, planFp, n, threshold))
-      .toDF("corpus_fp", "plan_fp", "n", "threshold")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    StoreIO.publish(spark, path) { tmp =>
+      clusters.select($"doc_id".cast("long"), $"component_id".cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/clusters")
+      Seq((corpusFp, planFp, n, threshold, ClustersAlgoVersion))
+        .toDF("corpus_fp", "plan_fp", "n", "threshold", "algo_version")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
   }
 
   /** Load a published cluster table (no staleness check — the caller
@@ -1353,44 +1489,62 @@ object Dedup {
 
   /** The checked read-through path: load the cluster table published at
     * `path` if its fingerprints match `docs` and the parameters; else
-    * derive (routed exact-Jaccard pairs → connected components), publish,
-    * and return a READ of the published parquet — so downstream plans in
-    * both branches scan a parquet table rather than re-deriving, and the
-    * first caller's publish pays for every later query, session, and JVM.
-    * A stale store (corpus files rewritten, different input plan, or
-    * different n/threshold) is re-derived and republished loudly, never
-    * silently served. */
+    * derive (scored pairs → threshold filter → connected components),
+    * publish atomically, and return a READ of the published parquet — so
+    * downstream plans in both branches scan a parquet table rather than
+    * re-deriving, and the first caller's publish pays for every later
+    * query, session, and JVM. A stale store (corpus files rewritten,
+    * different input plan, different n/threshold, or a bumped
+    * [[ClustersAlgoVersion]]) is re-derived and republished loudly,
+    * never silently served.
+    *
+    * `pairSource`, when given, supplies the SCORED pair table —
+    * (doc_a, doc_b, jaccard), covering at least jaccard ≥ `threshold` —
+    * that the derivation filters and clusters. [[graft.queries.Stores]]
+    * passes the persisted θ=0.3 pair store here, so the cluster store is
+    * derived FROM the pair store and the two can never disagree on pair
+    * scores. Without it the pairs are derived in-plan (routed exact
+    * Jaccard at `threshold`). */
   def clustersPersisted(docs: DataFrame, idCol: String, textCol: String,
                         path: String, n: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        pairSource: Option[() => DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits.newProductEncoder
     val want = (Similarity.fileFingerprint(docs), planFingerprint(docs),
-      n, threshold)
-    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val dataP = new org.apache.hadoop.fs.Path(s"$path/clusters")
-    val fs = metaP.getFileSystem(spark.sessionState.newHadoopConf())
+      n, threshold, ClustersAlgoVersion)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def haveMeta(): Option[(Long, Long, Int, Double, Int)] = {
+      import spark.implicits.newProductEncoder
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$path/clusters"))) None
+      else readMeta[(Long, Long, Int, Double, Int)](spark, s"$path/meta",
+        Seq($"corpus_fp".cast("long"), $"plan_fp".cast("long"),
+          $"n".cast("int"), $"threshold".cast("double"),
+          $"algo_version".cast("int")))
+    }
     def computeAndPublish(): DataFrame = {
       clusterComputeCount.incrementAndGet()
+      val pairs = pairSource.map(_())
+        .getOrElse(ngramJaccardPairsAuto(docs, idCol, textCol, n = n,
+          threshold = threshold))
       val cc = connectedComponents(
-        ngramJaccardPairsAuto(docs, idCol, textCol, n = n,
-          threshold = threshold).select($"doc_a", $"doc_b"))
+        pairs.where($"jaccard" >= threshold).select($"doc_a", $"doc_b"))
       saveClusters(cc, path, want._1, want._2, n, threshold)
+      if (!haveMeta().contains(want)) sys.error(
+        s"clustersPersisted: store at $path does not match its own " +
+          s"publish (want $want) — concurrent writer with different inputs?")
       loadClusters(spark, path)
     }
-    if (fs.exists(metaP) && fs.exists(dataP)) {
-      val have = spark.read.parquet(metaP.toString)
-        .select($"corpus_fp".cast("long"), $"plan_fp".cast("long"),
-          $"n".cast("int"), $"threshold".cast("double"))
-        .as[(Long, Long, Int, Double)].head()
-      if (have == want) {
+    haveMeta() match {
+      case Some(have) if have == want =>
         log.info(s"clustersPersisted: loading published cluster table at $path")
         loadClusters(spark, path)
-      } else {
+      case Some(have) =>
         log.warn(s"clustersPersisted: store at $path is stale " +
           s"(have $have, want $want) — re-deriving and republishing")
         computeAndPublish()
-      }
-    } else computeAndPublish()
+      case None => computeAndPublish()
+    }
   }
 }

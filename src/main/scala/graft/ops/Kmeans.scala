@@ -149,22 +149,32 @@ object Kmeans {
   //                    iters, seed, inertia, n) — the staleness key plus
   //                    the model's scalars.
 
-  /** Publish a fitted model: centroid rows + one-row staleness meta.
-    * Doubles round-trip parquet losslessly → loads are bit-exact. */
+  /** Bumpable fit-algorithm version — part of the store staleness key,
+    * so a semantics change to the fit (the round-10 Lloyd n-vs-n−1 fix
+    * is the canonical example) invalidates pre-existing stores whose
+    * fingerprints and params all still match. */
+  val KmeansAlgoVersion = 1
+
+  /** Publish a fitted model: centroid rows + one-row staleness meta, via
+    * [[StoreIO.publish]] (atomic rename — readers never observe partial
+    * state; a concurrent second writer is a no-op). Doubles round-trip
+    * parquet losslessly → loads are bit-exact. */
   def saveKmeansModel(m: KmeansModel, spark: org.apache.spark.sql.SparkSession,
                       path: String, corpusFp: Long, planFp: Long,
                       embCol: String, idCol: String, iters: Int,
                       seed: String): Unit = {
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
-    m.centroids.indices
-      .map(c => (c, m.centroids(c).toSeq, m.sizes(c)))
-      .toDF("cluster", "centroid", "size")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((corpusFp, planFp, embCol, idCol, m.centroids.length, iters, seed,
-        m.inertia, m.n))
-      .toDF("corpus_fp", "plan_fp", "emb_col", "id_col", "k", "iters",
-        "seed", "inertia", "n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    StoreIO.publish(spark, path) { tmp =>
+      m.centroids.indices
+        .map(c => (c, m.centroids(c).toSeq, m.sizes(c)))
+        .toDF("cluster", "centroid", "size")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      Seq((corpusFp, planFp, embCol, idCol, m.centroids.length, iters, seed,
+          m.inertia, m.n, KmeansAlgoVersion))
+        .toDF("corpus_fp", "plan_fp", "emb_col", "id_col", "k", "iters",
+          "seed", "inertia", "n", "algo_version")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
   }
 
   /** Load a published model; inverse of [[saveKmeansModel]] (cluster
@@ -195,30 +205,38 @@ object Kmeans {
     import spark.implicits.newProductEncoder
     val corpusFp = Similarity.fileFingerprint(df)
     val planFp = Dedup.planFingerprint(df)
-    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val dataP = new org.apache.hadoop.fs.Path(s"$path/centroids")
-    val fs = metaP.getFileSystem(spark.sessionState.newHadoopConf())
+    val want = (corpusFp, planFp, embCol, idCol, k, iters, seed,
+      KmeansAlgoVersion)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // Try-guarded meta read: a missing/partial/older-schema meta row
+    // (e.g. a store written before algo_version existed) reads as stale,
+    // never as a crash or a silent match
+    def haveMeta(): Option[(Long, Long, String, String, Int, Int, String, Int)] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))) None
+      else scala.util.Try(spark.read.parquet(s"$path/meta")
+        .select(col("corpus_fp").cast("long"), col("plan_fp").cast("long"),
+          col("emb_col"), col("id_col"), col("k").cast("int"),
+          col("iters").cast("int"), col("seed"),
+          col("algo_version").cast("int"))
+        .as[(Long, Long, String, String, Int, Int, String, Int)].head()).toOption
     def fitAndPublish(): KmeansModel = {
       val m = fit(df, embCol, idCol, k, iters, seed)
       saveKmeansModel(m, spark, path, corpusFp, planFp, embCol, idCol,
         iters, seed)
       m
     }
-    if (fs.exists(metaP) && fs.exists(dataP)) {
-      val have = spark.read.parquet(metaP.toString)
-        .select(col("corpus_fp").cast("long"), col("plan_fp").cast("long"),
-          col("emb_col"), col("id_col"), col("k").cast("int"),
-          col("iters").cast("int"), col("seed"))
-        .as[(Long, Long, String, String, Int, Int, String)].head()
-      if (have == ((corpusFp, planFp, embCol, idCol, k, iters, seed))) {
+    haveMeta() match {
+      case Some(have) if have == want =>
         log.info(s"fitPersisted: loading published k-means model at $path")
         loadKmeansModel(spark, path)
-      } else {
+      case Some(have) =>
         log.warn(s"fitPersisted: store at $path is stale (have $have) — " +
           "re-fitting and republishing")
         fitAndPublish()
-      }
-    } else fitAndPublish()
+      case None => fitAndPublish()
+    }
   }
 
   /** Map-side cluster assignment for `emb` against literal centroids:

@@ -197,18 +197,25 @@ object Pca {
   /** Publish a fitted model: component rows + one-row staleness meta.
     * Doubles round-trip parquet losslessly, so a load returns the model
     * BIT-EXACTLY — loaded-vs-fitted outputs are hash-identical. */
+  /** Bumpable fit-algorithm version — part of the store staleness key
+    * (see [[Kmeans.KmeansAlgoVersion]] for the rationale). */
+  val PcaAlgoVersion = 1
+
   def savePcaModel(m: PcaModel, spark: org.apache.spark.sql.SparkSession,
                    path: String, corpusFp: Long, planFp: Long,
                    embCol: String, iters: Int): Unit = {
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
-    m.components.indices
-      .map(c => (c, m.components(c).toSeq, m.eigenvalues(c)))
-      .toDF("component", "loading", "eigenvalue")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/components")
-    Seq((corpusFp, planFp, embCol, m.components.length, iters, m.n,
-        m.mean.toSeq))
-      .toDF("corpus_fp", "plan_fp", "emb_col", "k", "iters", "n", "mean")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    StoreIO.publish(spark, path) { tmp =>
+      m.components.indices
+        .map(c => (c, m.components(c).toSeq, m.eigenvalues(c)))
+        .toDF("component", "loading", "eigenvalue")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/components")
+      Seq((corpusFp, planFp, embCol, m.components.length, iters, m.n,
+          m.mean.toSeq, PcaAlgoVersion))
+        .toDF("corpus_fp", "plan_fp", "emb_col", "k", "iters", "n", "mean",
+          "algo_version")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
   }
 
   /** Load a published model; inverse of [[savePcaModel]] (component
@@ -242,28 +249,33 @@ object Pca {
     import spark.implicits.newProductEncoder
     val corpusFp = Similarity.fileFingerprint(df)
     val planFp = Dedup.planFingerprint(df)
-    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val dataP = new org.apache.hadoop.fs.Path(s"$path/components")
-    val fs = metaP.getFileSystem(spark.sessionState.newHadoopConf())
+    val want = (corpusFp, planFp, embCol, k, iters, PcaAlgoVersion)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // Try-guarded meta read: missing/partial/older-schema meta = stale
+    def haveMeta(): Option[(Long, Long, String, Int, Int, Int)] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$path/components"))) None
+      else scala.util.Try(spark.read.parquet(s"$path/meta")
+        .select(col("corpus_fp").cast("long"), col("plan_fp").cast("long"),
+          col("emb_col"), col("k").cast("int"), col("iters").cast("int"),
+          col("algo_version").cast("int"))
+        .as[(Long, Long, String, Int, Int, Int)].head()).toOption
     def fitAndPublish(): PcaModel = {
       val m = topComponents(df, embCol, k, iters)
       savePcaModel(m, spark, path, corpusFp, planFp, embCol, iters)
       m
     }
-    if (fs.exists(metaP) && fs.exists(dataP)) {
-      val have = spark.read.parquet(metaP.toString)
-        .select(col("corpus_fp").cast("long"), col("plan_fp").cast("long"),
-          col("emb_col"), col("k").cast("int"), col("iters").cast("int"))
-        .as[(Long, Long, String, Int, Int)].head()
-      if (have == ((corpusFp, planFp, embCol, k, iters))) {
+    haveMeta() match {
+      case Some(have) if have == want =>
         log.info(s"topComponentsPersisted: loading published model at $path")
         loadPcaModel(spark, path)
-      } else {
+      case Some(have) =>
         log.warn(s"topComponentsPersisted: store at $path is stale " +
           s"(have $have) — re-fitting and republishing")
         fitAndPublish()
-      }
-    } else fitAndPublish()
+      case None => fitAndPublish()
+    }
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {

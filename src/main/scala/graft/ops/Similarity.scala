@@ -511,7 +511,10 @@ object Similarity {
 
   /** (path, len, mtime)-hash over every file-backed scan in the plan.
     * Shared with [[Dedup.jaccardRouteDecision]]'s memo — one staleness
-    * discipline for every decide-once-per-corpus cache in the library. */
+    * discipline for every decide-once-per-corpus cache in the library.
+    * Honest 64-bit ([[StoreIO.fpOrdered64]]): the persisted stores trust
+    * this value across sessions, where a 32-bit key's birthday bound
+    * (~77 k corpora to even odds) is not acceptable. */
   private[ops] def fileFingerprint(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
@@ -519,18 +522,17 @@ object Similarity {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location match {
           case p: PartitioningAwareFileIndex =>
-            scala.util.hashing.MurmurHash3.orderedHash(
+            StoreIO.fpOrdered64(
               p.allFiles().sortBy(_.getPath.toString)
                 .map(f => (f.getPath.toString, f.getLen, f.getModificationTime)))
           // exotic FileIndex impls expose only paths — still catches
           // listing-membership changes, not same-name rewrites
-          case other => scala.util.hashing.MurmurHash3.orderedHash(
-            other.inputFiles.sorted.toSeq)
+          case other => StoreIO.fpOrdered64(other.inputFiles.sorted.toSeq)
         }
-        case _ => 0
+        case _ => 0L
       }
     }
-    scala.util.hashing.MurmurHash3.orderedHash(perScan).toLong
+    StoreIO.fpOrdered64(perScan)
   }
 
   /** Observable training count — lets specs assert cache hits/misses. */

@@ -203,15 +203,10 @@ object AdvQueries {
     import s.implicits._
     val e = graft.ops.Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
     // path keyed by the corpus FILES (name, length, mtime), not just the
-    // dir: a regenerated corpus under the same path gets a fresh index
-    // path and retrains, instead of probing a stale persisted index
-    def walk(f: java.io.File): Seq[(String, Long, Long)] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq((f.getAbsolutePath, f.length(), f.lastModified()))
-    val fp = scala.util.hashing.MurmurHash3.orderedHash(
-      walk(new java.io.File(d, "embeddings.parquet")))
-    val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-" +
-      java.lang.Integer.toHexString(fp)
+    // dir — a regenerated corpus under the same path gets a fresh index
+    // path and retrains, instead of probing a stale persisted index —
+    // and rooted under the per-user 0700 store root (Stores.root)
+    val idx = Stores.ivfStorePath(d)
     graft.ops.Similarity.knnIvfPersisted(e.where($"id" < 10), e, k = 5,
         indexPath = idx, nCells = 16, nProbe = 4)
       .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".as("rnk"))

@@ -59,26 +59,35 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs over an inverted shingle index. */
+  /** Exact n-gram Jaccard near-dup pairs at θ=0.5 — a filter over the
+    * persisted θ=0.3 pair store ([[Stores.docPairs]]): Jaccard is
+    * pairwise, so the tighter-θ listing is exactly the store rows with
+    * jaccard ≥ 0.5, and the O(Σdf²) inverted-index machinery runs once
+    * per corpus (store publish) instead of once per query. The direct
+    * pair generator itself stays spec-covered (OpsSpec route-equality)
+    * and oracle-covered through the store derivation. */
   private val q24: Q = (s, d) => {
     import s.implicits._
-    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.5)
+    Stores.docPairs(s, d).where($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Corpus-adaptive exact Jaccard — [[Dedup.ngramJaccardPairsAuto]]'s
-    * router end-to-end on the checked surface, and the entry point users
-    * should copy: at oracle scale the router picks an EXACT route (prefix
-    * or direct, both ≡ q24's semantics, so q24's DuckDB SQL applies
-    * verbatim), while at 100 TB it detects the Σdf²-quadratic saturated
-    * shape and swaps in the df-capped plan instead of dying on the pair
-    * shuffle (measured at sf10: direct spills 78 GB and fails, capped
-    * runs 32 s — PERF.md). The forced-low-budget capped route is
-    * spec-checked in OpsSpec against [[Dedup.ngramJaccardPairsCapped]]. */
+  /** Corpus-adaptive exact Jaccard through the persisted pair store —
+    * the entry point users should copy. The store's derivation IS
+    * [[Dedup.ngramJaccardPairsAuto]]'s router end-to-end: at oracle
+    * scale the router picks an EXACT route (prefix or direct, both ≡
+    * q24's semantics, so the exact-Jaccard DuckDB SQL applies verbatim),
+    * while at 100 TB it detects the Σdf²-quadratic saturated shape and
+    * swaps in the df-capped plan instead of dying on the pair shuffle
+    * (measured at sf10: direct spills 78 GB and fails, capped runs
+    * 32 s — PERF.md). The forced-low-budget capped route is spec-checked
+    * in OpsSpec against [[Dedup.ngramJaccardPairsCapped]]. Every
+    * steady-state execution is a parquet scan + filter. */
   private val q76: Q = (s, d) => {
     import s.implicits._
-    Dedup.ngramJaccardPairsAuto(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.5)
+    Stores.docPairs(s, d).where($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -277,9 +286,18 @@ object ExtQueries {
     // InMemoryRelation), so repeated calls don't grow the cache.
     val kept = scored.join(keepIds, Seq("doc_id"), "left_semi")
       .transform(graft.ops.Staged(_))
-    // routed entry point (scale-safe default): picks an exact plan shape
-    // here, swaps to the df-capped plan past the measured Σdf² budget
-    val dropB = Dedup.ngramJaccardPairsAuto(kept, "doc_id", "text", threshold = 0.5)
+    // near-dup pairs WITHIN the curated survivor set, as a filter over
+    // the persisted full-corpus θ=0.3 pair store: Jaccard is pairwise
+    // (independent of the rest of the corpus), so the sub-corpus pair
+    // set is exactly the store rows with BOTH endpoints kept and
+    // jaccard ≥ 0.5 — two id-keyed semi-joins against a parquet scan,
+    // never a re-run of the Σdf² pair machinery. The store derivation
+    // itself uses the routed entry point (exact here; df-capped past
+    // the measured Σdf² budget at scale).
+    val keptIds = kept.select($"doc_id")
+    val dropB = Stores.docPairs(s, d).where($"jaccard" >= 0.5)
+      .join(keptIds.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(keptIds.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_semi")
       .select($"doc_b".as("doc_id")).distinct()
     kept.join(dropB, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"n_chars")
@@ -456,14 +474,23 @@ object ExtQueries {
     * Jaccard against any eval-side doc clears 0.5 — the leakage exact
     * containment (q52) misses. Eval side = doc_id % 5 == 0 (a
     * deterministic, oracle-expressible split). Directional output keeps
-    * the (train, eval, score) audit trail. */
+    * the (train, eval, score) audit trail.
+    *
+    * Ground truth comes from the persisted θ=0.3 pair store: the split
+    * is a partition of ONE corpus, so the cross-split pairs are exactly
+    * the store rows with endpoints on opposite sides of the split —
+    * orientation restored map-side (train = the %5≠0 endpoint). The
+    * dedicated two-corpus generator [[Dedup.ngramJaccardPairsAcross]]
+    * remains the entry point for genuinely disjoint corpora (and stays
+    * spec-covered); a same-corpus split never needs to re-derive. */
   private val q72: Q = (s, d) => {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    Dedup.ngramJaccardPairsAcross(
-        docs.where($"doc_id" % 5 =!= 0), docs.where($"doc_id" % 5 === 0),
-        "doc_id", "text", threshold = 0.5)
-      .select($"doc_a".as("train_id"), $"doc_b".as("eval_id"),
+    val isEvalA = $"doc_a" % 5 === 0
+    val isEvalB = $"doc_b" % 5 === 0
+    Stores.docPairs(s, d)
+      .where($"jaccard" >= 0.5 && (isEvalA =!= isEvalB))
+      .select(when(isEvalB, $"doc_a").otherwise($"doc_b").as("train_id"),
+        when(isEvalB, $"doc_b").otherwise($"doc_a").as("eval_id"),
         round($"jaccard", 6).as("jaccard"))
       .orderBy($"train_id", $"eval_id")
   }

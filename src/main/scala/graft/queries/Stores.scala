@@ -6,47 +6,108 @@ import graft.ops.Dedup
 
 /** Shared persisted-derivation stores for the query surface.
   *
-  * The near-dup cluster table (3-gram Jaccard ≥ 0.5 pairs → connected
-  * components over the full `documents` corpus) is read by a whole
-  * family of analytics — the raw table (q43), cluster purity (q185),
-  * size histogram / drop-rate / largest-cluster readers (q191–q193).
-  * Deriving it costs tens of seconds at sf1 (hours at 100 TB); reading
-  * it back is a parquet scan. So the family shares ONE
-  * [[Dedup.clustersPersisted]] store: the first query of a session (or
-  * the first session ever, for a cold filesystem) derives + publishes,
-  * everything after loads.
+  * The θ-scored exact-Jaccard PAIR table (3-gram Jaccard ≥ 0.3 over the
+  * full `documents` corpus) is the shared upstream of the whole
+  * near-dup family: the raw pair listings (q24/q76), the curation
+  * anti-join (q42), the threshold sweep (q167), the decontamination
+  * split (q72), LSH ground truth (q207), and — via connected components
+  * at θ=0.5 — the cluster table every cluster analytic reads (q43,
+  * q185, q191–q193, …). Jaccard is pairwise (independent of the rest of
+  * the corpus), so one θ=0.3 store serves every tighter-θ, sub-corpus,
+  * and split consumer as a parquet-scan + filter. Deriving it costs a
+  * minute at sf1 (hours at 100 TB); reading it back is a scan. So the
+  * family shares ONE [[Dedup.pairsPersisted]] store: the first query of
+  * a session (or the first session ever, for a cold store root) derives
+  * + publishes, everything after loads. The CLUSTER store is derived
+  * FROM the pair store ([[Dedup.clustersPersisted]]'s `pairSource`), so
+  * the two can never disagree on pair scores.
   *
-  * The store path is keyed by a walk of the corpus files (name, length,
+  * Store paths are keyed by a walk of the corpus files (name, length,
   * mtime) — the q74_knn_ivf_saved convention — so a regenerated corpus
   * under the same directory gets a FRESH path and re-derives instead of
-  * probing a stale table; `clustersPersisted` additionally verifies the
-  * corpus/plan fingerprints in the store's meta row before trusting it.
-  */
+  * probing a stale table; each read-through additionally verifies the
+  * corpus/plan fingerprints and algorithm version in the store's meta
+  * row before trusting it, and publishes atomically
+  * ([[graft.ops.StoreIO.publish]]).
+  *
+  * SECURITY/ISOLATION: everything lives under ONE per-user 0700 root
+  * (override: `SPARK_GRAFT_STORE_DIR`), not bare world-shared tmpdir
+  * paths — on a multi-user host a world-writable store prefix would let
+  * anyone who can read the corpus pre-plant a matching meta row plus
+  * arbitrary store data that the read-through would then trust. */
 object Stores {
 
+  /** Per-user store root: `$SPARK_GRAFT_STORE_DIR`, else
+    * `tmpdir/graft-stores-<user>`, created 0700. Fails loudly if the
+    * directory exists but is not owned-and-private to this user (a
+    * pre-planted root is exactly the attack the 0700 root exists to
+    * stop). */
+  lazy val root: String = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.PosixFilePermissions
+    val dir = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      s"${sys.props("java.io.tmpdir")}/graft-stores-${sys.props("user.name")}")
+    val p = Paths.get(dir)
+    if (!Files.exists(p))
+      scala.util.Try(Files.createDirectories(p,
+        PosixFilePermissions.asFileAttribute(
+          PosixFilePermissions.fromString("rwx------"))))
+        .getOrElse(Files.createDirectories(p)) // non-POSIX fs fallback
+    scala.util.Try {
+      Files.setPosixFilePermissions(p, PosixFilePermissions.fromString("rwx------"))
+      val owner = Files.getOwner(p).getName
+      require(owner == sys.props("user.name"),
+        s"store root $dir is owned by '$owner', not '${sys.props("user.name")}' — " +
+          "refusing to trust a store root this user does not own " +
+          "(set SPARK_GRAFT_STORE_DIR to a private directory)")
+    }.recover {
+      case _: UnsupportedOperationException => () // non-POSIX fs: no-op
+    }.get
+    dir
+  }
+
   /** (name, length, mtime) walk-hash of one table's files under `d`. */
-  private def tableFp(d: String, table: String): Int = {
+  private def tableFp(d: String, table: String): Long = {
     def walk(f: java.io.File): Seq[(String, Long, Long)] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq((f.getAbsolutePath, f.length(), f.lastModified()))
-    scala.util.hashing.MurmurHash3.orderedHash(walk(new java.io.File(d, table)))
+    graft.ops.StoreIO.fpOrdered64(walk(new java.io.File(d, table)))
   }
+
+  /** Store path under [[root]] for `kind`, keyed by `table`'s files. */
+  def storePath(d: String, kind: String, table: String): String =
+    s"$root/$kind-${java.lang.Long.toHexString(tableFp(d, table))}"
+
+  /** Store root for the θ=0.3 scored-pair table of `d`'s documents. */
+  def pairStorePath(d: String): String =
+    storePath(d, "pairs", "documents.parquet")
 
   /** Store root for the full-corpus near-dup cluster table of `d`. */
   def clusterStorePath(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-clusters-" +
-      java.lang.Integer.toHexString(tableFp(d, "documents.parquet"))
+    storePath(d, "clusters", "documents.parquet")
 
   /** Store root for the top-2 PCA model of `d`'s embeddings. */
   def pcaStorePath(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-pca-" +
-      java.lang.Integer.toHexString(tableFp(d, "embeddings.parquet"))
+    storePath(d, "pca", "embeddings.parquet")
 
   /** Store root for the k=4 Lloyd k-means model of `d`'s embeddings. */
   def kmeansStorePath(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-kmeans-" +
-      java.lang.Integer.toHexString(tableFp(d, "embeddings.parquet"))
+    storePath(d, "kmeans", "embeddings.parquet")
+
+  /** Store root for the 16-cell IVF index of `d`'s embeddings (q74). */
+  def ivfStorePath(d: String): String =
+    storePath(d, "ivf", "embeddings.parquet")
+
+  /** The canonical θ-scored pair table of `d`'s documents —
+    * (doc_a, doc_b, jaccard) at the loosest surface threshold θ=0.3,
+    * loaded from the published store or derived (routed exact Jaccard)
+    * + published on first touch. Deterministic: exact integer
+    * intersections over distinct shingle sets, one double division —
+    * identical whether a caller hit the store or paid the derivation. */
+  def docPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.pairsPersisted(Tables.documents(s, d), "doc_id", "text",
+      pairStorePath(d), n = 3, threshold = 0.3)
 
   /** The canonical top-2 PCA model of `d`'s embeddings (the q137 fit) —
     * loaded from the published store or fitted + published on first
@@ -65,11 +126,14 @@ object Stores {
 
   /** The canonical near-dup cluster table of `d`'s documents —
     * (doc_id, component_id), loaded from the published store or derived
-    * + published on first touch. Deterministic: min-label components
+    * + published on first touch. Derived FROM [[docPairs]] (θ=0.3 store
+    * filtered to the clustering threshold 0.5), so pair analytics and
+    * cluster analytics always agree. Deterministic: min-label components
     * over exact routed Jaccard pairs, so every caller (and the DuckDB
     * oracle's recursive walk) sees identical rows whether it hit the
     * store or paid the derivation. */
   def docClusters(s: SparkSession, d: String): DataFrame =
     Dedup.clustersPersisted(Tables.documents(s, d), "doc_id", "text",
-      clusterStorePath(d), n = 3, threshold = 0.5)
+      clusterStorePath(d), n = 3, threshold = 0.5,
+      pairSource = Some(() => docPairs(s, d)))
 }

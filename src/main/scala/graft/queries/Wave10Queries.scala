@@ -72,13 +72,14 @@ object Wave10Queries {
   private val sweepThresholds = Seq(0.3, 0.5, 0.7, 0.9)
 
   /** Jaccard-threshold sweep: pair counts at 0.3/0.5/0.7/0.9 from ONE
-    * pair-generation pass (the θ=0.3 frame re-bucketed in a single
-    * aggregation) — the sensitivity table read before committing to a
-    * dedup threshold. */
+    * aggregation over the persisted θ=0.3 pair store
+    * ([[Stores.docPairs]] — the store threshold IS the sweep's loosest
+    * θ, so the sweep is a parquet scan re-bucketed in a single pass) —
+    * the sensitivity table read before committing to a dedup
+    * threshold. */
   private val q167: Q = (s, d) => {
     import s.implicits._
-    val pairs = Dedup.ngramJaccardPairsAuto(Tables.documents(s, d),
-      "doc_id", "text", n = 3, threshold = sweepThresholds.min)
+    val pairs = Stores.docPairs(s, d)
     val aggCols = sweepThresholds.zipWithIndex.map { case (t, i) =>
       sum(($"jaccard" >= t).cast("long")).as(s"c$i") }
     val melted = sweepThresholds.zipWithIndex.map { case (t, i) =>

@@ -55,8 +55,13 @@ object Wave24Queries {
   private val q207: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).where($"doc_id" < 2000)
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.5).select($"doc_a", $"doc_b", lit(1L).as("__e"))
+    // exact ground truth from the persisted θ=0.3 pair store (Jaccard is
+    // pairwise, so the slice's truth = store rows with both endpoints in
+    // the slice and jaccard ≥ 0.5) — the scorecard never re-pays the
+    // inverted-index pass
+    val exact = Stores.docPairs(s, d)
+      .where($"jaccard" >= 0.5 && $"doc_a" < 2000 && $"doc_b" < 2000)
+      .select($"doc_a", $"doc_b", lit(1L).as("__e"))
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
       k = 64, bands = 16, minEstJaccard = 0.5)
       .select($"doc_a", $"doc_b", lit(1L).as("__c"))

@@ -66,10 +66,21 @@ object Wave25Queries {
   /** RFM segmentation of the orders table: per customer — days since
     * last order (vs the corpus max date), order count, exact monetary
     * total — then quintile codes and the (R, F) segment rollup a
-    * marketing/BI team reads. The ntile windows run over the GROUPED
-    * per-customer frame (orders collapse first — the aggregate-then-
-    * window shape), with custkey tie-breaks so bucket assignment is
-    * total-order deterministic on both engines. */
+    * marketing/BI team reads.
+    *
+    * Quintiles are EXACT NEAREST-RANK BOUNDARIES computed from integer
+    * histograms (q215's trick — recency_days and frequency are
+    * small-integer domains, so the histogram frames have at most a few
+    * thousand rows regardless of customer count), then assigned
+    * map-side: boundary bᵢ = the value at ascending rank ⌈i·N/5⌉
+    * (descending rank for frequency, where quintile 1 = most frequent),
+    * bucket(v) = 1 + #{i : v strictly beyond bᵢ}. Tie convention shared
+    * by both engines: a value EQUAL to boundary bᵢ belongs to bucket
+    * ≤ i (all tied customers land in the same bucket — unlike a global
+    * ntile, which splits ties by an arbitrary total order AND is a
+    * single-partition sort over the full per-customer frame, a
+    * straggler by construction at 100 TB; the histogram windows here
+    * run over value-cardinality frames only). */
   private val q211: Q = (s, d) => {
     import s.implicits._
     val perCust = Tables.orders(s, d)
@@ -82,9 +93,37 @@ object Wave25Queries {
     val scored = perCust.crossJoin(mx)
       .select($"o_custkey", datediff($"max_d", $"last_d").as("recency_days"),
         $"frequency", $"monetary")
-    val r = ntile(5).over(Window.orderBy($"recency_days", $"o_custkey"))
-    val f = ntile(5).over(Window.orderBy($"frequency".desc, $"o_custkey"))
-    scored.select($"o_custkey", r.as("r_bucket"), f.as("f_bucket"),
+      .transform(graft.ops.Staged(_))
+    // exact nearest-rank quintile boundaries from a value histogram:
+    // ranks rᵢ = ⌈i·N/5⌉ in INTEGER arithmetic ((i·N+4) div 5 — no float
+    // ceil), cumulative counts over the tiny histogram frame, boundary =
+    // first value whose cumulative count reaches rᵢ (last, descending)
+    def boundaries(valueCol: String, desc: Boolean): org.apache.spark.sql.DataFrame = {
+      val hist = scored.groupBy(col(valueCol).as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val ord = if (desc) $"v".desc else $"v".asc
+      val cum = hist.withColumn("cum", sum($"c").over(Window.orderBy(ord)))
+        .crossJoin(broadcast(hist.agg(sum($"c").cast("long").as("n"))))
+      val pick: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (desc) max(_) else min(_)
+      // Spark's `/` on integers is DOUBLE division; floor+cast recovers
+      // the exact integer ⌈i·N/5⌉ = (i·N+4) div 5 (exact in IEEE up to
+      // 2^52 — any realistic N), matching DuckDB's `//`
+      val bs = (1 to 4).map(i =>
+        pick(when($"cum" >= floor((lit(i) * $"n" + 4) / 5).cast("long"), $"v"))
+          .as(s"b$i"))
+      cum.agg(bs.head, bs.tail: _*)
+    }
+    val rb = boundaries("recency_days", desc = false)
+      .select((1 to 4).map(i => col(s"b$i").as(s"rb$i")): _*)
+    val fb = boundaries("frequency", desc = true)
+      .select((1 to 4).map(i => col(s"b$i").as(s"fb$i")): _*)
+    val rBucket = (1 to 4).map(i => ($"recency_days" > col(s"rb$i")).cast("int"))
+      .reduce(_ + _) + 1
+    val fBucket = (1 to 4).map(i => ($"frequency" < col(s"fb$i")).cast("int"))
+      .reduce(_ + _) + 1
+    scored.crossJoin(broadcast(rb)).crossJoin(broadcast(fb))
+      .select($"o_custkey", rBucket.as("r_bucket"), fBucket.as("f_bucket"),
         $"monetary")
       .groupBy($"r_bucket", $"f_bucket")
       .agg(count(lit(1)).cast("long").as("n_customers"),
@@ -121,6 +160,9 @@ object Wave25Queries {
         |  round(CAST(sum(na) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 9)
         |    AS nonascii_frac
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // exact nearest-rank quintile boundaries from integer histograms,
+    // tie convention: value == boundary bᵢ → bucket ≤ i (see the Spark
+    // side's Scaladoc); identical integer arithmetic on both engines
     "q211_rfm_segments" ->
       """WITH pc AS (SELECT o_custkey,
         |    max(CAST(o_orderdate AS DATE)) AS last_d,
@@ -133,12 +175,35 @@ object Wave25Queries {
         |    CAST(mx.max_d - pc.last_d AS INTEGER) AS recency_days,
         |    frequency, monetary
         |  FROM pc CROSS JOIN mx),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+        |hr AS (SELECT recency_days AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM sc GROUP BY 1),
+        |cr AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hr),
+        |br AS (SELECT
+        |    min(CASE WHEN cum >= (1*n+4)//5 THEN v END) AS b1,
+        |    min(CASE WHEN cum >= (2*n+4)//5 THEN v END) AS b2,
+        |    min(CASE WHEN cum >= (3*n+4)//5 THEN v END) AS b3,
+        |    min(CASE WHEN cum >= (4*n+4)//5 THEN v END) AS b4
+        |  FROM cr CROSS JOIN n),
+        |hf AS (SELECT frequency AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM sc GROUP BY 1),
+        |cf AS (SELECT v, sum(c) OVER (ORDER BY v DESC) AS cum FROM hf),
+        |bf AS (SELECT
+        |    max(CASE WHEN cum >= (1*n+4)//5 THEN v END) AS b1,
+        |    max(CASE WHEN cum >= (2*n+4)//5 THEN v END) AS b2,
+        |    max(CASE WHEN cum >= (3*n+4)//5 THEN v END) AS b3,
+        |    max(CASE WHEN cum >= (4*n+4)//5 THEN v END) AS b4
+        |  FROM cf CROSS JOIN n),
         |b AS (SELECT o_custkey, monetary,
-        |    CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INTEGER)
-        |      AS r_bucket,
-        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER)
-        |      AS f_bucket
-        |  FROM sc)
+        |    CAST(1 + CAST(recency_days > br.b1 AS INTEGER)
+        |      + CAST(recency_days > br.b2 AS INTEGER)
+        |      + CAST(recency_days > br.b3 AS INTEGER)
+        |      + CAST(recency_days > br.b4 AS INTEGER) AS INTEGER) AS r_bucket,
+        |    CAST(1 + CAST(frequency < bf.b1 AS INTEGER)
+        |      + CAST(frequency < bf.b2 AS INTEGER)
+        |      + CAST(frequency < bf.b3 AS INTEGER)
+        |      + CAST(frequency < bf.b4 AS INTEGER) AS INTEGER) AS f_bucket
+        |  FROM sc CROSS JOIN br CROSS JOIN bf)
         |SELECT r_bucket, f_bucket,
         |  CAST(count(*) AS BIGINT) AS n_customers,
         |  round(CAST(sum(CAST(monetary AS DECIMAL(28,12))) AS DOUBLE), 2)

@@ -110,6 +110,43 @@ class PlanGuardSpec extends SparkSuite {
       s"surface columns outside the hashable set: ${offenders.mkString("; ")}")
   }
 
+  /** Queries whose UNPARTITIONED SORT-WINDOW over a non-aggregate frame
+    * is audited: a corpus-profile report with a documented 100 TB path
+    * (approx/histogram boundaries + map-side bucketing) in its Scaladoc.
+    * Everything else must keep global sort-windows off per-row frames —
+    * an unpartitioned Window with an orderSpec is a SINGLE-PARTITION
+    * SORT of its whole input, the straggler-by-construction shape
+    * (the round-10 q211 finding; q211 now buckets via exact
+    * nearest-rank histogram boundaries instead). */
+  private val allowGlobalSortWindow = Set(
+    "q56_token_deciles", // global ntile profile; scale path documented (AdvQueries q56)
+    "q97_ppl_buckets")   // exact global ntile; q98 IS the documented scale path
+
+  test("no unpartitioned sort-window over an unbounded per-row frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowGlobalSortWindow(name) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        plan.collect {
+          case w: WindowExec
+              if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
+            // a global sort-window is scale-safe only when its input is
+            // already collapsed: an aggregate frame (value-cardinality
+            // histograms, rollups) or an explicitly bounded one (top-k)
+            val collapsed = w.child.collectFirst {
+              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+              case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+              case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+            }.nonEmpty
+            if (collapsed) None else Some(s"$name: $w")
+        }.flatten
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned sort-windows over unbounded per-row frames " +
+        s"(single-partition sorts at scale): ${offenders.mkString("; ")}")
+  }
+
   test("top-k heads plan TakeOrderedAndProject, windows only over bounded frames") {
     // q101 (top-10 tokens) and q124 (top-1000 Zipf head) take their heads
     // with orderBy+limit — per-partition heaps and a k-row merge. A
