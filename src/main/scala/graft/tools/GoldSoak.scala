@@ -31,12 +31,8 @@ object GoldSoak {
 
   private def fmtD(v: Double): String = f"$v%.2f"
 
-  def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse(sys.error(
-      "usage: GoldSoak <workDir> [rate] [durationSec] [filesPerTrigger]"))
-    val rate = args.lift(1).map(_.toInt).getOrElse(200)
-    val duration = args.lift(2).map(_.toInt).getOrElse(5000)
-    val fpt = args.lift(3).map(_.toInt).getOrElse(40)
+  /** The standard soak/gate session (shared with [[StreamingGate]]). */
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,7 +42,25 @@ object GoldSoak {
       .config("spark.sql.streaming.numRecentProgressUpdates", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(sys.error(
+      "usage: GoldSoak <workDir> [rate] [durationSec] [filesPerTrigger]"))
+    val rate = args.lift(1).map(_.toInt).getOrElse(200)
+    val duration = args.lift(2).map(_.toInt).getOrElse(5000)
+    val fpt = args.lift(3).map(_.toInt).getOrElse(40)
+    val spark = session()
+    val (_, _) = run(spark, work, rate, duration, fpt)
+    spark.stop()
+  }
+
+  /** The dual-provider drain + equivalence check; returns
+    * (equalOutputs, jsonDoc) and writes `<work>/gold_soak.json`.
+    * Throws when the providers' gold outputs differ. */
+  def run(spark: SparkSession, work: String, rate: Int, duration: Int,
+          fpt: Int): (Boolean, String) = {
     new java.io.File(work).mkdirs()
     val landing = s"$work/landing"
     val bridgesCsv = s"$work/bridges.csv"
@@ -148,6 +162,6 @@ object GoldSoak {
     println(doc)
     require(equal, "gold outputs differ between state-store providers — " +
       s"hdfs ${h._2}/${h._3} vs rocksdb ${r._2}/${r._3}")
-    spark.stop()
+    (equal, doc)
   }
 }
