@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.Wave21Queries.queries ++ graft.queries.Wave22Queries.queries ++
       graft.queries.Wave23Queries.queries ++ graft.queries.Wave24Queries.queries ++
       graft.queries.Wave25Queries.queries ++ graft.queries.Wave26Queries.queries ++
-      graft.queries.Wave27Queries.queries ++ graft.queries.Wave28Queries.queries
+      graft.queries.Wave27Queries.queries ++ graft.queries.Wave28Queries.queries ++
+      graft.queries.Wave29Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.queries.Wave21Queries.oracle ++ graft.queries.Wave22Queries.oracle ++
       graft.queries.Wave23Queries.oracle ++ graft.queries.Wave24Queries.oracle ++
       graft.queries.Wave25Queries.oracle ++ graft.queries.Wave26Queries.oracle ++
-      graft.queries.Wave27Queries.oracle ++ graft.queries.Wave28Queries.oracle
+      graft.queries.Wave27Queries.oracle ++ graft.queries.Wave28Queries.oracle ++
+      graft.queries.Wave29Queries.oracle
 }
