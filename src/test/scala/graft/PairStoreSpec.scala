@@ -102,20 +102,23 @@ class PairStoreSpec extends SparkSuite {
     import spark.implicits.{newIntEncoder, localSeqToDatasetHolder}
     // two writers race the same cold path with the same pure payload;
     // a gate maximizes overlap so both complete their temp writes
-    // before either renames
+    // before either renames (generous timeouts: under a full-suite run
+    // the JVM can stall for tens of seconds on GC/compilation, and a
+    // broken barrier here would fail the test for scheduling reasons,
+    // not semantics)
     val gate = new java.util.concurrent.CyclicBarrier(2)
     def writer(tag: Int): Boolean = {
       StoreIO.publish(spark, path) { tmp =>
         (1 to 100).toDS().toDF("v").write.parquet(s"$tmp/data")
         Seq(42).toDS().toDF("meta_v").write.parquet(s"$tmp/meta")
-        gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        gate.await(180, java.util.concurrent.TimeUnit.SECONDS)
       }
     }
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
     val results = Await.result(
-      Future.sequence(Seq(Future(writer(1)), Future(writer(2)))), 120.seconds)
+      Future.sequence(Seq(Future(writer(1)), Future(writer(2)))), 600.seconds)
     assert(results.count(identity) == 1,
       s"expected exactly one publish winner, got $results")
     // whichever won, the live store is COMPLETE — both halves readable
