@@ -206,8 +206,16 @@ object Wave29Queries {
     * xxhash64 has no DuckDB form. */
   private val q228: Q = (s, d) => {
     import s.implicits._
-    val sigs = Dedup.minhashSignatures(Tables.documents(s, d),
-      "doc_id", "text", k = 64)
+    // signatures only for docs that APPEAR in the pair table — the
+    // calibration needs |pairs| rows, not |corpus| signatures (measured
+    // 6.6 s → sub-second at sf1: signature hashing was the whole cost)
+    val endpoints = Stores.docPairs(s, d)
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    // staged: BOTH signature joins (sig_a, sig_b) read this frame — an
+    // unstaged subtree would tokenize + hash the endpoint docs twice
+    val sigs = Dedup.minhashSignatures(
+      Tables.documents(s, d).join(endpoints, Seq("doc_id"), "left_semi"),
+      "doc_id", "text", k = 64).transform(graft.ops.Staged(_))
     val est = (size(filter(zip_with($"sig_a", $"sig_b",
       (a, b) => a === b), x => x)) / lit(64.0)).as("est")
     Stores.docPairs(s, d)
