@@ -38,7 +38,8 @@ object Golden {
     "q142_kmeans", "q148_kmeans_margin", "q152_multiprobe_recall",
     "q153_ivf_retrieval_eval", "q194_pca_saved", "q195_kmeans_saved",
     "q196_kmeans_label_profile", "q207_lsh_eval", "q208_pq_distortion",
-    "q209_ivf_cell_balance", "q228_minhash_calibration")
+    "q209_ivf_cell_balance", "q228_minhash_calibration",
+    "q240_lsh_band_sweep")
 
   val sfDir = "/root/testdata/sf0.01"
 
