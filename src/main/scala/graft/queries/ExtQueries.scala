@@ -278,10 +278,11 @@ object ExtQueries {
       .withColumn("q", Text.qualityScore(wc, stopRatio, awl))
       .where($"q" >= 0.6)
     val keepIds = Dedup.exactGroups(scored, "doc_id", "text").select($"keep_id".as("doc_id"))
-    // The curated survivor set is consumed twice (near-dup pair generation
-    // and the final anti-join), so stage it — the distributed analog of a
-    // curation pipeline persisting its filtered corpus before the dedup
-    // pass. MEMORY_AND_DISK: spills instead of evicting under pressure.
+    // The curated survivor set is consumed twice (the pair-store
+    // endpoint filters and the final anti-join), so stage it — the
+    // distributed analog of a curation pipeline persisting its filtered
+    // corpus before the dedup pass. MEMORY_AND_DISK: spills instead of
+    // evicting under pressure.
     // Re-invocations hit Spark's cache manager (same analyzed plan → same
     // InMemoryRelation), so repeated calls don't grow the cache.
     val kept = scored.join(keepIds, Seq("doc_id"), "left_semi")
