@@ -19,4 +19,18 @@ object GraftSql {
       df.createOrReplaceTempView(t)
     }
   }
+
+  /** Additionally expose the persisted derivation stores as views —
+    * `graft_pairs` (doc_a, doc_b, jaccard at θ≥0.3) and
+    * `graft_clusters` (doc_id, component_id at θ=0.5) — so SQL users
+    * get the same read-through semantics the DataFrame surface uses
+    * (first touch derives + publishes; every later session scans the
+    * published parquet). Separate from [[registerViews]] because the
+    * first call on a cold store pays the derivation. */
+  def registerStores(spark: SparkSession, sfDir: String): Unit = {
+    graft.queries.Stores.docPairs(spark, sfDir)
+      .createOrReplaceTempView("graft_pairs")
+    graft.queries.Stores.docClusters(spark, sfDir)
+      .createOrReplaceTempView("graft_clusters")
+  }
 }

@@ -37,4 +37,24 @@ class GraftSqlSpec extends SparkSuite {
       "SELECT minhash_sigs(array('x y z'), 4) AS s").as[Seq[Long]].head()
     assert(sigs.length == 4)
   }
+
+  test("persisted stores are reachable through spark.sql views") {
+    GraftSql.registerStores(spark, sf)
+    // the pair view IS the store content: θ≥0.3 scored pairs
+    val pairRows = spark.sql(
+      "SELECT count(*) FROM graft_pairs WHERE jaccard >= 0.3")
+      .as[Long].head()
+    assert(pairRows > 0L, "pair store view is empty")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_pairs WHERE jaccard < 0.3")
+      .as[Long].head() == 0L, "pair view leaked sub-threshold rows")
+    // SQL over both views: every cluster member pair scores ≥ the
+    // clustering threshold OR is transitively connected (spot-check:
+    // cluster view nonempty and ids resolve against documents)
+    val clustered = spark.sql(
+      """SELECT count(*) FROM graft_clusters gc
+        |JOIN documents d ON gc.doc_id = d.doc_id""".stripMargin)
+      .as[Long].head()
+    assert(clustered > 0L, "cluster store view empty or ids unresolvable")
+  }
 }
