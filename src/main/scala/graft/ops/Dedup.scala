@@ -1371,10 +1371,11 @@ object Dedup {
     * state; a concurrent second writer is a no-op). */
   def savePairs(pairs: DataFrame, path: String,
                 corpusFp: Long, planFp: Long,
-                n: Int, threshold: Double): Boolean = {
+                n: Int, threshold: Double,
+                replaceExisting: Boolean = true): Boolean = {
     val spark = pairs.sparkSession
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
-    StoreIO.publish(spark, path) { tmp =>
+    StoreIO.publish(spark, path, replaceExisting) { tmp =>
       pairs.select($"doc_a".cast("long"), $"doc_b".cast("long"),
           $"jaccard".cast("double"))
         .write.mode("overwrite").parquet(s"$tmp/pairs")
@@ -1414,11 +1415,15 @@ object Dedup {
           $"n".cast("int"), $"threshold".cast("double"),
           $"algo_version".cast("int")))
     }
-    def computeAndPublish(): DataFrame = {
+    def computeAndPublish(replaceStale: Boolean): DataFrame = {
       pairComputeCount.incrementAndGet()
       val scored = ngramJaccardPairsAuto(docs, idCol, textCol, n = n,
         threshold = threshold)
-      savePairs(scored, path, want._1, want._2, n, threshold)
+      // cold branch: never displace a concurrent winner's fresh store
+      // (exactly-one-winner publish); stale branch: replace the store
+      // this caller OBSERVED to be stale
+      savePairs(scored, path, want._1, want._2, n, threshold,
+        replaceExisting = replaceStale)
       // whether this writer won or lost the publish race, the live store
       // now holds the same pure function of the same inputs — verified:
       if (!haveMeta().contains(want)) sys.error(
@@ -1433,8 +1438,13 @@ object Dedup {
       case Some(have) =>
         log.warn(s"pairsPersisted: store at $path is stale " +
           s"(have $have, want $want) — re-deriving and republishing")
-        computeAndPublish()
-      case None => computeAndPublish()
+        computeAndPublish(replaceStale = true)
+      case None =>
+        // None covers BOTH a truly cold slot AND an occupied-but-
+        // unreadable store (partial/old-schema meta) — only the former
+        // may use the strict no-replace publish
+        computeAndPublish(replaceStale =
+          fs.exists(new org.apache.hadoop.fs.Path(path)))
     }
   }
 
@@ -1469,10 +1479,11 @@ object Dedup {
     * pipelines that derive clusters their own way. */
   def saveClusters(clusters: DataFrame, path: String,
                    corpusFp: Long, planFp: Long,
-                   n: Int, threshold: Double): Boolean = {
+                   n: Int, threshold: Double,
+                   replaceExisting: Boolean = true): Boolean = {
     val spark = clusters.sparkSession
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
-    StoreIO.publish(spark, path) { tmp =>
+    StoreIO.publish(spark, path, replaceExisting) { tmp =>
       clusters.select($"doc_id".cast("long"), $"component_id".cast("long"))
         .write.mode("overwrite").parquet(s"$tmp/clusters")
       Seq((corpusFp, planFp, n, threshold, ClustersAlgoVersion))
@@ -1523,14 +1534,15 @@ object Dedup {
           $"n".cast("int"), $"threshold".cast("double"),
           $"algo_version".cast("int")))
     }
-    def computeAndPublish(): DataFrame = {
+    def computeAndPublish(replaceStale: Boolean): DataFrame = {
       clusterComputeCount.incrementAndGet()
       val pairs = pairSource.map(_())
         .getOrElse(ngramJaccardPairsAuto(docs, idCol, textCol, n = n,
           threshold = threshold))
       val cc = connectedComponents(
         pairs.where($"jaccard" >= threshold).select($"doc_a", $"doc_b"))
-      saveClusters(cc, path, want._1, want._2, n, threshold)
+      saveClusters(cc, path, want._1, want._2, n, threshold,
+        replaceExisting = replaceStale)
       if (!haveMeta().contains(want)) sys.error(
         s"clustersPersisted: store at $path does not match its own " +
           s"publish (want $want) — concurrent writer with different inputs?")
@@ -1543,8 +1555,12 @@ object Dedup {
       case Some(have) =>
         log.warn(s"clustersPersisted: store at $path is stale " +
           s"(have $have, want $want) — re-deriving and republishing")
-        computeAndPublish()
-      case None => computeAndPublish()
+        computeAndPublish(replaceStale = true)
+      case None =>
+        // see pairsPersisted: an occupied-but-unreadable store must be
+        // REPLACED, not treated as a cold slot
+        computeAndPublish(replaceStale =
+          fs.exists(new org.apache.hadoop.fs.Path(path)))
     }
   }
 }

@@ -162,9 +162,9 @@ object Kmeans {
   def saveKmeansModel(m: KmeansModel, spark: org.apache.spark.sql.SparkSession,
                       path: String, corpusFp: Long, planFp: Long,
                       embCol: String, idCol: String, iters: Int,
-                      seed: String): Unit = {
+                      seed: String, replaceExisting: Boolean = true): Unit = {
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
-    StoreIO.publish(spark, path) { tmp =>
+    StoreIO.publish(spark, path, replaceExisting) { tmp =>
       m.centroids.indices
         .map(c => (c, m.centroids(c).toSeq, m.sizes(c)))
         .toDF("cluster", "centroid", "size")
@@ -221,10 +221,10 @@ object Kmeans {
           col("iters").cast("int"), col("seed"),
           col("algo_version").cast("int"))
         .as[(Long, Long, String, String, Int, Int, String, Int)].head()).toOption
-    def fitAndPublish(): KmeansModel = {
+    def fitAndPublish(replaceStale: Boolean): KmeansModel = {
       val m = fit(df, embCol, idCol, k, iters, seed)
       saveKmeansModel(m, spark, path, corpusFp, planFp, embCol, idCol,
-        iters, seed)
+        iters, seed, replaceExisting = replaceStale)
       m
     }
     haveMeta() match {
@@ -234,8 +234,12 @@ object Kmeans {
       case Some(have) =>
         log.warn(s"fitPersisted: store at $path is stale (have $have) — " +
           "re-fitting and republishing")
-        fitAndPublish()
-      case None => fitAndPublish()
+        fitAndPublish(replaceStale = true)
+      case None =>
+        // an occupied-but-unreadable store must be REPLACED, not
+        // treated as a cold slot (see Dedup.pairsPersisted)
+        fitAndPublish(replaceStale =
+          fs.exists(new org.apache.hadoop.fs.Path(path)))
     }
   }
 

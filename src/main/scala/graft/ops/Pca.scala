@@ -203,9 +203,10 @@ object Pca {
 
   def savePcaModel(m: PcaModel, spark: org.apache.spark.sql.SparkSession,
                    path: String, corpusFp: Long, planFp: Long,
-                   embCol: String, iters: Int): Unit = {
+                   embCol: String, iters: Int,
+                   replaceExisting: Boolean = true): Unit = {
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
-    StoreIO.publish(spark, path) { tmp =>
+    StoreIO.publish(spark, path, replaceExisting) { tmp =>
       m.components.indices
         .map(c => (c, m.components(c).toSeq, m.eigenvalues(c)))
         .toDF("component", "loading", "eigenvalue")
@@ -261,9 +262,10 @@ object Pca {
           col("emb_col"), col("k").cast("int"), col("iters").cast("int"),
           col("algo_version").cast("int"))
         .as[(Long, Long, String, Int, Int, Int)].head()).toOption
-    def fitAndPublish(): PcaModel = {
+    def fitAndPublish(replaceStale: Boolean): PcaModel = {
       val m = topComponents(df, embCol, k, iters)
-      savePcaModel(m, spark, path, corpusFp, planFp, embCol, iters)
+      savePcaModel(m, spark, path, corpusFp, planFp, embCol, iters,
+        replaceExisting = replaceStale)
       m
     }
     haveMeta() match {
@@ -273,8 +275,12 @@ object Pca {
       case Some(have) =>
         log.warn(s"topComponentsPersisted: store at $path is stale " +
           s"(have $have) — re-fitting and republishing")
-        fitAndPublish()
-      case None => fitAndPublish()
+        fitAndPublish(replaceStale = true)
+      case None =>
+        // an occupied-but-unreadable store must be REPLACED, not
+        // treated as a cold slot (see Dedup.pairsPersisted)
+        fitAndPublish(replaceStale =
+          fs.exists(new org.apache.hadoop.fs.Path(path)))
     }
   }
 

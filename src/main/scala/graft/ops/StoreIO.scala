@@ -51,38 +51,54 @@ object StoreIO {
     * sibling (`path.tmp-<nonce>`), which is then renamed over `path`.
     *
     * Concurrency contract (provable with local-FS rename semantics):
-    *  - a READER never observes partial state — the live path flips
-    *    from old-complete to new-complete in one metadata operation;
-    *  - a concurrent SECOND WRITER is a no-op — whichever rename lands
-    *    second fails (destination exists), and the loser deletes its
-    *    temp dir and returns `false` so the caller reloads the winner's
-    *    store and re-checks fingerprints (both writers derived the same
-    *    pure function, so the check passes).
+    *  - a READER never observes partial state — every transition of the
+    *    live path is a whole-directory rename, so it flips between
+    *    complete stores in one metadata operation;
+    *  - with `replaceExisting = false` (the read-through COLD branch),
+    *    a concurrent second writer is a strict no-op: the plain rename
+    *    is attempted FIRST, whichever lands second fails (destination
+    *    exists), and the loser deletes its temp dir and returns `false`
+    *    so the caller reloads the winner's store and re-checks
+    *    fingerprints (both writers derived the same pure function, so
+    *    the check passes). Without this flag, a cold-race loser whose
+    *    existence check ran after the winner's rename would mistake the
+    *    winner's FRESH store for a stale one and swap it out — both
+    *    writers "winning" (the round-11 publish-race flake);
+    *  - with `replaceExisting = true` (the caller OBSERVED a stale
+    *    store, or an unconditional pipeline publish), a conflicting
+    *    live directory is renamed aside and the publish retried once —
+    *    the republish window presents a complete (old) store rather
+    *    than a hole, and the aside copy is deleted after the new store
+    *    lands.
     *
-    * When `path` already exists (stale-store republish) it is renamed
-    * aside first and deleted after the new store lands, so even the
-    * republish window presents a complete (old) store rather than a
-    * hole. Returns true when this writer's store is the one now live. */
-  def publish(spark: SparkSession, path: String)(write: String => Unit): Boolean = {
+    * Returns true when this writer's store is the one now live. */
+  def publish(spark: SparkSession, path: String,
+              replaceExisting: Boolean = true)(write: String => Unit): Boolean = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(s"$path.tmp-$nonce")
     write(tmp.toString)
-    // stale republish: move the old store aside (atomic) so the live
-    // path is free for the rename; readers that already resolved the
-    // old path keep a complete table under the .old name until cleanup
-    val old = new Path(s"$path.old-$nonce")
-    val hadOld = fs.exists(live) && atomicRename(fs, live, old)
-    val won = atomicRename(fs, tmp, live)
+    // fresh-slot attempt first: on a cold store this is the whole
+    // publish, and in a cold race it is what makes exactly one winner
+    var won = atomicRename(fs, tmp, live)
+    if (!won && replaceExisting) {
+      // stale republish: move the old store aside (atomic) so the live
+      // path is free; readers that already resolved the old path keep a
+      // complete table under the .old name until cleanup
+      val old = new Path(s"$path.old-$nonce")
+      if (atomicRename(fs, live, old)) {
+        won = atomicRename(fs, tmp, live)
+        if (!won) atomicRename(fs, old, live) // put the old store back
+        // only if the live path is still free (a winner filled it)
+        if (fs.exists(old)) fs.delete(old, true)
+      }
+    }
     if (!won) {
       log.warn(s"StoreIO.publish: lost the publish race for $path — " +
         "discarding this writer's temp store and deferring to the winner")
       fs.delete(tmp, true)
-      if (hadOld) atomicRename(fs, old, live) // put the old store back
-      // only if the live path is still free (a winner filled it → no-op)
     }
-    if (hadOld && fs.exists(old)) fs.delete(old, true)
     won
   }
 

@@ -108,7 +108,11 @@ class PairStoreSpec extends SparkSuite {
     // not semantics)
     val gate = new java.util.concurrent.CyclicBarrier(2)
     def writer(tag: Int): Boolean = {
-      StoreIO.publish(spark, path) { tmp =>
+      // cold-branch semantics (replaceExisting = false): the loser must
+      // NEVER displace the winner's fresh store — this is what makes
+      // the exactly-one assertion below sound even when the loser's
+      // rename runs arbitrarily late
+      StoreIO.publish(spark, path, replaceExisting = false) { tmp =>
         (1 to 100).toDS().toDF("v").write.parquet(s"$tmp/data")
         Seq(42).toDS().toDF("meta_v").write.parquet(s"$tmp/meta")
         gate.await(180, java.util.concurrent.TimeUnit.SECONDS)
