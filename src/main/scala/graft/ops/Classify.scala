@@ -395,4 +395,131 @@ object Classify {
             ($"__po" - $"__pe") / (lit(1.0) - $"__pe"))
           .otherwise(lit(0.0)), 9).as("kappa"))
   }
+
+  // ──────────────── persisted centroid-prediction store ────────────────
+  //
+  // The centroid-classifier predictions (q132's scoring half) are the
+  // surface's single most expensive repeated computation — engine-exact
+  // decimal dot products, N·d·|labels| arithmetic, ~12 s of every sf1
+  // sweep — yet a pure function of the embeddings corpus, read by an
+  // evaluation that never changes them. Same operational pattern as the
+  // pair/cluster/model stores ([[Dedup.pairsPersisted]]): derive once
+  // per corpus fingerprint, publish atomically, serve parquet scans.
+  //
+  // Layout under `path`:
+  //   path/predictions — (vec_id bigint, label, predicted) — label and
+  //                      predicted keep the corpus's own label type
+  //   path/meta        — ONE row (corpus_fp, plan_fp, algo_version)
+
+  /** Bump on any change to [[centroidPredictions]]' arithmetic: a store
+    * published by older code must re-derive, never serve stale scores. */
+  val PredictionsAlgoVersion = 1
+
+  /** Observable derivation count (spec hook): a warm store must load
+    * without incrementing this. */
+  private[graft] val predictionsComputeCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Centroid-classifier predictions: each embedding's predicted label
+    * is its cosine-nearest label centroid (per-dim decimal-rounded
+    * means), ties broken by label order. Every dot/norm sum rides 9 dp
+    * decimal accumulation, so the argmax is engine-exact and
+    * reduction-order-free — which is what makes derived and
+    * store-loaded predictions identical and lets the DuckDB oracle
+    * replay the arithmetic. The centroid frame (|labels| × dims)
+    * broadcasts; the big exchanges are the two vec-keyed aggregates.
+    * Output: (vec_id, label [truth], predicted). */
+  def centroidPredictions(emb: DataFrame): DataFrame = {
+    val e = emb.select($"vec_id", $"label",
+      posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
+    val cent = e.groupBy($"label".as("clabel"), $"dim")
+      .agg(round(sum($"v".cast("decimal(18,4)")).cast("double") /
+        count($"v"), 6).as("c"))
+    val cnorm = cent.groupBy($"clabel")
+      .agg(sum(round($"c" * $"c", 9).cast(D)).cast("double").as("c2"))
+    val vnorm = e.groupBy($"vec_id")
+      .agg(sum(round($"v" * $"v", 9).cast(D)).cast("double").as("v2"))
+    val dots = e.join(broadcast(cent), Seq("dim"))
+      .groupBy($"vec_id", $"clabel")
+      .agg(sum(round($"v" * $"c", 9).cast(D)).cast("double").as("dot"))
+    val scored = dots.join(vnorm, Seq("vec_id"))
+      .join(broadcast(cnorm), Seq("clabel"))
+      .withColumn("cos", $"dot" / sqrt($"v2" * $"c2"))
+    val pred = Windows.topNPerGroup(scored, Seq($"vec_id"),
+        Seq($"cos".desc, $"clabel"), 1)
+      .select($"vec_id", $"clabel".as("predicted"))
+    emb.select($"vec_id", $"label").join(pred, Seq("vec_id"))
+  }
+
+  /** Publish a prediction table: data + one-row staleness meta, via
+    * [[StoreIO.publish]] (atomic rename, race-safe). */
+  def savePredictions(pred: DataFrame, path: String,
+                      corpusFp: Long, planFp: Long,
+                      replaceExisting: Boolean = true): Boolean = {
+    val spark = pred.sparkSession
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    StoreIO.publish(spark, path, replaceExisting) { tmp =>
+      // label/predicted keep the corpus's own label type (int for the
+      // synthetic embeddings; a cast here would change the consumers'
+      // surface schema)
+      pred.select($"vec_id".cast("long"), $"label", $"predicted")
+        .write.mode("overwrite").parquet(s"$tmp/predictions")
+      Seq((corpusFp, planFp, PredictionsAlgoVersion))
+        .toDF("corpus_fp", "plan_fp", "algo_version")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** Load a published prediction table (no staleness check — the caller
+    * owns provenance; [[predictionsPersisted]] is the checked path). */
+  def loadPredictions(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    spark.read.parquet(s"$path/predictions")
+
+  /** The checked read-through for the prediction store: load if the meta
+    * matches `emb`'s corpus/plan fingerprints and [[PredictionsAlgoVersion]];
+    * else derive ([[centroidPredictions]]), publish atomically
+    * (race-safe: strict no-replace on the cold branch), and return a
+    * READ of the published parquet. */
+  def predictionsPersisted(emb: DataFrame, path: String): DataFrame = {
+    val spark = emb.sparkSession
+    val want = (Similarity.fileFingerprint(emb),
+      StoreIO.fp64(emb.queryExecution.analyzed.canonicalized.toString),
+      PredictionsAlgoVersion)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def haveMeta(): Option[(Long, Long, Int)] = {
+      import spark.implicits.newProductEncoder
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$path/predictions"))) None
+      else scala.util.Try(
+        spark.read.parquet(s"$path/meta")
+          .select($"corpus_fp".cast("long"), $"plan_fp".cast("long"),
+            $"algo_version".cast("int"))
+          .as[(Long, Long, Int)].head()).toOption
+    }
+    def computeAndPublish(replaceStale: Boolean): DataFrame = {
+      predictionsComputeCount.incrementAndGet()
+      savePredictions(centroidPredictions(emb), path, want._1, want._2,
+        replaceExisting = replaceStale)
+      if (!haveMeta().contains(want)) sys.error(
+        s"predictionsPersisted: store at $path does not match its own " +
+          s"publish (want $want) — concurrent writer with different inputs?")
+      loadPredictions(spark, path)
+    }
+    haveMeta() match {
+      case Some(have) if have == want =>
+        loadPredictions(spark, path)
+      case Some(have) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"predictionsPersisted: store at $path is stale " +
+            s"(have $have, want $want) — re-deriving and republishing")
+        computeAndPublish(replaceStale = true)
+      case None =>
+        // a truly cold slot gets the strict no-replace publish; an
+        // occupied-but-unreadable store must be REPLACED
+        computeAndPublish(replaceStale =
+          fs.exists(new org.apache.hadoop.fs.Path(path)))
+    }
+  }
 }

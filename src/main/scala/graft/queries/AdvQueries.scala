@@ -441,17 +441,42 @@ object AdvQueries {
       .orderBy($"event_id")
   }
 
-  /** Token-count decile profile of the corpus (global ntile). NOTE: an
-    * unpartitioned ntile is a single-partition window — fine for a
-    * corpus-profile report; the 100 TB path computes approx decile
-    * boundaries (q38's sketch machinery) and buckets map-side with
-    * width_bucket instead. */
+  /** Token-count decile profile of the corpus. Deciles are EXACT
+    * NEAREST-RANK BOUNDARIES from the integer token-count histogram
+    * (the q211 technique): boundary bᵢ = the value at ascending rank
+    * ⌈i·N/10⌉ (integer arithmetic, (i·N+9) div 10), bucket(v) =
+    * 1 + #{i : v > bᵢ}. Tie convention shared with the oracle: all
+    * documents with the same token count land in the SAME decile (a
+    * value equal to bᵢ belongs to bucket ≤ i), so a heavily-tied value
+    * can leave later deciles empty — the profile reports realized
+    * buckets. This replaces the round-≤11 global ntile, whose
+    * unpartitioned sort over the full per-document frame is a
+    * straggler by construction at 100 TB; the histogram window here
+    * runs over the token-count VALUE domain only (bounded however
+    * large the corpus), and bucketing is a map-side comparison against
+    * 9 broadcast boundaries. */
   private val q56: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
+    val toks = Tables.documents(s, d)
       .select($"doc_id", graft.ops.Text.tokenCount($"text").as("n_tokens"))
-      .withColumn("decile", ntile(10).over(
-        org.apache.spark.sql.expressions.Window.orderBy($"n_tokens", $"doc_id")).cast("int"))
+      .transform(graft.ops.Staged(_))
+    val hist = toks.groupBy($"n_tokens".as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val cum = hist
+      .withColumn("cum", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v")))
+      .crossJoin(broadcast(hist.agg(sum($"c").cast("long").as("n"))))
+    // Spark's `/` on integers is DOUBLE division; floor+cast recovers the
+    // exact ⌈i·N/10⌉ = (i·N+9) div 10 (exact in IEEE up to 2^52),
+    // matching DuckDB's `//`
+    val bs = (1 to 9).map(i =>
+      min(when($"cum" >= floor((lit(i) * $"n" + 9) / 10).cast("long"), $"v"))
+        .as(s"b$i"))
+    val bounds = cum.agg(bs.head, bs.tail: _*)
+    val bucket = (1 to 9).map(i => ($"n_tokens" > col(s"b$i")).cast("int"))
+      .reduce(_ + _) + 1
+    toks.crossJoin(broadcast(bounds))
+      .select($"doc_id", $"n_tokens", bucket.cast("int").as("decile"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_docs"),
         min($"n_tokens").as("min_tokens"), max($"n_tokens").as("max_tokens"))
@@ -862,16 +887,43 @@ object AdvQueries {
         |  END AS z_value
         |FROM events e LEFT JOIN st USING (event_type)
         |ORDER BY event_id""".stripMargin,
+    // exact nearest-rank decile boundaries from the integer token-count
+    // histogram; tie convention: value == boundary bᵢ → bucket ≤ i
+    // (identical integer arithmetic on both engines — see the Spark
+    // side's Scaladoc)
     "q56_token_deciles" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
         |  FROM documents),
-        |b AS (SELECT n_tokens,
-        |    CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS decile
-        |  FROM t)
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |h AS (SELECT n_tokens AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1),
+        |cm AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        |b AS (SELECT
+        |    min(CASE WHEN cum >= (1*n+9)//10 THEN v END) AS b1,
+        |    min(CASE WHEN cum >= (2*n+9)//10 THEN v END) AS b2,
+        |    min(CASE WHEN cum >= (3*n+9)//10 THEN v END) AS b3,
+        |    min(CASE WHEN cum >= (4*n+9)//10 THEN v END) AS b4,
+        |    min(CASE WHEN cum >= (5*n+9)//10 THEN v END) AS b5,
+        |    min(CASE WHEN cum >= (6*n+9)//10 THEN v END) AS b6,
+        |    min(CASE WHEN cum >= (7*n+9)//10 THEN v END) AS b7,
+        |    min(CASE WHEN cum >= (8*n+9)//10 THEN v END) AS b8,
+        |    min(CASE WHEN cum >= (9*n+9)//10 THEN v END) AS b9
+        |  FROM cm CROSS JOIN n),
+        |d AS (SELECT doc_id, n_tokens,
+        |    CAST(1 + CAST(n_tokens > b1 AS INTEGER)
+        |      + CAST(n_tokens > b2 AS INTEGER)
+        |      + CAST(n_tokens > b3 AS INTEGER)
+        |      + CAST(n_tokens > b4 AS INTEGER)
+        |      + CAST(n_tokens > b5 AS INTEGER)
+        |      + CAST(n_tokens > b6 AS INTEGER)
+        |      + CAST(n_tokens > b7 AS INTEGER)
+        |      + CAST(n_tokens > b8 AS INTEGER)
+        |      + CAST(n_tokens > b9 AS INTEGER) AS INTEGER) AS decile
+        |  FROM t CROSS JOIN b)
         |SELECT decile, count(*) AS n_docs,
         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
-        |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "q40_bpeish_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,

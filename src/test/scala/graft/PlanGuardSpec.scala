@@ -31,7 +31,8 @@ class PlanGuardSpec extends SparkSuite {
     "q91_curation_v2",     // same 1-row totals join inside its DSIR gate
     "q92_bigram_logprob",  // token frame × broadcast(1-row corpus total)
     "q95_temperature_mix", // taxonomy counts × broadcast(1-row totals)
-    "q97_ppl_buckets",     // q92's scoring shape under the ntile
+    "q56_token_deciles",   // doc scan × broadcast(1-row decile bounds)
+    "q97_ppl_buckets",     // q92's scoring shape × broadcast(1-row tercile bounds)
     "q98_ppl_buckets_scaled", // scores × broadcast(1-row tercile bounds)
     "q109_token_drift",    // vocab frame × broadcast(1-row totals)
     "q111_ann_recall",     // q27's brute-force ground truth inside the recall eval
@@ -113,16 +114,14 @@ class PlanGuardSpec extends SparkSuite {
   }
 
   /** Queries whose UNPARTITIONED SORT-WINDOW over a non-aggregate frame
-    * is audited: a corpus-profile report with a documented 100 TB path
-    * (approx/histogram boundaries + map-side bucketing) in its Scaladoc.
-    * Everything else must keep global sort-windows off per-row frames —
-    * an unpartitioned Window with an orderSpec is a SINGLE-PARTITION
-    * SORT of its whole input, the straggler-by-construction shape
-    * (the round-10 q211 finding; q211 now buckets via exact
-    * nearest-rank histogram boundaries instead). */
-  private val allowGlobalSortWindow = Set(
-    "q56_token_deciles", // global ntile profile; scale path documented (AdvQueries q56)
-    "q97_ppl_buckets")   // exact global ntile; q98 IS the documented scale path
+    * is audited. EMPTY since round 12: the last two entries
+    * (q56_token_deciles, q97_ppl_buckets) were rewritten onto exact
+    * nearest-rank histogram boundaries (the q211 technique), so every
+    * global sort-window left in the surface runs over a collapsed
+    * (aggregate/top-k) frame — an unpartitioned Window with an orderSpec
+    * over a per-row frame is a SINGLE-PARTITION SORT of its whole input,
+    * the straggler-by-construction shape, and is now banned outright. */
+  private val allowGlobalSortWindow = Set.empty[String]
 
   test("no unpartitioned sort-window over an unbounded per-row frame") {
     import org.apache.spark.sql.execution.window.WindowExec
