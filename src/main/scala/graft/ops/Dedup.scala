@@ -1368,10 +1368,16 @@ object Dedup {
 
   /** Publish a scored-pair table: data + one-row staleness meta, via
     * [[StoreIO.publish]] (atomic rename — readers never see partial
-    * state; a concurrent second writer is a no-op). */
+    * state; a concurrent second writer is a no-op). `route` records
+    * WHICH derivation produced the pairs (prefix/direct = exact,
+    * capped = df-capped approximate semantics past the router's Σdf²
+    * budget) — consumers that need EXACT truth (the q207/q240 LSH
+    * evals) must check it via [[loadPairsRoute]] before trusting the
+    * store as ground truth. */
   def savePairs(pairs: DataFrame, path: String,
                 corpusFp: Long, planFp: Long,
                 n: Int, threshold: Double,
+                route: String = "unknown",
                 replaceExisting: Boolean = true): Boolean = {
     val spark = pairs.sparkSession
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
@@ -1379,11 +1385,25 @@ object Dedup {
       pairs.select($"doc_a".cast("long"), $"doc_b".cast("long"),
           $"jaccard".cast("double"))
         .write.mode("overwrite").parquet(s"$tmp/pairs")
-      Seq((corpusFp, planFp, n, threshold, PairsAlgoVersion))
-        .toDF("corpus_fp", "plan_fp", "n", "threshold", "algo_version")
+      Seq((corpusFp, planFp, n, threshold, PairsAlgoVersion, route))
+        .toDF("corpus_fp", "plan_fp", "n", "threshold", "algo_version", "route")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     }
   }
+
+  /** The derivation route recorded in a published pair store's meta:
+    * Some("prefix"/"direct") = exact pairs, Some("capped") = df-capped
+    * approximate semantics (the store UNDERCOUNTS pairs whose shingles
+    * were all stop-capped), None = a pre-route-column store or no store.
+    * Exact-truth consumers treat anything but prefix/direct as "derive
+    * your own truth on your bounded slice". */
+  def loadPairsRoute(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Option[String] =
+    scala.util.Try {
+      import spark.implicits.newStringEncoder
+      spark.read.parquet(s"$path/meta").select($"route".cast("string"))
+        .as[String].head()
+    }.toOption
 
   /** Load a published pair table (no staleness check — the caller owns
     * provenance; [[pairsPersisted]] is the checked path). */
@@ -1419,10 +1439,14 @@ object Dedup {
       pairComputeCount.incrementAndGet()
       val scored = ngramJaccardPairsAuto(docs, idCol, textCol, n = n,
         threshold = threshold)
+      // the route the derivation takes (memoized — ngramJaccardPairsAuto
+      // just paid the same decision), recorded in the meta so exact-truth
+      // consumers can tell a capped store from an exact one
+      val route = jaccardAutoRoute(docs, idCol, textCol, n = n)
       // cold branch: never displace a concurrent winner's fresh store
       // (exactly-one-winner publish); stale branch: replace the store
       // this caller OBSERVED to be stale
-      savePairs(scored, path, want._1, want._2, n, threshold,
+      savePairs(scored, path, want._1, want._2, n, threshold, route,
         replaceExisting = replaceStale)
       // whether this writer won or lost the publish race, the live store
       // now holds the same pure function of the same inputs — verified:

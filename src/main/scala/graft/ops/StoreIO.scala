@@ -66,10 +66,17 @@ object StoreIO {
     *    writers "winning" (the round-11 publish-race flake);
     *  - with `replaceExisting = true` (the caller OBSERVED a stale
     *    store, or an unconditional pipeline publish), a conflicting
-    *    live directory is renamed aside and the publish retried once —
-    *    the republish window presents a complete (old) store rather
-    *    than a hole, and the aside copy is deleted after the new store
-    *    lands.
+    *    live directory is renamed aside and the publish retried once.
+    *    CAVEAT (not a full guarantee): between the aside-rename and the
+    *    fresh rename the live path briefly does not exist, so a
+    *    concurrent reader's existence check in that window sees a cold
+    *    slot and pays a spurious (correct, just redundant) re-derivation;
+    *    a reader that already RESOLVED the old directory's files keeps
+    *    reading them under the `.old-<nonce>` name — which is why the
+    *    aside copy is NOT deleted inline: it ages out via
+    *    [[sweepOrphans]] (next publish at this path, or
+    *    `graft.tools.StoreGc`) after [[OrphanGraceMs]], long past any
+    *    in-flight scan.
     *
     * Returns true when this writer's store is the one now live. */
   def publish(spark: SparkSession, path: String,
@@ -85,13 +92,14 @@ object StoreIO {
     if (!won && replaceExisting) {
       // stale republish: move the old store aside (atomic) so the live
       // path is free; readers that already resolved the old path keep a
-      // complete table under the .old name until cleanup
+      // complete table under the .old name until the GRACE-AGED sweep
+      // below (never an inline delete — an in-flight scan of the old
+      // files must be able to finish)
       val old = new Path(s"$path.old-$nonce")
       if (atomicRename(fs, live, old)) {
         won = atomicRename(fs, tmp, live)
         if (!won) atomicRename(fs, old, live) // put the old store back
         // only if the live path is still free (a winner filled it)
-        if (fs.exists(old)) fs.delete(old, true)
       }
     }
     if (!won) {
@@ -99,7 +107,49 @@ object StoreIO {
         "discarding this writer's temp store and deferring to the winner")
       fs.delete(tmp, true)
     }
+    // deferred lifecycle: sweep THIS path's aged `.old-*` / `.tmp-*`
+    // siblings (previous republishes' aside copies, crashed writers'
+    // temp dirs). Grace-aged so in-flight readers of a just-replaced
+    // store finish; a crash before this line leaves orphans that the
+    // next publish — or tools.StoreGc — removes.
+    sweepOrphans(fs, path)
     won
+  }
+
+  /** Age after which an orphaned `.old-<nonce>` / `.tmp-<nonce>` sibling
+    * of a store path is eligible for removal (15 min — orders of
+    * magnitude past any single store scan; override for tests via
+    * [[sweepOrphans]]' `graceMs`). */
+  val OrphanGraceMs: Long = 15L * 60 * 1000
+
+  /** Remove AGED orphan siblings of `path`: directories named
+    * `<store>.old-*` (aside copies from stale republishes) or
+    * `<store>.tmp-*` (crashed writers — a clean loser deletes its own).
+    * Age = the directory's own modification time vs now; younger
+    * orphans are left for in-flight readers. Returns the paths removed.
+    * Never touches the live store or other stores' directories. */
+  def sweepOrphans(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                   graceMs: Long = OrphanGraceMs): Seq[String] = {
+    val live = new Path(path)
+    val parent = live.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val prefixes = Seq(s"${live.getName}.old-", s"${live.getName}.tmp-")
+    val now = System.currentTimeMillis()
+    try {
+      fs.listStatus(parent).toSeq
+        .filter(st => prefixes.exists(st.getPath.getName.startsWith))
+        .filter(st => now - st.getModificationTime > graceMs)
+        .map { st =>
+          log.info(s"StoreIO.sweepOrphans: removing aged orphan ${st.getPath}")
+          fs.delete(st.getPath, true)
+          st.getPath.toString
+        }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"StoreIO.sweepOrphans: sweep under $parent failed " +
+          s"(${e.getMessage}) — orphans left for the next publish/StoreGc")
+        Nil
+    }
   }
 
   /** Directory rename with FAIL-if-destination-exists semantics on every

@@ -61,7 +61,7 @@ import org.apache.spark.sql.types._
   * absorbed deltas and superseded generations; run it with a grace period
   * after compaction, exactly like log-structured table formats do.
   */
-private[pipeline] object SignatureStore {
+private[graft] object SignatureStore {
 
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

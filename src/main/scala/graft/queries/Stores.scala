@@ -118,6 +118,33 @@ object Stores {
     Dedup.pairsPersisted(Tables.documents(s, d), "doc_id", "text",
       pairStorePath(d), n = 3, threshold = 0.3)
 
+  /** GUARANTEED-EXACT θ=0.3 pairs with both endpoints below `maxDocId`
+    * — the ground-truth feed of the LSH evaluations (q207/q240). Reads
+    * the persisted store when its recorded derivation route is exact
+    * (prefix/direct); when the router took the df-capped route (a
+    * corpus past the Σdf² budget — the store then UNDERCOUNTS pairs and
+    * would silently inflate eval recall), or the route is unrecorded
+    * (pre-route-column store), the slice's truth is re-derived EXACTLY
+    * on the slice itself — bounded cost at any corpus size (the slice
+    * is an eval-sized id prefix), which is precisely why slice-truth
+    * evals stay affordable when full-corpus exact truth is not. */
+  def docPairsExactSlice(s: SparkSession, d: String,
+                         maxDocId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val stored = docPairs(s, d) // ensures the store exists + is fresh
+      .where(col("doc_a") < maxDocId && col("doc_b") < maxDocId)
+    Dedup.loadPairsRoute(s, pairStorePath(d)) match {
+      case Some("prefix") | Some("direct") => stored
+      case other =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"docPairsExactSlice: pair store route is $other (not exact) — " +
+            s"re-deriving exact truth on the doc_id < $maxDocId slice")
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).where(col("doc_id") < maxDocId),
+          "doc_id", "text", n = 3, threshold = 0.3)
+    }
+  }
+
   /** The canonical top-2 PCA model of `d`'s embeddings (the q137 fit) —
     * loaded from the published store or fitted + published on first
     * touch. Deterministic: decimal-exact power iteration, so loaded and

@@ -55,12 +55,14 @@ object Wave24Queries {
   private val q207: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).where($"doc_id" < 2000)
-    // exact ground truth from the persisted θ=0.3 pair store (Jaccard is
-    // pairwise, so the slice's truth = store rows with both endpoints in
-    // the slice and jaccard ≥ 0.5) — the scorecard never re-pays the
-    // inverted-index pass
-    val exact = Stores.docPairs(s, d)
-      .where($"jaccard" >= 0.5 && $"doc_a" < 2000 && $"doc_b" < 2000)
+    // GUARANTEED-exact ground truth: the persisted θ=0.3 pair store when
+    // its recorded route is exact (Jaccard is pairwise, so the slice's
+    // truth = store rows with both endpoints in the slice), else exact
+    // re-derivation on the bounded slice — a df-capped store would
+    // silently truncate the truth and inflate this eval's recall
+    // ([[Stores.docPairsExactSlice]])
+    val exact = Stores.docPairsExactSlice(s, d, maxDocId = 2000)
+      .where($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", lit(1L).as("__e"))
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
       k = 64, bands = 16, minEstJaccard = 0.5)

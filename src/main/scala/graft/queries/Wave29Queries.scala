@@ -148,20 +148,35 @@ object Wave29Queries {
     * total-order deterministic). The marginal-novelty table a curation
     * team reads before adding the next crawl source: a source whose
     * shingles are all first-seen elsewhere adds volume, not coverage.
-    * Inverted-index shape — one shingle-keyed exchange, then
-    * source-cardinality rollups. */
+    *
+    * ONE shingle-keyed exchange computes BOTH halves of the report: per
+    * shingle, the min (doc_id, source) struct (first emitter) and the
+    * collect_set of sources (≤ |sources| entries — the taxonomy bound,
+    * not a doc bound), exploded into per-source distinct-shingle counts.
+    * The round-≤11 plan paid a SECOND full shingle exchange (a distinct
+    * over (source, shingle)) for the denominator — at 10× the corpus
+    * that second shuffle was the decade-curve tail (3.41×, the steepest
+    * in the surface); halving the shuffled volume is the fix exactness
+    * allows (the counts themselves cannot be capped without changing
+    * the report's semantics — a df-cap would undercount both
+    * numerator and denominator of novelty_ratio). Map-side partial
+    * aggregation collapses each partition's duplicate shingles before
+    * the exchange, so shuffled rows track DISTINCT shingles per
+    * partition, not corpus token volume. */
   private val q226: Q = (s, d) => {
     import s.implicits._
     val sh = Tables.documents(s, d)
       .select($"doc_id", $"source",
         explode(array_distinct(Text.shingles($"text", 3))).as("sh"))
-    val perSource = sh.select($"source", $"sh").distinct()
-      .groupBy($"source")
+    val perShingle = sh.groupBy($"sh")
+      .agg(min(struct($"doc_id", $"source")).as("f"),
+        collect_set($"source").as("srcs"))
+      .select($"f.source".as("first_source"), explode($"srcs").as("source"))
+      .transform(graft.ops.Staged(_))
+    val perSource = perShingle.groupBy($"source")
       .agg(count(lit(1)).cast("long").as("n_distinct_shingles"))
-    // min over (doc_id, source) structs = the unique lowest-id emitter
-    val firstSeen = sh.groupBy($"sh")
-      .agg(min(struct($"doc_id", $"source")).as("f"))
-      .groupBy($"f.source".as("source"))
+    val firstSeen = perShingle.where($"first_source" === $"source")
+      .groupBy($"source")
       .agg(count(lit(1)).cast("long").as("n_first_seen"))
     perSource.join(firstSeen, Seq("source"), "left")
       .select($"source", $"n_distinct_shingles",

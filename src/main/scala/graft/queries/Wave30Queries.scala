@@ -182,7 +182,21 @@ object Wave30Queries {
   private val q236: Q = (s, d) => {
     import s.implicits._
     val rate = when($"lang" === "en", 100L).otherwise(300L) // permille
-    val h = pmod($"doc_id" * 2654435761L, lit(4294967296L))
+    // Knuth multiplicative hash mod 2^32 in OVERFLOW-SAFE two-step
+    // modular arithmetic: the naive doc_id * 2654435761 wraps silently
+    // in Spark at doc_id ≳ 3.47e9 while DuckDB raises on BIGINT overflow
+    // — the two engines would diverge exactly at the corpus sizes this
+    // sampling audit targets. Split the low 32 bits of doc_id into
+    // 16-bit halves so every intermediate stays < 2^49: h ≡
+    // ((hi·K mod 2^32)·2^16 + lo·K) mod 2^32 = (doc_id·K) mod 2^32.
+    // floor(x / 65536) is exact (x < 2^32 is an exact double; dividing
+    // by a power of two is exact in IEEE). Identical arithmetic in the
+    // oracle; for doc_id < 2^32 the value equals the naive formula, so
+    // fixture results are unchanged.
+    val x = pmod($"doc_id".cast("long"), lit(4294967296L))
+    val hiT = pmod(floor(x / 65536).cast("long") * 2654435761L, lit(4294967296L))
+    val h = pmod(hiT * 65536L + pmod(x, lit(65536L)) * 2654435761L,
+      lit(4294967296L))
     val sampled = (pmod(h, lit(1000L)) < rate).as("in_sample")
     Tables.documents(s, d)
       .select($"lang", $"n_chars", sampled)
@@ -298,11 +312,17 @@ object Wave30Queries {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1, 2
         |ORDER BY p_brand, size_bucket""".stripMargin,
+    // overflow-safe two-step Knuth hash, identical to the Spark side
+    // (see q236's Scaladoc): every intermediate < 2^49, so neither
+    // engine wraps or raises at any doc_id
     "q236_sample_audit" ->
-      """WITH s AS (SELECT lang, n_chars,
-        |    (doc_id * 2654435761) % 4294967296 % 1000 <
+      """WITH x AS (SELECT lang, n_chars,
+        |    doc_id % 4294967296 AS x FROM documents),
+        |s AS (SELECT lang, n_chars,
+        |    ((x // 65536 * 2654435761 % 4294967296) * 65536
+        |      + x % 65536 * 2654435761) % 4294967296 % 1000 <
         |      (CASE WHEN lang = 'en' THEN 100 ELSE 300 END) AS in_sample
-        |  FROM documents)
+        |  FROM x)
         |SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_pop,
         |  CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)

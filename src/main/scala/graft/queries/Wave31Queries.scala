@@ -128,8 +128,9 @@ object Wave31Queries {
     import s.implicits._
     val docs = Tables.documents(s, d).where($"doc_id" < 2000)
       .transform(graft.ops.Staged(_))
-    val exact = Stores.docPairs(s, d)
-      .where($"jaccard" >= 0.5 && $"doc_a" < 2000 && $"doc_b" < 2000)
+    // guaranteed-exact slice truth (capped-store guard) — see q207
+    val exact = Stores.docPairsExactSlice(s, d, maxDocId = 2000)
+      .where($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", lit(1L).as("__e"))
       .transform(graft.ops.Staged(_))
     Seq(8, 16, 32).map { bands =>

@@ -89,14 +89,19 @@ object BudgetSoak {
     // per source. The staging files ARE the slices, so read them back
     // with the file-membership column rather than re-deriving pmod —
     // input_file_name() maps each row to its slice's position in the
-    // admission order (files were mtime-spaced in name order).
+    // admission order (files were mtime-spaced in name order). The
+    // filename → slice-ordinal map rides a broadcast equi-join against a
+    // listing-sized frame, keeping the no-ScalaUDF invariant absolute
+    // (built-ins only; a udf here was the last one in the repo).
     val sliceOrder = new java.io.File(staging).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
-      .zipWithIndex.toMap
-    val sliceIdx = udf((f: String) => sliceOrder(f.substring(f.lastIndexOf('/') + 1)))
+      .zipWithIndex.toSeq
+    val sliceFrame = broadcast(sliceOrder.toDF("__file", "slice"))
     val arr = BudgetAdmission.arrivals(
         spark.read.parquet(staging), "doc_id", "text", "source", seed)
-      .withColumn("slice", sliceIdx(input_file_name()))
+      .withColumn("__file", substring_index(input_file_name(), "/", -1))
+      .join(sliceFrame, Seq("__file"))
+      .drop("__file")
     val w = Window.partitionBy($"source")
       .orderBy($"slice", $"ord", $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

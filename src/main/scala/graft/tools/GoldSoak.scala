@@ -52,13 +52,21 @@ object GoldSoak {
     val duration = args.lift(2).map(_.toInt).getOrElse(5000)
     val fpt = args.lift(3).map(_.toInt).getOrElse(40)
     val spark = session()
-    val (_, _) = run(spark, work, rate, duration, fpt)
+    val (equal, _) = run(spark, work, rate, duration, fpt)
     spark.stop()
+    // the standalone soak still fails loudly on divergence — but only
+    // AFTER the artifact is written (run() itself never throws on the
+    // equality check, so gates composing it always get a machine-readable
+    // equal_output:false record instead of a crash-with-no-artifact)
+    if (!equal) sys.error(
+      s"gold outputs differ between state-store providers — see $work/gold_soak.json")
   }
 
   /** The dual-provider drain + equivalence check; returns
     * (equalOutputs, jsonDoc) and writes `<work>/gold_soak.json`.
-    * Throws when the providers' gold outputs differ. */
+    * NEVER throws on divergence — the caller (StreamingGate, main)
+    * decides how to surface `equal = false`; the one failure mode the
+    * check exists to catch must still produce an artifact. */
   def run(spark: SparkSession, work: String, rate: Int, duration: Int,
           fpt: Int): (Boolean, String) = {
     new java.io.File(work).mkdirs()
@@ -160,8 +168,9 @@ object GoldSoak {
     val w = new java.io.FileWriter(s"$work/gold_soak.json")
     try w.write(doc + "\n") finally w.close()
     println(doc)
-    require(equal, "gold outputs differ between state-store providers — " +
-      s"hdfs ${h._2}/${h._3} vs rocksdb ${r._2}/${r._3}")
+    if (!equal)
+      System.err.println("[gold-soak] PROVIDER DIVERGENCE: " +
+        s"hdfs ${h._2}/${h._3} vs rocksdb ${r._2}/${r._3} — artifact written")
     (equal, doc)
   }
 }

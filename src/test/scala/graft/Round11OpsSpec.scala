@@ -110,13 +110,24 @@ class Round11OpsSpec extends SparkSuite {
     }
   }
 
-  test("deterministic stratified sample: exact membership, stable across runs") {
-    val ids = Seq.fill(2000)(math.abs(rng.nextLong()) % 1000000L).distinct
+  test("deterministic stratified sample: exact membership, stable across runs, no overflow") {
+    // include ids ABOVE the naive formula's silent-overflow threshold
+    // (doc_id ≳ 3.47e9, where doc_id * 2654435761 wraps a Long): the
+    // round-12 two-step arithmetic must equal the TRUE (doc_id·K) mod
+    // 2^32 — computed via BigInt here — at every magnitude
+    val ids = (Seq.fill(2000)(math.abs(rng.nextLong()) % 1000000L) ++
+      Seq.fill(500)(math.abs(rng.nextLong()))).distinct
     val df = ids.toDF("doc_id")
-    val h = pmod($"doc_id" * 2654435761L, lit(4294967296L))
+    // the q236 two-step modular hash (every intermediate < 2^49)
+    val x = pmod($"doc_id", lit(4294967296L))
+    val hiT = pmod(floor(x / 65536).cast("long") * 2654435761L, lit(4294967296L))
+    val h = pmod(hiT * 65536L + pmod(x, lit(65536L)) * 2654435761L,
+      lit(4294967296L))
     val got = df.where(pmod(h, lit(1000L)) < 100L)
       .collect().map(_.getLong(0)).toSet
-    val want = ids.filter(id => ((id * 2654435761L) % 4294967296L) % 1000L < 100L).toSet
+    val want = ids.filter { id =>
+      ((BigInt(id) * BigInt(2654435761L)) % BigInt(4294967296L)) % 1000 < 100
+    }.toSet
     assert(got == want, "hash-sample membership diverges from the reference arithmetic")
     // rerun: identical (determinism — no RNG, no partitioning sensitivity)
     val again = df.repartition(7).where(pmod(h, lit(1000L)) < 100L)
