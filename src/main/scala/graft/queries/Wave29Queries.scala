@@ -149,34 +149,34 @@ object Wave29Queries {
     * team reads before adding the next crawl source: a source whose
     * shingles are all first-seen elsewhere adds volume, not coverage.
     *
-    * ONE shingle-keyed exchange computes BOTH halves of the report: per
-    * shingle, the min (doc_id, source) struct (first emitter) and the
-    * collect_set of sources (≤ |sources| entries — the taxonomy bound,
-    * not a doc bound), exploded into per-source distinct-shingle counts.
-    * The round-≤11 plan paid a SECOND full shingle exchange (a distinct
-    * over (source, shingle)) for the denominator — at 10× the corpus
-    * that second shuffle was the decade-curve tail (3.41×, the steepest
-    * in the surface); halving the shuffled volume is the fix exactness
-    * allows (the counts themselves cannot be capped without changing
-    * the report's semantics — a df-cap would undercount both
-    * numerator and denominator of novelty_ratio). Map-side partial
-    * aggregation collapses each partition's duplicate shingles before
-    * the exchange, so shuffled rows track DISTINCT shingles per
-    * partition, not corpus token volume. */
+    * ONE raw-posting exchange serves BOTH halves of the report: the
+    * postings collapse to distinct (shingle, source) with the per-source
+    * min doc_id in a single keyed aggregate (codegen'd hash agg, map-side
+    * partials — shuffled rows track distinct shingles per partition, not
+    * corpus token volume), and both the per-source denominator and the
+    * first-emitter attribution (min over the per-source minima ≡ min
+    * over all rows, since doc ids are unique) are aggregates over that
+    * COLLAPSED frame. The round-≤11 plan paid TWO full posting
+    * exchanges (a (source, shingle) distinct AND a shingle-keyed
+    * min-struct) — at 10× the corpus that second shuffle made this the
+    * decade-curve tail (3.41×, the steepest in the surface). The counts
+    * themselves cannot be df-capped without changing the report's
+    * semantics: a cap would undercount both the numerator and the
+    * denominator of novelty_ratio, so halving the shuffled volume is
+    * the fix exactness allows. */
   private val q226: Q = (s, d) => {
     import s.implicits._
     val sh = Tables.documents(s, d)
       .select($"doc_id", $"source",
         explode(array_distinct(Text.shingles($"text", 3))).as("sh"))
-    val perShingle = sh.groupBy($"sh")
-      .agg(min(struct($"doc_id", $"source")).as("f"),
-        collect_set($"source").as("srcs"))
-      .select($"f.source".as("first_source"), explode($"srcs").as("source"))
+    val perPair = sh.groupBy($"sh", $"source")
+      .agg(min($"doc_id").as("min_doc"))
       .transform(graft.ops.Staged(_))
-    val perSource = perShingle.groupBy($"source")
+    val perSource = perPair.groupBy($"source")
       .agg(count(lit(1)).cast("long").as("n_distinct_shingles"))
-    val firstSeen = perShingle.where($"first_source" === $"source")
-      .groupBy($"source")
+    val firstSeen = perPair.groupBy($"sh")
+      .agg(min(struct($"min_doc", $"source")).as("f"))
+      .groupBy($"f.source".as("source"))
       .agg(count(lit(1)).cast("long").as("n_first_seen"))
     perSource.join(firstSeen, Seq("source"), "left")
       .select($"source", $"n_distinct_shingles",
