@@ -46,7 +46,8 @@ object SparkEntry {
       graft.queries.Wave25Queries.queries ++ graft.queries.Wave26Queries.queries ++
       graft.queries.Wave27Queries.queries ++ graft.queries.Wave28Queries.queries ++
       graft.queries.Wave29Queries.queries ++ graft.queries.Wave30Queries.queries ++
-      graft.queries.Wave31Queries.queries ++ graft.queries.Wave32Queries.queries
+      graft.queries.Wave31Queries.queries ++ graft.queries.Wave32Queries.queries ++
+      graft.queries.Wave33Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
       graft.queries.Wave25Queries.oracle ++ graft.queries.Wave26Queries.oracle ++
       graft.queries.Wave27Queries.oracle ++ graft.queries.Wave28Queries.oracle ++
       graft.queries.Wave29Queries.oracle ++ graft.queries.Wave30Queries.oracle ++
-      graft.queries.Wave31Queries.oracle ++ graft.queries.Wave32Queries.oracle
+      graft.queries.Wave31Queries.oracle ++ graft.queries.Wave32Queries.oracle ++
+      graft.queries.Wave33Queries.oracle
 }
