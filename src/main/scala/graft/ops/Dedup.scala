@@ -457,6 +457,214 @@ object Dedup {
   }
 
 
+  /** PREFIX-FILTERED directed shingle-CONTAINMENT pairs:
+    * containment(A ⊂ B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ t over distinct
+    * n-gram sets — the doc-swallowed-by-doc duplication signal symmetric
+    * Jaccard misses (a paragraph pasted into a 100× larger page scores
+    * J ≈ |A|/|B| ≈ 0 but containment ≈ 1), which is also why it cannot
+    * be a filter over the persisted Jaccard pair store.
+    *
+    * The naive posting self-join has NO threshold to prune with (every
+    * pair sharing any shingle is a candidate — measured 178 s at sf1,
+    * the one all-pairs-shaped plan the whole library exists to avoid).
+    * The prefix filter is the asymmetric PPJoin bound: a qualifying A
+    * misses at most ⌊(1−t)·|A|⌋ of its own shingles inside B, so with
+    * shingles globally ordered by rarity (df, then value) B must contain
+    * one of A's first |A| − ⌈t·|A|⌉ + 1 shingles. Candidates therefore
+    * come from joining A-PREFIXES (≈ (1−t)·|A| rare shingles at t=0.9)
+    * against full postings, with the one-sided length bound
+    * |B| ≥ t·|A| (all matched shingles live in B) — then the exact
+    * intersection is recomputed for survivors only. Lossless: results
+    * identical to the direct join (asserted in Wave33Spec); the ε-slack
+    * only ADMITS candidates, the final exact filter decides.
+    *
+    * Output: one row per DIRECTED pair (inner_id, outer_id,
+    * containment), containment rounded to 9 dp before the ≥ t filter
+    * (engine-portable — the oracle applies the identical round). */
+  def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sh0, sizes) = shingleIndex(df, idCol, textCol, n)
+    val sh = Staged(sh0) // three consumers: ranking, candidate join, verify
+    val eps = 1e-9
+    val shDf = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(shDf, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc").orderBy($"df", $"sh")))
+      .join(sizes, "doc")
+      .where($"pos" <= $"n_sh" - ceil(lit(threshold) * $"n_sh" - eps) + 1)
+      .select($"doc".as("inner_id"), $"n_sh".as("n_inner"), $"sh")
+    val full = sh.join(sizes, "doc")
+      .select($"doc".as("outer_id"), $"n_sh".as("n_outer"), $"sh")
+    val cand = prefix.join(full, Seq("sh"))
+      .where($"inner_id" =!= $"outer_id" &&
+        $"n_outer" >= lit(threshold) * $"n_inner" - eps)
+      .select($"inner_id", $"outer_id", $"n_inner")
+      .distinct()
+    cand
+      .join(sh.select($"doc".as("inner_id"), $"sh"), Seq("inner_id"))
+      .join(sh.select($"doc".as("outer_id"), $"sh"), Seq("outer_id", "sh"))
+      .groupBy($"inner_id", $"outer_id", $"n_inner")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        round($"inter" / $"n_inner".cast("double"), 9))
+      .where($"containment" >= threshold)
+      .select($"inner_id", $"outer_id", $"containment")
+  }
+
+  /** The posting-self-join formulation of containment — the dense-
+    * vocabulary route (where prefixes barely prune and the candidate
+    * re-expansion join dominates, exactly as documented for
+    * [[ngramJaccardPairsPrefix]]) and the Wave33Spec cross-check
+    * reference. Candidate volume is Σdf² — affordable only below the
+    * router's budget; [[containmentPairsAuto]] owns that decision. */
+  private[graft] def containmentPairsDirect(df: DataFrame, idCol: String,
+                                            textCol: String, n: Int,
+                                            threshold: Double): DataFrame = {
+    val (sh0, sizes) = shingleIndex(df, idCol, textCol, n)
+    val sh = Staged(sh0)
+    sh.select($"sh", $"doc".as("inner_id"))
+      .join(sh.select($"sh", $"doc".as("outer_id")), Seq("sh"))
+      .where($"inner_id" =!= $"outer_id")
+      .groupBy($"inner_id", $"outer_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc".as("inner_id"), $"n_sh"), Seq("inner_id"))
+      .withColumn("containment",
+        round($"inter" / $"n_sh".cast("double"), 9))
+      .where($"containment" >= threshold)
+      .select($"inner_id", $"outer_id", $"containment")
+  }
+
+  /** Df-capped containment (the past-the-budget route, mirroring
+    * [[ngramJaccardPairsCapped]]'s semantics): shingles with df > maxDf
+    * are stop-shingles, removed from the universe AND from |A| — the
+    * score is the exact containment of the CAPPED shingle sets, bounding
+    * per-shingle candidates at maxDf². */
+  def containmentPairsCapped(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, threshold: Double, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf)")
+    val (sh0, _) = shingleIndex(df, idCol, textCol, n)
+    val kept = Staged(sh0.join(
+      sh0.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .where($"df" <= maxDf).select($"sh"),
+      Seq("sh")))
+    val sizes = kept.groupBy($"doc").agg(count(lit(1)).as("n_sh"))
+    val pairsInList = flatten(transform($"ds", x =>
+      transform(filter($"ds", y => y =!= x), y =>
+        struct(x.as("inner_id"), y.as("outer_id")))))
+    kept.groupBy($"sh").agg(collect_list($"doc").as("ds"))
+      .select(explode(pairsInList).as("p"))
+      .select($"p.inner_id", $"p.outer_id")
+      .groupBy($"inner_id", $"outer_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc".as("inner_id"), $"n_sh"), Seq("inner_id"))
+      .withColumn("containment",
+        round($"inter" / $"n_sh".cast("double"), 9))
+      .where($"containment" >= threshold)
+      .select($"inner_id", $"outer_id", $"containment")
+  }
+
+  /** Corpus-adaptive containment pairs — the [[ngramJaccardPairsAuto]]
+    * decision applied to the containment family (the decision inputs —
+    * vocabulary density, Σdf² candidate estimate — are properties of the
+    * CORPUS, not of the score function, so the memoized route is shared):
+    * sparse vocabulary → the asymmetric prefix filter; dense but
+    * affordable → the direct posting join; past the budget → df-capped
+    * semantics. */
+  def containmentPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.9,
+                           sampleDocs: Int = 2048,
+                           sparseVocabRatio: Double = 0.5,
+                           maxCandidateEstimate: Double = 1e11,
+                           cappedMaxDf: Int = 256,
+                           cappedMaxDfFraction: Double = 0.002): DataFrame = {
+    val d = jaccardRouteDecision(df, idCol, textCol, n, sampleDocs,
+      sparseVocabRatio, maxCandidateEstimate)
+    d.route match {
+      case "prefix" => containmentPairsPrefix(df, idCol, textCol, n, threshold)
+      case "direct" => containmentPairsDirect(df, idCol, textCol, n, threshold)
+      case _ =>
+        val maxDf = math.max(cappedMaxDf.toLong,
+          math.ceil(d.nDocs * cappedMaxDfFraction).toLong)
+          .min(Int.MaxValue.toLong).toInt
+        containmentPairsCapped(df, idCol, textCol, n, threshold, maxDf)
+    }
+  }
+
+  val ContainmentAlgoVersion = 1
+
+  /** Observable derivation count (spec hook). */
+  private[graft] val containmentComputeCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Publish a containment table: data + one-row staleness meta (route
+    * recorded like the pair store's — capped means capped-set
+    * semantics). */
+  def saveContainment(pairs: DataFrame, path: String,
+                      corpusFp: Long, planFp: Long,
+                      n: Int, threshold: Double, route: String,
+                      replaceExisting: Boolean = true): Boolean = {
+    val spark = pairs.sparkSession
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    StoreIO.publish(spark, path, replaceExisting) { tmp =>
+      pairs.select($"inner_id".cast("long"), $"outer_id".cast("long"),
+          $"containment".cast("double"))
+        .write.mode("overwrite").parquet(s"$tmp/containment")
+      Seq((corpusFp, planFp, n, threshold, ContainmentAlgoVersion, route))
+        .toDF("corpus_fp", "plan_fp", "n", "threshold", "algo_version", "route")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** The checked read-through for the containment store — same contract
+    * as [[pairsPersisted]]: a pure per-corpus derivation (the one-time
+    * inverted-index pass, hours at 100 TB) published once and read as a
+    * parquet scan by every later query/session/JVM. Containment is
+    * pairwise like Jaccard, so tighter-θ and sub-corpus consumers filter
+    * this one θ=0.9 table. */
+  def containmentPersisted(docs: DataFrame, idCol: String, textCol: String,
+                           path: String, n: Int = 3,
+                           threshold: Double = 0.9): DataFrame = {
+    val spark = docs.sparkSession
+    val want = (Similarity.fileFingerprint(docs), planFingerprint(docs),
+      n, threshold, ContainmentAlgoVersion)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def load() = spark.read.parquet(s"$path/containment")
+    def haveMeta(): Option[(Long, Long, Int, Double, Int)] = {
+      import spark.implicits.newProductEncoder
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$path/containment"))) None
+      else scala.util.Try(
+        spark.read.parquet(s"$path/meta")
+          .select($"corpus_fp".cast("long"), $"plan_fp".cast("long"),
+            $"n".cast("int"), $"threshold".cast("double"),
+            $"algo_version".cast("int"))
+          .as[(Long, Long, Int, Double, Int)].head()).toOption
+    }
+    def computeAndPublish(replaceStale: Boolean): DataFrame = {
+      containmentComputeCount.incrementAndGet()
+      val scored = containmentPairsAuto(docs, idCol, textCol, n = n,
+        threshold = threshold)
+      val route = jaccardAutoRoute(docs, idCol, textCol, n = n)
+      saveContainment(scored, path, want._1, want._2, n, threshold, route,
+        replaceExisting = replaceStale)
+      if (!haveMeta().contains(want)) sys.error(
+        s"containmentPersisted: store at $path does not match its own " +
+          s"publish (want $want) — concurrent writer with different inputs?")
+      load()
+    }
+    haveMeta() match {
+      case Some(have) if have == want => load()
+      case Some(have) =>
+        log.warn(s"containmentPersisted: store at $path is stale " +
+          s"(have $have, want $want) — re-deriving and republishing")
+        computeAndPublish(replaceStale = true)
+      case None =>
+        computeAndPublish(replaceStale =
+          fs.exists(new org.apache.hadoop.fs.Path(path)))
+    }
+  }
+
   /** MinHash signatures: k independent hash functions simulated by seeding
     * xxhash64 with the function index (`xxhash64(shingle, i)`), min over
     * the document's shingle set.

@@ -103,6 +103,10 @@ object Stores {
   def mediaStorePath(d: String): String =
     storePath(d, "media", "documents.parquet")
 
+  /** Store root for the θ=0.9 containment-pair table of `d`. */
+  def containmentStorePath(d: String): String =
+    storePath(d, "containment", "documents.parquet")
+
   /** Store root for the centroid-classifier score store of `d`'s
     * embeddings (q132). */
   def scoresStorePath(d: String): String =
@@ -184,6 +188,16 @@ object Stores {
   def media(s: SparkSession, d: String): graft.ops.MediaStore.Handle =
     graft.ops.MediaStore.persisted(Tables.documents(s, d),
       mediaStorePath(d), resizeW = 10, resizeH = 10)
+
+  /** The canonical θ=0.9 directed containment-pair table of `d`'s
+    * documents — (inner_id, outer_id, containment), loaded from the
+    * published store or derived (routed containment —
+    * [[Dedup.containmentPairsAuto]]) + published on first touch.
+    * Containment is pairwise, so sub-corpus/tighter-θ consumers are
+    * filters over this one table. */
+  def docContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPersisted(Tables.documents(s, d), "doc_id", "text",
+      containmentStorePath(d), n = 3, threshold = 0.9)
 
   /** The canonical centroid-classifier predictions of `d`'s embeddings
     * (the q132 scoring) — loaded from the published store or derived +

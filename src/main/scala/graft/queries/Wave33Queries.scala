@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Text
+import graft.ops.Dedup
 
 /** FILE→WAVE MAP: Wave33Queries.scala holds round-12 WAVE-36 queries
   * q245–q252 (file numbering lags wave numbering across this package —
@@ -122,31 +122,19 @@ object Wave33Queries {
       .orderBy($"doc_id")
   }
 
-  /** Directed shingle-containment pairs: containment(A ⊂ B) =
-    * |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.9 over distinct 3-gram sets — the
-    * doc-swallowed-by-doc duplication signal symmetric Jaccard MISSES
-    * (a paragraph pasted into a 100× larger page scores J ≈ |A|/|B| ≈ 0
-    * but containment ≈ 1), which is why this cannot be a filter over
-    * the persisted pair store. Inverted-index shape (posting self-join
-    * keyed on shingle, candidate volume Σdf²); at corpus scale the same
-    * routing/df-cap ladder as the Jaccard family applies
-    * ([[graft.ops.Dedup.ngramJaccardPairsAuto]]'s Scaladoc — the
-    * containment verify is the same intersect-count join). */
+  /** Directed shingle-containment pairs: containment(A ⊂ B) ≥ 0.9 over
+    * distinct 3-gram sets — the doc-swallowed-by-doc duplication signal
+    * symmetric Jaccard MISSES (so NOT a filter over the Jaccard pair
+    * store). Reads the PERSISTED containment store
+    * ([[Stores.docContainment]]): like the pair store, the table is a
+    * pure per-corpus derivation — routed by corpus shape (asymmetric
+    * PPJoin prefix on sparse vocabularies, direct posting join on dense-
+    * but-affordable ones, df-capped past the router budget; see
+    * [[graft.ops.Dedup.containmentPairsAuto]]) — derived once per corpus
+    * fingerprint and read as a parquet scan ever after. */
   private val q250: Q = (s, d) => {
     import s.implicits._
-    val sh = Tables.documents(s, d)
-      .select($"doc_id", explode(array_distinct(Text.shingles($"text", 3))).as("sh"))
-      .transform(graft.ops.Staged(_))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).cast("long").as("n"))
-    sh.select($"sh", $"doc_id".as("inner_id"))
-      .join(sh.select($"sh", $"doc_id".as("outer_id")), Seq("sh"))
-      .where($"inner_id" =!= $"outer_id")
-      .groupBy($"inner_id", $"outer_id")
-      .agg(count(lit(1)).cast("long").as("__inter"))
-      .join(sizes.select($"doc_id".as("inner_id"), $"n"), Seq("inner_id"))
-      .withColumn("containment", round($"__inter" / $"n".cast("double"), 9))
-      .where($"containment" >= 0.9)
-      .select($"inner_id", $"outer_id", $"containment")
+    Stores.docContainment(s, d)
       .orderBy($"inner_id", $"outer_id")
   }
 
