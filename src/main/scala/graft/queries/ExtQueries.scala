@@ -537,19 +537,27 @@ object ExtQueries {
   /** Cross-source contamination matrix: for every source pair, the count
     * of distinct 8-grams both emitted — the shard-leakage report a
     * multi-source corpus needs before train/eval splits are drawn along
-    * source lines. Inverted-index shape: (source, shingle) distinct →
-    * self-join on shingle → pair counts; candidate cost is bounded by
-    * sources-per-shingle (≤ |sources|), never doc × doc. */
+    * source lines. Single-exchange shape: one groupBy on the shingle with
+    * a map-side-merging `collect_set(source)` (the per-shingle source set
+    * is ≤ |sources|, so partial states are tiny), then ordered pairs are
+    * generated per shingle with array HOFs and counted with a plain
+    * `count` — each (shingle, pair) row is unique by construction, so no
+    * distinct-aggregate expand and no shingle self-join is needed.
+    * Candidate cost stays bounded by sources-per-shingle (≤ |sources|),
+    * never doc × doc. */
   private val q62: Q = (s, d) => {
     import s.implicits._
-    val sh = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select($"source", explode(array_distinct(Text.shingles($"text", 8))).as("sh"))
-      .distinct()
-    sh.select($"sh", $"source".as("source_a"))
-      .join(sh.select($"sh", $"source".as("source_b")), Seq("sh"))
-      .where($"source_a" < $"source_b")
-      .groupBy($"source_a", $"source_b")
-      .agg(countDistinct($"sh").as("n_shared_8grams"))
+      .groupBy($"sh")
+      .agg(array_sort(collect_set($"source")).as("srcs"))
+      .where(size($"srcs") > 1)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            b -> struct(a AS source_a, b AS source_b))))""".stripMargin)).as("p"))
+      .groupBy($"p.source_a".as("source_a"), $"p.source_b".as("source_b"))
+      .agg(count(lit(1)).as("n_shared_8grams"))
       .orderBy($"source_a", $"source_b")
   }
 
