@@ -537,27 +537,40 @@ object ExtQueries {
   /** Cross-source contamination matrix: for every source pair, the count
     * of distinct 8-grams both emitted — the shard-leakage report a
     * multi-source corpus needs before train/eval splits are drawn along
-    * source lines. Single-exchange shape: one groupBy on the shingle with
-    * a map-side-merging `collect_set(source)` (the per-shingle source set
-    * is ≤ |sources|, so partial states are tiny), then ordered pairs are
-    * generated per shingle with array HOFs and counted with a plain
-    * `count` — each (shingle, pair) row is unique by construction, so no
-    * distinct-aggregate expand and no shingle self-join is needed.
-    * Candidate cost stays bounded by sources-per-shingle (≤ |sources|),
-    * never doc × doc. */
+    * source lines. Bitmask shape: sources are a bounded taxonomy (the
+    * one driver-side collect here is |sources| strings, the same bounded
+    * pattern as the BPE merge table / unimax water-fill), so each source
+    * becomes one bit of a long and the whole matrix reduces to TWO
+    * codegen HashAggregates — groupBy(shingle).agg(bit_or(bit)) with
+    * 8-byte group state, then groupBy(mask).count() whose key space is
+    * ≤ 2^|sources| and collapses map-side — plus a ≤2^|sources|-row
+    * pair expansion. No shingle self-join, no countDistinct expand, no
+    * ObjectHashAggregate set state (the collect_set variant of this
+    * query spilled to sort-based aggregation at decade scale). Candidate
+    * cost is bounded by sources-per-shingle (≤ |sources|), never
+    * doc × doc; |sources| ≤ 63 is enforced fail-loud. */
   private val q62: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"source", explode(array_distinct(Text.shingles($"text", 8))).as("sh"))
-      .groupBy($"sh")
-      .agg(array_sort(collect_set($"source")).as("srcs"))
-      .where(size($"srcs") > 1)
-      .select(explode(expr(
-        """flatten(transform(srcs, (a, i) ->
-          |  transform(slice(srcs, i + 2, size(srcs)),
-          |            b -> struct(a AS source_a, b AS source_b))))""".stripMargin)).as("p"))
+    val srcs = Tables.documents(s, d).select($"source").distinct()
+      .orderBy($"source").as[String].collect()
+    require(srcs.length <= 63,
+      s"bitmask source-contamination supports ≤63 sources, got ${srcs.length}")
+    val bitOf = srcs.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (name, i)) => when($"source" === name, lit(1L << i)).otherwise(acc)
+    } // exhaustive when-chain over the taxonomy
+    val masks = Tables.documents(s, d)
+      .select(bitOf.as("bit"),
+        explode(array_distinct(Text.shingles($"text", 8))).as("sh"))
+      .groupBy($"sh").agg(bit_or($"bit").as("mask"))
+      .groupBy($"mask").agg(count(lit(1)).as("n_sh"))
+    val pairs = srcs.indices.flatMap(i => srcs.indices.drop(i + 1).map(j =>
+      struct(lit(1L << i | 1L << j).as("pm"),
+        lit(srcs(i)).as("source_a"), lit(srcs(j)).as("source_b"))))
+    masks
+      .select($"n_sh", explode(filter(array(pairs: _*),
+        p => ($"mask".bitwiseAND(p("pm"))) === p("pm"))).as("p"))
       .groupBy($"p.source_a".as("source_a"), $"p.source_b".as("source_b"))
-      .agg(count(lit(1)).as("n_shared_8grams"))
+      .agg(sum($"n_sh").as("n_shared_8grams"))
       .orderBy($"source_a", $"source_b")
   }
 
