@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.Wave29Queries.queries ++ graft.queries.Wave30Queries.queries ++
       graft.queries.Wave31Queries.queries ++ graft.queries.Wave32Queries.queries ++
       graft.queries.Wave33Queries.queries ++ graft.queries.Wave34Queries.queries ++
-      graft.queries.Wave35Queries.queries ++ graft.queries.Wave36Queries.queries
+      graft.queries.Wave35Queries.queries ++ graft.queries.Wave36Queries.queries ++
+      graft.queries.Wave37Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.queries.Wave29Queries.oracle ++ graft.queries.Wave30Queries.oracle ++
       graft.queries.Wave31Queries.oracle ++ graft.queries.Wave32Queries.oracle ++
       graft.queries.Wave33Queries.oracle ++ graft.queries.Wave34Queries.oracle ++
-      graft.queries.Wave35Queries.oracle ++ graft.queries.Wave36Queries.oracle
+      graft.queries.Wave35Queries.oracle ++ graft.queries.Wave36Queries.oracle ++
+      graft.queries.Wave37Queries.oracle
 }

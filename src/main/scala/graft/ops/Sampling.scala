@@ -180,8 +180,17 @@ object Sampling {
     * Scale shape: one aggregate whose cardinality is the group taxonomy
     * (dozens–thousands), never the corpus. */
   def temperatureRates(df: DataFrame, groupCol: String, alpha: Double,
-                       targetFraction: Double): DataFrame = {
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+                       targetFraction: Double): DataFrame =
+    temperatureRatesFromCounts(
+      df.groupBy(col(groupCol)).agg(count(lit(1)).as("n")),
+      groupCol, alpha, targetFraction)
+
+  /** [[temperatureRates]] from an ALREADY-AGGREGATED (groupCol, n)
+    * frame — split out so a sweep over several α values (q270) pays the
+    * corpus aggregate once and re-derives only the taxonomy-sized
+    * arithmetic per α. Same 9-dp rounding contract. */
+  def temperatureRatesFromCounts(counts: DataFrame, groupCol: String,
+                                 alpha: Double, targetFraction: Double): DataFrame = {
     val tot = counts.agg(sum(col("n")).cast("double").as("nn"),
       sum(pow(col("n"), alpha)).as("sw"))
     counts.crossJoin(broadcast(tot))

@@ -65,7 +65,9 @@ class PlanGuardSpec extends SparkSuite {
     "q233_idle_customers",  // customer scan × broadcast(1-row avg balance)
     "q242_dedup_whatif",    // 4-row sweep × broadcast(1-row corpus count)
     "q255_transitivity_audit", // 1-row wedge aggregate × broadcast(1-row edge count)
-    "q265_decontam_ngram_sweep") // 1-row contaminated count × broadcast(1-row test count), per n
+    "q265_decontam_ngram_sweep", // 1-row contaminated count × broadcast(1-row test count), per n
+    "q270_temperature_sweep", // taxonomy counts × broadcast(1-row totals), per alpha
+    "q272_retrieval_overlap") // q154's postings × broadcast(1-row corpus stats)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
