@@ -56,14 +56,22 @@ object Curate {
     * a threshold cannot). CurateSpec pins agreement + adjacency. `head`
     * = best model fit (highest log-prob), as in q97. */
   def pplBucketsScaled(df: DataFrame, idCol: String, textCol: String,
-                       lambda: Double = 0.75, nBuckets: Int = 4096): DataFrame = {
+                       lambda: Double = 0.75, nBuckets: Int = 4096): DataFrame =
+    pplBucketsScaledFrom(Text.bigramLogProb(df, idCol, textCol, lambda),
+      idCol, nBuckets)
+
+  /** [[pplBucketsScaled]] over an ALREADY-SCORED frame
+    * ((idCol, n_tokens, bigram_logprob) — e.g. the persisted LM-score
+    * store), so the scoring pass is not re-derived per consumer. */
+  def pplBucketsScaledFrom(scored: DataFrame, idCol: String,
+                           nBuckets: Int = 4096): DataFrame = {
     val qs = Seq(1.0 / 3, 2.0 / 3)
     // deliberately NOT Staged: the scored frame feeds both the boundary
     // sketch and the final bucketing, but AQE's runtime exchange reuse
-    // already deduplicates the shared scoring subtree — persisting it
-    // only adds a materialization barrier (measured: staged 3.47 s vs
-    // unstaged 2.71 s at sf0.1, 9.2 vs 7.8 at sf1).
-    val scored = Text.bigramLogProb(df, idCol, textCol, lambda)
+    // already deduplicates the shared scoring subtree (and a store-fed
+    // frame is just a parquet re-scan) — persisting it only adds a
+    // materialization barrier (measured: staged 3.47 s vs unstaged
+    // 2.71 s at sf0.1, 9.2 vs 7.8 at sf1).
     val bnd = Sketches.histQuantiles(scored, Nil, "bigram_logprob", qs, nBuckets)
       .agg(max(when(col("quantile") === qs.head, col("est"))).as("t_lo"),
         max(when(col("quantile") === qs(1), col("est"))).as("t_hi"))

@@ -342,10 +342,14 @@ object AdvQueries {
   /** Interpolated bigram LM scoring ([[Text.bigramLogProb]]) — the
     * engine-exact reduction of KenLM-style perplexity filtering; docs
     * with improbable token transitions score low. λ = 0.75, first token
-    * unigram-only. Decimal-exact summation, fully oracle-checkable. */
+    * unigram-only. Decimal-exact summation, fully oracle-checkable.
+    * Reads the PERSISTED LM-score store ([[graft.queries.Stores.lmScores]])
+    * — identical rows whether the store was hit or the derivation
+    * paid. */
   private val q92: Q = (s, d) => {
     import s.implicits._
-    Text.bigramLogProb(Tables.documents(s, d), "doc_id", "text", lambda = 0.75)
+    graft.queries.Stores.lmScores(s, d)
+      .select($"doc_id", $"n_tokens", $"bigram_logprob")
       .orderBy($"doc_id")
   }
 

@@ -83,9 +83,11 @@ object CurateQueries {
     * value-keyed exchange. */
   private val q97: Q = (s, d) => {
     import s.implicits._
-    val scored = Text.bigramLogProb(Tables.documents(s, d), "doc_id", "text",
-        lambda = 0.75)
-      .transform(graft.ops.Staged(_))
+    // the scored frame is a PERSISTED-store scan (Stores.lmScores), so
+    // the double use (histogram + final bucketing) re-reads parquet —
+    // no Staged persist needed anymore
+    val scored = Stores.lmScores(s, d)
+      .select($"doc_id", $"n_tokens", $"bigram_logprob")
     val hist = scored.groupBy($"bigram_logprob".as("v"))
       .agg(count(lit(1)).cast("long").as("c"))
     val cum = hist
@@ -115,7 +117,8 @@ object CurateQueries {
     * DDSketch SQL at triple length for no new signal. */
   private val q98: Q = (s, d) => {
     import s.implicits._
-    Curate.pplBucketsScaled(Tables.documents(s, d), "doc_id", "text")
+    Curate.pplBucketsScaledFrom(Stores.lmScores(s, d)
+        .select($"doc_id", $"n_tokens", $"bigram_logprob"), "doc_id")
       .orderBy($"doc_id")
   }
 

@@ -527,10 +527,13 @@ object ExtQueries {
 
   /** Corpus-unigram log-probability quality score (the CCNet-style LM
     * filter with the corpus's own unigram model; see
-    * [[Text.unigramLogProb]] for the determinism construction). */
+    * [[Text.unigramLogProb]] for the determinism construction). Reads
+    * the PERSISTED LM-score store ([[Stores.lmScores]]) — scores are a
+    * pure per-corpus derivation, paid once, scanned ever after. */
   private val q71: Q = (s, d) => {
     import s.implicits._
-    Text.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+    Stores.lmScores(s, d)
+      .select($"doc_id", $"n_tokens", $"logprob")
       .orderBy($"doc_id")
   }
 

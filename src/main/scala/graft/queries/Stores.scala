@@ -112,6 +112,11 @@ object Stores {
   def scoresStorePath(d: String): String =
     storePath(d, "scores", "embeddings.parquet")
 
+  /** Store root for the per-document LM-score store of `d` (q71/q92/
+    * q97/q98). */
+  def lmStorePath(d: String): String =
+    storePath(d, "lmscores", "documents.parquet")
+
   /** The canonical θ-scored pair table of `d`'s documents —
     * (doc_a, doc_b, jaccard) at the loosest surface threshold θ=0.3,
     * loaded from the published store or derived (routed exact Jaccard)
@@ -207,4 +212,16 @@ object Stores {
   def centroidPredictions(s: SparkSession, d: String): DataFrame =
     graft.ops.Classify.predictionsPersisted(Tables.embeddings(s, d),
       scoresStorePath(d))
+
+  /** The canonical per-document LM-score table of `d`'s documents —
+    * (doc_id, n_tokens, logprob, bigram_logprob) at λ = 0.75, loaded
+    * from the published store or derived (one unigram + one bigram
+    * scoring pass) + published on first touch. Deterministic:
+    * decimal-exact per-token sums rounded to the 6-dp grid, so loaded
+    * and derived tables are bit-identical and every perplexity consumer
+    * (q71/q92/q97/q98) reads a parquet scan instead of re-scoring the
+    * corpus ([[graft.ops.Text.lmScoresPersisted]]). */
+  def lmScores(s: SparkSession, d: String): DataFrame =
+    graft.ops.Text.lmScoresPersisted(Tables.documents(s, d), "doc_id",
+      "text", lmStorePath(d))
 }

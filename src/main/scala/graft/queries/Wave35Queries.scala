@@ -56,22 +56,26 @@ object Wave35Queries {
 
   /** TPC-H Q4 analog: order-priority checking — orders placed in
     * 1997 Q3 with AT LEAST ONE lineitem shipped >30 days after the
-    * order date, counted by priority. The EXISTS is a left-semi join
-    * whose condition carries a residual cross-table predicate (the
-    * lateness datediff) on top of the orderkey equi-key — the classic
-    * "semi join with residual" Catalyst plans as one hash semi join,
-    * never a count-then-filter rescan. */
+    * order date, counted by priority. The EXISTS decorrelates to an
+    * inner join + per-order dedup with the SMALL side as the build:
+    * the quarter's orders broadcast (a left-semi would have to build a
+    * hash table of the 6M-row lineitem side — measured 5.9 s vs 1.5 s
+    * at sf1), the lateness residual filters at the join, and only the
+    * matching LATE rows reach the per-order distinct. At 100 TB a
+    * quarter of orders outgrows the broadcast threshold and AQE falls
+    * back to the same orderkey SMJ the semi join would have planned —
+    * never worse, much better while the window fits. */
   private val q259: Q = (s, d) => {
     import s.implicits._
     val o = Tables.orders(s, d)
       .where($"o_orderdate" >= lit("1997-07-01").cast("timestamp") &&
         $"o_orderdate" < lit("1997-10-01").cast("timestamp"))
       .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
-    val l = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
-    o.join(l,
+    Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+      .join(broadcast(o),
         $"o_orderkey" === $"l_orderkey" &&
-          datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date")) > 30,
-        "left_semi")
+          datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date")) > 30)
+      .groupBy($"o_orderkey", $"o_orderpriority").agg(count(lit(1)))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).cast("long").as("order_count"))
       .orderBy($"o_orderpriority")
@@ -95,11 +99,15 @@ object Wave35Queries {
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .where($"n_name".isin(two: _*))
       .select($"c_custkey", $"n_name".as("cust_nation"))
+    // BOTH fact sides are broadcast-filtered to the two nations BEFORE
+    // the one orderkey exchange (Catalyst won't hoist the custkey join
+    // above the orderkey join on its own) — each side arrives at ~8%
+    // of its rows here; measured 5.2 s → ~2 s at sf1
     Tables.lineitem(s, d)
       .join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
-      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+          .join(broadcast(cn), $"o_custkey" === $"c_custkey"),
         $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cn), $"o_custkey" === $"c_custkey")
       .where($"supp_nation" =!= $"cust_nation")
       .groupBy($"supp_nation", $"cust_nation",
         year($"l_shipdate").as("l_year"))
