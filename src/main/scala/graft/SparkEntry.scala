@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.Wave31Queries.queries ++ graft.queries.Wave32Queries.queries ++
       graft.queries.Wave33Queries.queries ++ graft.queries.Wave34Queries.queries ++
       graft.queries.Wave35Queries.queries ++ graft.queries.Wave36Queries.queries ++
-      graft.queries.Wave37Queries.queries ++ graft.queries.Wave38Queries.queries
+      graft.queries.Wave37Queries.queries ++ graft.queries.Wave38Queries.queries ++
+      graft.queries.Wave39Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.queries.Wave31Queries.oracle ++ graft.queries.Wave32Queries.oracle ++
       graft.queries.Wave33Queries.oracle ++ graft.queries.Wave34Queries.oracle ++
       graft.queries.Wave35Queries.oracle ++ graft.queries.Wave36Queries.oracle ++
-      graft.queries.Wave37Queries.oracle ++ graft.queries.Wave38Queries.oracle
+      graft.queries.Wave37Queries.oracle ++ graft.queries.Wave38Queries.oracle ++
+      graft.queries.Wave39Queries.oracle
 }
