@@ -65,11 +65,15 @@ object Sampling {
     * Fractions must sum to 1 (a silent remainder would dump rows in an
     * unnamed split). */
   def splitAssign(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
-                  outCol: String = "split"): DataFrame = {
+                  outCol: String = "split", salt: String = ""): DataFrame = {
     require(splits.size >= 2, "splitAssign needs at least two splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1 (got ${splits.map(_._2).sum})")
-    val key = md5(col(keyCol).cast("string"))
+    // salt = "" degenerates to md5(key) exactly (concat with the empty
+    // string is the identity), so every existing assignment/oracle is
+    // unchanged; a non-empty salt re-keys the whole assignment (the
+    // q288 split-churn audit measures the cost of doing that)
+    val key = md5(concat(lit(salt), col(keyCol).cast("string")))
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     // chained ascending-threshold conditionals; the final split is the
     // unconditional otherwise so hex-threshold truncation can't orphan
