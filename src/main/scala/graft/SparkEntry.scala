@@ -50,7 +50,8 @@ object SparkEntry {
       graft.queries.Wave33Queries.queries ++ graft.queries.Wave34Queries.queries ++
       graft.queries.Wave35Queries.queries ++ graft.queries.Wave36Queries.queries ++
       graft.queries.Wave37Queries.queries ++ graft.queries.Wave38Queries.queries ++
-      graft.queries.Wave39Queries.queries ++ graft.queries.Wave40Queries.queries
+      graft.queries.Wave39Queries.queries ++ graft.queries.Wave40Queries.queries ++
+      graft.queries.Wave41Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -75,5 +76,6 @@ object SparkEntry {
       graft.queries.Wave33Queries.oracle ++ graft.queries.Wave34Queries.oracle ++
       graft.queries.Wave35Queries.oracle ++ graft.queries.Wave36Queries.oracle ++
       graft.queries.Wave37Queries.oracle ++ graft.queries.Wave38Queries.oracle ++
-      graft.queries.Wave39Queries.oracle ++ graft.queries.Wave40Queries.oracle
+      graft.queries.Wave39Queries.oracle ++ graft.queries.Wave40Queries.oracle ++
+      graft.queries.Wave41Queries.oracle
 }
