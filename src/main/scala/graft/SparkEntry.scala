@@ -51,7 +51,7 @@ object SparkEntry {
       graft.queries.Wave35Queries.queries ++ graft.queries.Wave36Queries.queries ++
       graft.queries.Wave37Queries.queries ++ graft.queries.Wave38Queries.queries ++
       graft.queries.Wave39Queries.queries ++ graft.queries.Wave40Queries.queries ++
-      graft.queries.Wave41Queries.queries
+      graft.queries.Wave41Queries.queries ++ graft.queries.Wave42Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,5 +77,5 @@ object SparkEntry {
       graft.queries.Wave35Queries.oracle ++ graft.queries.Wave36Queries.oracle ++
       graft.queries.Wave37Queries.oracle ++ graft.queries.Wave38Queries.oracle ++
       graft.queries.Wave39Queries.oracle ++ graft.queries.Wave40Queries.oracle ++
-      graft.queries.Wave41Queries.oracle
+      graft.queries.Wave41Queries.oracle ++ graft.queries.Wave42Queries.oracle
 }
