@@ -51,7 +51,8 @@ object SparkEntry {
       graft.queries.Wave35Queries.queries ++ graft.queries.Wave36Queries.queries ++
       graft.queries.Wave37Queries.queries ++ graft.queries.Wave38Queries.queries ++
       graft.queries.Wave39Queries.queries ++ graft.queries.Wave40Queries.queries ++
-      graft.queries.Wave41Queries.queries ++ graft.queries.Wave42Queries.queries
+      graft.queries.Wave41Queries.queries ++ graft.queries.Wave42Queries.queries ++
+      graft.queries.Wave43Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,5 +78,6 @@ object SparkEntry {
       graft.queries.Wave35Queries.oracle ++ graft.queries.Wave36Queries.oracle ++
       graft.queries.Wave37Queries.oracle ++ graft.queries.Wave38Queries.oracle ++
       graft.queries.Wave39Queries.oracle ++ graft.queries.Wave40Queries.oracle ++
-      graft.queries.Wave41Queries.oracle ++ graft.queries.Wave42Queries.oracle
+      graft.queries.Wave41Queries.oracle ++ graft.queries.Wave42Queries.oracle ++
+      graft.queries.Wave43Queries.oracle
 }

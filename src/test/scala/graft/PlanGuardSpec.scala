@@ -67,6 +67,8 @@ class PlanGuardSpec extends SparkSuite {
     "q255_transitivity_audit", // 1-row wedge aggregate × broadcast(1-row edge count)
     "q265_decontam_ngram_sweep", // 1-row contaminated count × broadcast(1-row test count), per n
     "q270_temperature_sweep", // taxonomy counts × broadcast(1-row totals), per alpha
+    "q295_zonemap_pruning",  // block frame × broadcast(1-row span, 3-row pct grid)
+    "q296_chi2_lang_source", // cell frame × broadcast(1-row corpus totals)
     "q272_retrieval_overlap") // q154's postings × broadcast(1-row corpus stats)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
