@@ -45,7 +45,13 @@ object Wave44Queries {
     val wc = Text.tokenCount($"text")
     val score = Text.qualityScore(wc, Text.stopwordCount($"text") / wc,
       Text.sumTokenLen($"text") / wc)
-    val hist = docs.select($"doc_id", round(score, 4).as("sc"))
+    // grid key via floor, not round: Spark's round() is HALF_UP on the
+    // double's SHORTEST decimal form while DuckDB rounds the exact binary
+    // value — scores with small integer denominators sit exactly on 4-dp
+    // boundaries and diverge. floor of the identical IEEE product is
+    // bit-deterministic in both engines.
+    val hist = docs.select($"doc_id",
+        floor(score * 10000).cast("long").as("sc"))
       .join(gate, Seq("doc_id"))
       .groupBy($"sc")
       .agg(sum(when($"passes", 1L).otherwise(0L)).as("np"),
@@ -241,9 +247,11 @@ object Wave44Queries {
         |      x -> list_contains(['the','a','of','and','to','in','is','on',
         |        'for','with'], x))) AS INTEGER) AS n_stop
         |  FROM documents),
-        |sc AS (SELECT doc_id, round(least(1.0, word_count / 100.0) * 0.4
-        |    + (1.0 - n_stop / word_count) * 0.3
-        |    + least(1.0, (sum_len / word_count) / 8.0) * 0.3, 4) AS sc
+        |sc AS (SELECT doc_id,
+        |    CAST(floor((least(1.0, word_count / 100.0) * 0.4
+        |      + (1.0 - n_stop / word_count) * 0.3
+        |      + least(1.0, (sum_len / word_count) / 8.0) * 0.3) * 10000)
+        |      AS BIGINT) AS sc
         |  FROM t),
         |h AS (SELECT sc,
         |    CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS np,

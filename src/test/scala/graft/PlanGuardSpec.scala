@@ -69,6 +69,10 @@ class PlanGuardSpec extends SparkSuite {
     "q270_temperature_sweep", // taxonomy counts × broadcast(1-row totals), per alpha
     "q295_zonemap_pruning",  // block frame × broadcast(1-row span, 3-row pct grid)
     "q296_chi2_lang_source", // cell frame × broadcast(1-row corpus totals)
+    "q300_t_closeness",      // cell-label frame × broadcast(1-row corpus total)
+    "q302_null_cosine_baseline", // embedding scan × broadcast(1-row count) for the derangement partner
+    "q306_conversion_latency_quantiles", // latency histogram × broadcast(1-row total)
+    "q307_llr_collocations", // bigram-count frame × broadcast(1-row bigram total)
     "q272_retrieval_overlap") // q154's postings × broadcast(1-row corpus stats)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
