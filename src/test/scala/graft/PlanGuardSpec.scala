@@ -73,6 +73,9 @@ class PlanGuardSpec extends SparkSuite {
     "q302_null_cosine_baseline", // embedding scan × broadcast(1-row count) for the derangement partner
     "q306_conversion_latency_quantiles", // latency histogram × broadcast(1-row total)
     "q307_llr_collocations", // bigram-count frame × broadcast(1-row bigram total)
+    "q309_anova_dow_revenue", // 7-row group frame × broadcast(1-row totals)
+    "q310_theilsen_trend",   // span-bounded day frame × itself (t<t inequality pairing) + 1-row broadcasts
+    "q311_runs_test",        // day frame × broadcast(1-row median)
     "q272_retrieval_overlap") // q154's postings × broadcast(1-row corpus stats)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
