@@ -124,7 +124,8 @@ object Curate {
                  minWords: Int = 20, maxWords: Int = 100000,
                  minMeanWlen: Double = 4.0, maxMeanWlen: Double = 10.0,
                  minStopFrac: Double = 0.02,
-                 maxTopWordFrac: Double = 0.2): DataFrame = {
+                 maxTopWordFrac: Double = 0.2,
+                 carry: Seq[Column] = Nil): DataFrame = {
     val words: Column = Text.tokens(col(textCol))
     val nWords = size(words)
     val meanWlen = round(
@@ -136,14 +137,17 @@ object Curate {
     val wlenOk = meanWlen.between(minMeanWlen, maxMeanWlen)
     val stopOk = stopFrac >= minStopFrac
     val topOk = topFrac <= maxTopWordFrac
-    df.select(col(idCol), nWords.cast("long").as("n_words"), meanWlen.as("mean_wlen"),
+    // `carry` columns (e.g. a score over the same text) evaluate in the
+    // SAME projection, so a consumer needing gate label + its own signal
+    // pays one corpus scan and no re-join (q299's shape)
+    df.select((Seq(col(idCol), nWords.cast("long").as("n_words"), meanWlen.as("mean_wlen"),
         stopFrac.as("stop_frac"), topFrac.as("top_word_frac"),
         (wordsOk && wlenOk && stopOk && topOk).as("passes"),
         concat_ws(",",
           when(!wordsOk, lit("n_words")),
           when(!wlenOk, lit("mean_wlen")),
           when(!stopOk, lit("stop_frac")),
-          when(!topOk, lit("top_word_frac"))).as("fail_reasons"))
+          when(!topOk, lit("top_word_frac"))).as("fail_reasons")) ++ carry): _*)
   }
 
   /** Gate ablation matrix — the calibration table read before shipping a

@@ -40,8 +40,6 @@ object Wave44Queries {
   private val q299: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val gate = Curate.gopherGate(docs, "doc_id", "text")
-      .select($"doc_id", $"passes")
     val wc = Text.tokenCount($"text")
     val score = Text.qualityScore(wc, Text.stopwordCount($"text") / wc,
       Text.sumTokenLen($"text") / wc)
@@ -49,10 +47,10 @@ object Wave44Queries {
     // double's SHORTEST decimal form while DuckDB rounds the exact binary
     // value — scores with small integer denominators sit exactly on 4-dp
     // boundaries and diverge. floor of the identical IEEE product is
-    // bit-deterministic in both engines.
-    val hist = docs.select($"doc_id",
-        floor(score * 10000).cast("long").as("sc"))
-      .join(gate, Seq("doc_id"))
+    // bit-deterministic in both engines. Score rides the gate scan as a
+    // carry column — one corpus scan, no re-join.
+    val hist = Curate.gopherGate(docs, "doc_id", "text",
+        carry = Seq(floor(score * 10000).cast("long").as("sc")))
       .groupBy($"sc")
       .agg(sum(when($"passes", 1L).otherwise(0L)).as("np"),
         count(lit(1)).cast("long").as("na"))
