@@ -34,7 +34,11 @@ object Wave43Queries {
     * higher θ), Levenshtein on the 240-char prefixes (the documented
     * cost bound: edit distance is O(len²) per pair, so production
     * verifiers always cap the compared span), normalized to
-    * edit-similarity 1 − lev/max(len). Banded by Jaccard via explicit
+    * edit-similarity 1 − lev/max(len) and floor-quantized to the 4-dp
+    * grid (floor of the identical IEEE double is engine-portable;
+    * round(…, 4) is not when the ratio lands on a half-boundary —
+    * prefix lengths ≤ 240 make that reachable, e.g. 1 − 1/160).
+    * Banded by Jaccard via explicit
     * threshold comparisons (never floor-on-scaled-double — band edges
     * like 7/10 are not exact binary), decimal-exact mean per band.
     * A band whose min_edit_sim is far below its Jaccard is the
@@ -48,9 +52,15 @@ object Wave43Queries {
     val jBand = when($"jaccard" >= 0.9, 0.9).when($"jaccard" >= 0.8, 0.8)
       .when($"jaccard" >= 0.7, 0.7).when($"jaccard" >= 0.6, 0.6)
       .otherwise(0.5)
-    val editSim = round(
-      lit(1.0) - levenshtein($"pa", $"pb").cast("double") /
-        greatest(length($"pa"), length($"pb")), 4)
+    // quantize via FLOOR on the scaled value, not round(…, 4): the ratio
+    // lev/max(len) has small integer denominators (prefix lengths ≤ 240),
+    // so it can land exactly on 4-dp half-boundaries (1 − 1/160 = 0.99375)
+    // where Spark's HALF_UP-on-shortest-decimal round diverges from
+    // DuckDB's exact-binary round — the q299/q309 hazard class. floor of
+    // the identical IEEE double is engine-portable by construction.
+    val editSim = floor(
+      (lit(1.0) - levenshtein($"pa", $"pb").cast("double") /
+        greatest(length($"pa"), length($"pb"))) * 10000) / 10000.0
     pairs
       .join(txt.select($"doc_id".as("doc_a"), $"pfx".as("pa")), Seq("doc_a"))
       .join(txt.select($"doc_id".as("doc_b"), $"pfx".as("pb")), Seq("doc_b"))
@@ -115,7 +125,11 @@ object Wave43Queries {
     val tot = cells.agg(sum($"o").as("n"),
       countDistinct($"lang").cast("long").as("r"),
       countDistinct($"source").cast("long").as("c"))
-    val e = $"rl" * $"cs" / $"n"
+    // widen to double BEFORE the margin product: rl·cs as long·long
+    // overflows at ~3e9 rows per margin — below the corpus scale this
+    // file targets (q307 documents the same discipline). Exact while
+    // rl·cs ≤ 2^53, so fixture values are bit-identical either way.
+    val e = $"rl".cast("double") * $"cs" / $"n"
     cells.join(broadcast(rl), Seq("lang")).join(broadcast(cs), Seq("source"))
       .crossJoin(broadcast(tot))
       .select($"n", $"r", $"c",
@@ -236,8 +250,9 @@ object Wave43Queries {
         |    CASE WHEN jaccard >= 0.9 THEN 0.9 WHEN jaccard >= 0.8 THEN 0.8
         |         WHEN jaccard >= 0.7 THEN 0.7 WHEN jaccard >= 0.6 THEN 0.6
         |         ELSE 0.5 END AS j_band,
-        |    round(1.0 - levenshtein(a.pfx, b.pfx) /
-        |      CAST(greatest(length(a.pfx), length(b.pfx)) AS DOUBLE), 4) AS es
+        |    floor((1.0 - levenshtein(a.pfx, b.pfx) /
+        |      CAST(greatest(length(a.pfx), length(b.pfx)) AS DOUBLE))
+        |      * 10000) / 10000.0 AS es
         |  FROM p JOIN tx a ON doc_a = a.doc_id JOIN tx b ON doc_b = b.doc_id)
         |SELECT j_band, CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(sum(CAST(es AS DECIMAL(18,4))) AS DOUBLE) / count(es)
@@ -271,8 +286,8 @@ object Wave43Queries {
         |    CAST(count(DISTINCT lang) AS BIGINT) AS r,
         |    CAST(count(DISTINCT source) AS BIGINT) AS c FROM cells),
         |k AS (SELECT n, r, c,
-        |    round(pow(o - rl.rl * cs.cs / n, 2) / (rl.rl * cs.cs / n), 9)
-        |      AS contrib
+        |    round(pow(o - CAST(rl.rl AS DOUBLE) * cs.cs / n, 2)
+        |      / (CAST(rl.rl AS DOUBLE) * cs.cs / n), 9) AS contrib
         |  FROM cells JOIN rl USING (lang) JOIN cs USING (source)
         |    CROSS JOIN tot),
         |x AS (SELECT n, r, c,

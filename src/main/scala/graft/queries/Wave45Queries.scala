@@ -102,7 +102,13 @@ object Wave45Queries {
     def qtile(p: Int): Column =
       min(when($"cum" >= floor((lit(p) * $"n" + 99) / 100).cast("long"),
         $"lat_min")).as(s"p${p}_min")
-    cum.agg(max($"n").as("n_converted"), qtile(50), qtile(90), qtile(99))
+    // coalesce to an explicit 0 for the empty cohort (no user with both a
+    // view and a purchase): a groupBy-less agg over an empty frame yields
+    // one all-null row, and a null n_converted reads as "unknown" rather
+    // than the true "zero converters". The quantiles stay null — there is
+    // no latency to rank.
+    cum.agg(coalesce(max($"n"), lit(0L)).as("n_converted"),
+      qtile(50), qtile(90), qtile(99))
   }
 
   /** Dunning log-likelihood-ratio (G²) collocations: the
@@ -243,7 +249,7 @@ object Wave45Queries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |    (SELECT CAST(sum(c) AS BIGINT) FROM h) AS n
         |  FROM h)
-        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |SELECT coalesce(CAST(max(n) AS BIGINT), 0) AS n_converted,
         |  min(CASE WHEN cum >= CAST(floor((50 * n + 99) / 100.0) AS BIGINT)
         |    THEN lat_min END) AS p50_min,
         |  min(CASE WHEN cum >= CAST(floor((90 * n + 99) / 100.0) AS BIGINT)

@@ -108,4 +108,28 @@ class Wave44Spec extends SparkSuite {
     assert(got._1 == pairs.length.toLong)
     assert(math.abs(got._2 - exp) < 1e-5, s"lag-1 acf ${got._2} vs $exp")
   }
+
+  test("q302 derangement precondition (dense vec_id 0..N−1) and no pair loss") {
+    // q302's partner formula pid = (id + ⌊N/2⌋) mod N assumes vec_id is
+    // contiguous from 0; with gaps (or a different id base) the inner join
+    // on pid silently DROPS pairs, shrinking the null-model sample with no
+    // signal — and the oracle, built on the same formula, would stay green.
+    // Two guards: (a) the precondition itself on every fixture scale the
+    // suite touches, (b) the consequence — the derangement is a bijection,
+    // so the banded histogram must account for exactly N pairs.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ids = Tables.embeddings(spark, dir)
+        .agg(min($"vec_id").as("lo"), max($"vec_id").as("hi"),
+          count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect().head
+      assert(ids._1 == 0L && ids._2 == ids._3 - 1,
+        s"$dir: vec_id not dense 0..N−1 (min=${ids._1}, max=${ids._2}, " +
+          s"n=${ids._3}) — q302's modular partner would drop pairs")
+      val accounted = SparkEntry.queries("q302_null_cosine_baseline")(spark, dir)
+        .agg(sum($"n_pairs")).as[Long].collect().head
+      assert(accounted == ids._3,
+        s"$dir: q302 histogram accounts $accounted of ${ids._3} vectors")
+    }
+  }
 }
