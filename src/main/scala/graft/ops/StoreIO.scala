@@ -152,6 +152,66 @@ object StoreIO {
     }
   }
 
+  /** Checked read-through shared by the (data + one-row meta) stores
+    * (centroid predictions, LM scores, quality-classifier scores): load
+    * the published table when the store's meta row matches `want` =
+    * (corpus fingerprint, plan fingerprint, algorithm version); on a
+    * stale or cold store run `publishStore` (which must write data AND
+    * meta through [[publish]] — `replaceStale` forwards publish's
+    * replaceExisting) and re-load, failing loudly if the meta it finds
+    * afterwards is not its own (a concurrent writer with different
+    * inputs).
+    *
+    * Cold-vs-stale distinction matters for race safety: a truly cold
+    * slot publishes with strict no-replace semantics (a cold-race loser
+    * must defer to the winner, not swap it out), while an
+    * occupied-but-stale/unreadable store is replaced. */
+  def readThrough(spark: SparkSession, path: String, dataDir: String,
+                  want: (Long, Long, Int), label: String)
+                 (publishStore: Boolean => Unit)
+                 (load: () => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    def haveMeta(): Option[(Long, Long, Int)] = {
+      import spark.implicits.newProductEncoder
+      if (!fs.exists(new Path(s"$path/meta")) ||
+          !fs.exists(new Path(s"$path/$dataDir"))) None
+      else scala.util.Try(
+        spark.read.parquet(s"$path/meta")
+          .select(col("corpus_fp").cast("long"), col("plan_fp").cast("long"),
+            col("algo_version").cast("int"))
+          .as[(Long, Long, Int)].head()).toOption
+    }
+    def computeAndPublish(replaceStale: Boolean): org.apache.spark.sql.DataFrame = {
+      publishStore(replaceStale)
+      if (!haveMeta().contains(want)) sys.error(
+        s"$label: store at $path does not match its own publish " +
+          s"(want $want) — concurrent writer with different inputs?")
+      load()
+    }
+    haveMeta() match {
+      case Some(have) if have == want => load()
+      case Some(have) =>
+        log.warn(s"$label: store at $path is stale (have $have, " +
+          s"want $want) — re-deriving and republishing")
+        computeAndPublish(replaceStale = true)
+      case None =>
+        // a truly cold slot gets the strict no-replace publish; an
+        // occupied-but-unreadable store must be REPLACED
+        computeAndPublish(replaceStale = fs.exists(new Path(path)))
+    }
+  }
+
+  /** The standard one-row staleness meta of a [[readThrough]] store,
+    * written into the temp dir during [[publish]]. */
+  def writeMeta(spark: SparkSession, tmp: String,
+                want: (Long, Long, Int)): Unit = {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    Seq(want).toDF("corpus_fp", "plan_fp", "algo_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+  }
+
   /** Directory rename with FAIL-if-destination-exists semantics on every
     * backend. On `file:` this goes straight to rename(2)
     * (`Files.move(ATOMIC_MOVE)`) — necessary because Hadoop's

@@ -692,40 +692,11 @@ object Text {
       StoreIO.fp64(df.queryExecution.analyzed.canonicalized.toString +
         s" lambda=$lambda"),
       LmScoresAlgoVersion)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def haveMeta(): Option[(Long, Long, Int)] = {
-      import spark.implicits.newProductEncoder
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")) ||
-          !fs.exists(new org.apache.hadoop.fs.Path(s"$path/scores"))) None
-      else scala.util.Try(
-        spark.read.parquet(s"$path/meta")
-          .select(col("corpus_fp").cast("long"), col("plan_fp").cast("long"),
-            col("algo_version").cast("int"))
-          .as[(Long, Long, Int)].head()).toOption
-    }
-    def computeAndPublish(replaceStale: Boolean): DataFrame = {
+    StoreIO.readThrough(spark, path, "scores", want,
+      "lmScoresPersisted") { replaceStale =>
       lmScoresComputeCount.incrementAndGet()
       saveLmScores(lmScores(df, idCol, textCol, lambda), idCol, path,
         want._1, want._2, replaceExisting = replaceStale)
-      if (!haveMeta().contains(want)) sys.error(
-        s"lmScoresPersisted: store at $path does not match its own " +
-          s"publish (want $want) — concurrent writer with different inputs?")
-      loadLmScores(spark, path)
-    }
-    haveMeta() match {
-      case Some(have) if have == want =>
-        loadLmScores(spark, path)
-      case Some(have) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"lmScoresPersisted: store at $path is stale " +
-            s"(have $have, want $want) — re-deriving and republishing")
-        computeAndPublish(replaceStale = true)
-      case None =>
-        // a truly cold slot gets the strict no-replace publish; an
-        // occupied-but-unreadable store must be REPLACED
-        computeAndPublish(replaceStale =
-          fs.exists(new org.apache.hadoop.fs.Path(path)))
-    }
+    } { () => loadLmScores(spark, path) }
   }
 }

@@ -221,10 +221,15 @@ object AdvQueries {
     * oracle — iterative GD is not SQL-expressible — so the output is
     * golden-pinned (decimal-exact gradient sums make training
     * bit-deterministic) and ClassifySpec asserts convergence +
-    * separation. */
+    * separation. Served from the persisted score store
+    * ([[Stores.qualityScores]]): weights are a pure function of
+    * (corpus fp, hyperparams), so the 30-iteration GD belongs in the
+    * once-per-corpus derivation, not in every session's first touch —
+    * steady state is one parquet scan, and bit-exact training keeps the
+    * golden pin byte-identical across the reroute. */
   private val q79: Q = (s, d) => {
     import s.implicits._
-    Classify.qualityClassifier(Tables.documents(s, d), "doc_id", "text")
+    Stores.qualityScores(s, d)
       .select($"doc_id", $"label", round($"score", 6).as("score"), $"predicted")
       .orderBy($"doc_id")
   }

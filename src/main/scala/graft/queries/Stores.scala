@@ -117,6 +117,11 @@ object Stores {
   def lmStorePath(d: String): String =
     storePath(d, "lmscores", "documents.parquet")
 
+  /** Store root for the trained quality-classifier score store of `d`'s
+    * documents (q79). */
+  def qualityStorePath(d: String): String =
+    storePath(d, "quality", "documents.parquet")
+
   /** The canonical θ-scored pair table of `d`'s documents —
     * (doc_a, doc_b, jaccard) at the loosest surface threshold θ=0.3,
     * loaded from the published store or derived (routed exact Jaccard)
@@ -224,4 +229,17 @@ object Stores {
   def lmScores(s: SparkSession, d: String): DataFrame =
     graft.ops.Text.lmScoresPersisted(Tables.documents(s, d), "doc_id",
       "text", lmStorePath(d))
+
+  /** The canonical trained quality-classifier score table of `d`'s
+    * documents — (doc_id, label, score, predicted) at the default
+    * hyperparameters, loaded from the published store or trained
+    * (decimal-exact batch GD on the 30% hash sample) + scored +
+    * published on first touch. Deterministic: bit-exact training makes
+    * loaded and derived tables identical, so q79 (and any future
+    * consumer of the calibrated scores) reads a parquet scan instead of
+    * re-running 30 gradient passes per session
+    * ([[graft.ops.Classify.qualityScoresPersisted]]). */
+  def qualityScores(s: SparkSession, d: String): DataFrame =
+    graft.ops.Classify.qualityScoresPersisted(Tables.documents(s, d),
+      "doc_id", "text", qualityStorePath(d))
 }
