@@ -26,28 +26,96 @@ object Bench {
       name -> (if (ok) dt else -1.0)
     }
 
-  /** Partial second sweep for a contended host: re-measure queries
-    * cheapest-first (by their sweep-1 cost) until the PROJECTED wall time
-    * — elapsed plus the next query's sweep-1 cost — would exceed `capSec`.
-    * Cheapest-first maximizes how many queries get a min-of-two
-    * correction out of a fixed time box — and the cheap queries are
-    * exactly the ones contention distorts the most in relative terms (a
-    * 0.3 s query stalled to 7 s is a 23x lie; a 7 s query stalled to 14 s
-    * is 2x). Sweep-1 failures slot at the mean sweep-1 cost (both for
-    * ordering and for projection) so a transiently failed query still
-    * gets a second chance without jumping the queue. */
+  /** Partial second sweep for a contended host: re-measure queries in
+    * ANOMALY-RATIO order — sweep-1 cost over the committed steady-state
+    * record ([[loadSteadyState]]), descending — until the PROJECTED wall
+    * time would exceed `capSec`. The round-12 recording proved
+    * cheapest-first protects exactly the wrong queries: the five most
+    * burst-hit entries (q226 at 120.3 s vs a 2.14 s steady record — a
+    * 56× host artifact) were the EXPENSIVE ones, so the cheapest-first
+    * box never reached them and the artifact shipped the lie. Ratio
+    * order re-measures the worst distortions first; queries with no
+    * record get ratio 1.0 and fall back to cheapest-first among
+    * themselves (the tie-break). Projection uses the expected RE-RUN
+    * cost — the steady record when one exists (a burst's own inflated
+    * sweep-1 cost would otherwise block its correction), else the
+    * sweep-1 cost; if an apparent burst is a REAL regression the actual
+    * run overshoots its estimate, which can overrun the cap by that one
+    * query's true cost — accepted, since the next start re-checks the
+    * elapsed wall. Sweep-1 failures slot at the mean sweep-1 cost so a
+    * transiently failed query still gets a second chance. */
   private def partialSweep(spark: SparkSession, sfDir: String,
-                           first: Seq[(String, Double)], capSec: Double): Seq[(String, Double)] =
-    runUntilDeadline(cheapestFirst(first), capSec, estimates(first),
-      name => sweep(spark, sfDir, Seq(name)).head._2)
-
-  /** Sweep-1 names ordered by measured cost ascending; failures (-1) sort
-    * at the mean cost so a transiently failed query still gets a second
-    * chance without jumping the whole queue. Exposed for BenchSpec. */
-  private[graft] def cheapestFirst(first: Seq[(String, Double)]): Seq[String] = {
+                           first: Seq[(String, Double)], capSec: Double,
+                           steady: Map[String, Double]): Seq[(String, Double)] = {
     val est = estimates(first)
-    first.map(_._1).sortBy(est) // stable: equal estimates keep input order
+    val rerunEst = est.map { case (n, c) =>
+      n -> math.min(c, steady.getOrElse(n, c))
+    }
+    runUntilDeadline(anomalyFirst(first, steady), capSec, rerunEst,
+      name => sweep(spark, sfDir, Seq(name)).head._2)
   }
+
+  /** Sweep-1 names ordered by anomaly ratio (sweep-1 cost / steady-state
+    * record) DESCENDING, ties and record-less queries by sweep-1 cost
+    * ascending. With an empty record this degenerates to exactly the old
+    * cheapest-first order. Failures (-1) slot at the mean sweep-1 cost.
+    * Exposed for BenchSpec. */
+  private[graft] def anomalyFirst(first: Seq[(String, Double)],
+                                  steady: Map[String, Double]): Seq[String] = {
+    val est = estimates(first)
+    first.map(_._1).sortBy { n => // stable: equal keys keep input order
+      val ratio = steady.get(n).filter(_ > 0).map(est(n) / _).getOrElse(1.0)
+      (-ratio, est(n))
+    }
+  }
+
+  /** Queries whose final per-query minimum still exceeds `factor`× their
+    * committed steady-state record — self-labeled burst (or regression)
+    * suspects the artifact carries so a polluted recording is
+    * self-diagnosing per query, not just per run. Exposed for
+    * BenchSpec. */
+  private[graft] def burstSuspects(results: Seq[(String, Double)],
+                                   steady: Map[String, Double],
+                                   factor: Double = 3.0): Seq[String] =
+    results.collect {
+      case (n, v) if v >= 0 && steady.get(n).exists(s => s > 0 && v > factor * s) => n
+    }
+
+  /** Key into perf/steady_state.json for a data directory:
+    * "/root/testdata/sf0.1" → "sf0.1", ".../testdata-sf1" → "sf1". */
+  private[graft] def sfKey(sfDir: String): String =
+    new java.io.File(sfDir).getName.stripPrefix("testdata-")
+
+  /** Extract one sf section (a flat {"name":sec,...} object) from the
+    * steady-state record without a JSON library: locate `"key":{`, take
+    * the balanced-free span to the next '}' (sections are flat by
+    * construction), and scan "name":number pairs. Exposed for
+    * BenchSpec. */
+  private[graft] def parseSteadySection(json: String, key: String): Map[String, Double] = {
+    val at = json.indexOf("\"" + key + "\":{")
+    if (at < 0) Map.empty
+    else {
+      val open = json.indexOf('{', at)
+      val close = json.indexOf('}', open)
+      if (close < 0) Map.empty
+      else """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+        .findAllMatchIn(json.substring(open + 1, close))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** The committed per-query steady-state record for this data scale
+    * (perf/steady_state.json, written at each round's end from the
+    * final min-of-two recordings). Missing file, unknown scale, or a
+    * parse problem all degrade to an empty record — the bench then
+    * behaves exactly as before the record existed. */
+  private def loadSteadyState(sfDir: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get("perf/steady_state.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else parseSteadySection(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfKey(sfDir))
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Per-query projected cost: the sweep-1 measurement, failures at the
     * sweep-1 mean. Shared by ordering and deadline projection. */
@@ -62,21 +130,20 @@ object Bench {
     * the cap cannot be overrun by the full runtime of an expensive
     * straggler (a started query still runs to completion — no mid-query
     * abort, a partially executed measurement is worthless; only the
-    * estimate, not the actual, gates the start). Unestimated queries
-    * project at 0 (start if any time remains). Exposed for BenchSpec,
-    * which drives it with a fake runner. */
+    * estimate, not the actual, gates the start). A query that does not
+    * fit is SKIPPED and the scan continues — anomaly-ratio order is not
+    * cost-ascending, so a cheap query can legitimately follow an
+    * unaffordable expensive one. Unestimated queries project at 0
+    * (start if any time remains). Exposed for BenchSpec, which drives
+    * it with a fake runner. */
   private[graft] def runUntilDeadline(order: Seq[String], capSec: Double,
                                       estimate: Map[String, Double],
                                       run: String => Double): Seq[(String, Double)] = {
     val done = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     val start = System.nanoTime()
-    val it = order.iterator
-    var fits = true
-    while (it.hasNext && fits) {
-      val name = it.next()
+    order.foreach { name =>
       val projected = (System.nanoTime() - start) / 1e9 + estimate.getOrElse(name, 0.0)
       if (projected < capSec) done += (name -> run(name))
-      else fits = false // estimates are sorted ascending: nothing later fits either
     }
     done.toList
   }
@@ -215,10 +282,11 @@ object Bench {
     // a contended run's wall at ~450 s (sweep 1 + capped partial sweep 2)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
     val contended = firstWallSec > budgetSec
+    val steady = loadSteadyState(sfDir)
     val sweep2Start = System.nanoTime()
     val second: Map[String, Double] =
       (if (!contended) sweep(spark, sfDir)
-       else partialSweep(spark, sfDir, first, capSec = budgetSec / 2)).toMap
+       else partialSweep(spark, sfDir, first, capSec = budgetSec / 2, steady)).toMap
     val secondWallSec = (System.nanoTime() - sweep2Start) / 1e9
     // a sweep-1/sweep-2 wall ratio > 1.4 is itself a contention signature
     // even when the budget never tripped — flag it so a polluted
@@ -226,6 +294,10 @@ object Bench {
     val contendedOut = contentionFlag(contended, firstWallSec, secondWallSec,
       sweep2Full = !contended)
     val results = mergeMin(first, second)
+    // self-label any final minimum still >3× its committed steady record:
+    // either a burst both sweeps happened to hit, or a real regression —
+    // both deserve a named flag in the artifact rather than silence
+    val suspects = burstSuspects(results, steady)
     def toJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -240,6 +312,8 @@ object Bench {
         s""""contended":$contendedOut,"warmup_wall_sec":$warmWallSec,""" +
         s""""sweep1_wall_sec":$firstWallSec,""" +
         s""""sweep2_wall_sec":$secondWallSec,"sweep2_queries":${second.size},""" +
+        s""""steady_state_n":${steady.size},""" +
+        suspects.map("\"" + _ + "\"").mkString("\"burst_suspects\":[", ",", "],") +
         s""""sf":"$sfDir"}"""
     println(line)
     // also a file artifact: the driver captures only a 2000-char log tail
@@ -264,7 +338,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","total_sec":$total,""" +
         s""""total_cold_sec":$totalCold,"n_queries":${results.size},""" +
         s""""contended":$contendedOut,"sweep1_wall_sec":$firstWallSec,""" +
-        s""""sweep2_wall_sec":$secondWallSec,"sf":"$sfDir",""" +
+        s""""sweep2_wall_sec":$secondWallSec,""" +
+        s""""n_burst_suspects":${suspects.size},"sf":"$sfDir",""" +
         s""""detail":"perf/bench_last.json"}"""
     println(summary)
     spark.stop()

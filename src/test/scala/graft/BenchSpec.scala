@@ -15,16 +15,84 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("cheapestFirst orders by sweep-1 cost, failures slot at mean cost") {
+  test("anomalyFirst with no record degenerates to cheapest-first; failures at mean cost") {
     val first = Seq("slow" -> 10.0, "fast" -> 0.1, "failed" -> -1.0, "mid" -> 2.0)
     // mean of valid costs = (10 + 0.1 + 2) / 3 ≈ 4.03 → failed sorts
     // between mid and slow: gets a retry without jumping the queue
-    assert(Bench.cheapestFirst(first) == Seq("fast", "mid", "failed", "slow"))
+    assert(Bench.anomalyFirst(first, Map.empty) ==
+      Seq("fast", "mid", "failed", "slow"))
   }
 
-  test("cheapestFirst with all-failed sweep keeps input order") {
+  test("anomalyFirst with all-failed sweep keeps input order") {
     val first = Seq("a" -> -1.0, "b" -> -1.0)
-    assert(Bench.cheapestFirst(first) == Seq("a", "b"))
+    assert(Bench.anomalyFirst(first, Map.empty) == Seq("a", "b"))
+  }
+
+  test("anomalyFirst re-measures the worst distortion FIRST, even when expensive") {
+    // the round-12 shape: q226 swept at 120.3 s against a 2.14 s steady
+    // record (ratio 56) — cheapest-first buried it; anomaly order must
+    // put it at the head, ahead of a cheap query with a modest ratio
+    val first = Seq(
+      "q_cheap_burst" -> 7.0,   // steady 0.3  → ratio ≈ 23
+      "q_big_burst"   -> 120.3, // steady 2.14 → ratio ≈ 56  ← must lead
+      "q_steady"      -> 0.5,   // steady 0.5  → ratio 1
+      "q_new"         -> 0.2)   // no record   → ratio 1, cheap tie-break
+    val steady = Map("q_cheap_burst" -> 0.3, "q_big_burst" -> 2.14,
+      "q_steady" -> 0.5)
+    assert(Bench.anomalyFirst(first, steady) ==
+      Seq("q_big_burst", "q_cheap_burst", "q_new", "q_steady"))
+  }
+
+  test("burstSuspects labels minima >3× their steady record; no record → never a suspect") {
+    val results = Seq("ok" -> 0.5, "burst" -> 9.0, "edge" -> 1.5,
+      "new" -> 50.0, "failed" -> -1.0)
+    val steady = Map("ok" -> 0.4, "burst" -> 2.0, "edge" -> 0.5,
+      "failed" -> 1.0)
+    // edge = exactly 3× → NOT a suspect (strictly greater); new has no
+    // record; failed (-1) is a failure, not a suspect
+    assert(Bench.burstSuspects(results, steady) == Seq("burst"))
+  }
+
+  test("parseSteadySection reads one flat sf section; sfKey normalizes dirs") {
+    val json = """{"comment":"per-query record (min of finals)",
+      |"sf0.1":{"q01_agg":0.51,"q02_filter":1.2e-1},
+      |"sf1":{"q01_agg":1.9}}""".stripMargin
+    assert(Bench.parseSteadySection(json, "sf0.1") ==
+      Map("q01_agg" -> 0.51, "q02_filter" -> 0.12))
+    assert(Bench.parseSteadySection(json, "sf1") == Map("q01_agg" -> 1.9))
+    assert(Bench.parseSteadySection(json, "sf10") == Map.empty)
+    assert(Bench.sfKey("/root/testdata/sf0.1") == "sf0.1")
+    assert(Bench.sfKey("/root/repo/testdata-sf1") == "sf1")
+  }
+
+  test("the committed steady-state record parses and covers the query surface") {
+    val p = java.nio.file.Paths.get("perf/steady_state.json")
+    assume(java.nio.file.Files.exists(p), "perf/steady_state.json not present")
+    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    for (key <- Seq("sf0.1", "sf1")) {
+      val sec = Bench.parseSteadySection(json, key)
+      assert(sec.nonEmpty, s"section $key parsed empty")
+      assert(sec.values.forall(v => v > 0 && v < 600),
+        s"section $key has implausible seconds")
+      // the record must cover most of the CURRENT surface, or anomaly
+      // ordering silently degrades to cheapest-first for the gap
+      val covered = SparkEntry.queries.keySet.count(sec.contains)
+      assert(covered >= SparkEntry.queries.size * 8 / 10,
+        s"$key record covers $covered of ${SparkEntry.queries.size} queries")
+    }
+  }
+
+  test("runUntilDeadline skips an unaffordable query but still runs later cheap ones") {
+    // anomaly order is not cost-ascending: a cheap steady query can
+    // follow an unaffordable real regression — it must still get its
+    // min-of-two correction
+    var ran = Vector.empty[String]
+    val out = Bench.runUntilDeadline(Seq("huge", "cheap"), capSec = 1.0,
+      Map("huge" -> 100.0, "cheap" -> 0.01), { name =>
+        ran :+= name; 0.01
+      })
+    assert(out.map(_._1) == Seq("cheap"))
+    assert(ran == Vector("cheap"), "the unaffordable query must not start")
   }
 
   test("runUntilDeadline stops starting queries once the cap elapses") {
