@@ -96,13 +96,27 @@ object GoldSoak {
 
       // tier-by-tier drain (Pipelines.drainOnce's shape, but keeping the
       // query handles so each tier's progress log is readable after)
+      // (rows, totalSec, nBatches, phaseBreakdownJson): the phase map
+      // aggregates each durationMs key across the tier's whole progress
+      // log, plus a first-batch/steady split of triggerExecution — the
+      // two numbers that separate "slow engine" from "cold JVM" and
+      // "listing-bound" from "compute-bound" in a throughput reading
       def tput(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery])
-          : (Long, Double, Int) = {
+          : (Long, Double, Int, String) = {
         val progress = qs.flatMap(_.recentProgress)
         val rows = progress.map(_.numInputRows).sum
-        val ms = progress.flatMap(p =>
+        def sumKey(k: String): Long = progress.flatMap(p =>
+          Option(p.durationMs.get(k)).map(_.toLong)).sum
+        val ms = sumKey("triggerExecution")
+        val phaseKeys = progress.flatMap(_.durationMs.keySet().toArray
+          .map(_.toString)).distinct.sorted
+        // first micro-batch of each query carries codegen/classload
+        // warmup; report it apart so steady rows/s is computable
+        val firstMs = qs.flatMap(_.recentProgress.headOption).flatMap(p =>
           Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
-        (rows, ms / 1000.0, progress.length)
+        val phases = phaseKeys.map(k => s""""$k":${sumKey(k)}""")
+          .mkString("{", ",", s""","firstBatchTriggerMs":$firstMs}""")
+        (rows, ms / 1000.0, progress.length, phases)
       }
       val t0 = System.nanoTime()
       val bronzeQs = Bronze.startAll(spark, cfg)
@@ -148,10 +162,13 @@ object GoldSoak {
         s"""{"provider":"$label","events":$nEvents,""" +
           s""""bronze_rows":${bronze._1},"bronze_sec":${fmtD(bronze._2)},""" +
           s""""bronze_rows_s":${fmtD(bronze._1 / math.max(bronze._2, 0.001))},""" +
+          s""""bronze_phases":${bronze._4},""" +
           s""""silver_rows":${silver._1},"silver_sec":${fmtD(silver._2)},""" +
           s""""silver_rows_s":${fmtD(silver._1 / math.max(silver._2, 0.001))},""" +
+          s""""silver_phases":${silver._4},""" +
           s""""gold_rows_in":${gold._1},"gold_sec":${fmtD(gold._2)},""" +
           s""""gold_rows_s":${fmtD(gold._1 / math.max(gold._2, 0.001))},""" +
+          s""""gold_phases":${gold._4},""" +
           s""""gold_batches":${gold._3},"wall_sec":${fmtD(wallSec)},""" +
           s""""state_peak_rows":$peakRows,"state_peak_bytes":$peakBytes,""" +
           s""""state_end":$opsJson,""" +

@@ -76,7 +76,10 @@ class PlanGuardSpec extends SparkSuite {
     "q309_anova_dow_revenue", // 7-row group frame × broadcast(1-row totals)
     "q310_theilsen_trend",   // span-bounded day frame × itself (t<t inequality pairing) + 1-row broadcasts
     "q311_runs_test",        // day frame × broadcast(1-row median)
-    "q272_retrieval_overlap") // q154's postings × broadcast(1-row corpus stats)
+    "q272_retrieval_overlap", // q154's postings × broadcast(1-row corpus stats)
+    "q324_kruskal_wallis",   // 1-row pivoted rank terms × broadcast(1-row tie totals)
+    "q325_kendall_tau",      // span-bounded day frame × itself (day<day pairing, q310's shape)
+    "q326_wasserstein_values") // value-grid CDF frame × broadcast(1-row sample sizes)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
