@@ -79,7 +79,11 @@ class PlanGuardSpec extends SparkSuite {
     "q272_retrieval_overlap", // q154's postings × broadcast(1-row corpus stats)
     "q324_kruskal_wallis",   // 1-row pivoted rank terms × broadcast(1-row tie totals)
     "q325_kendall_tau",      // span-bounded day frame × itself (day<day pairing, q310's shape)
-    "q326_wasserstein_values") // value-grid CDF frame × broadcast(1-row sample sizes)
+    "q326_wasserstein_values", // value-grid CDF frame × broadcast(1-row sample sizes)
+    "q328_equidepth_hist",     // price histogram × broadcast(1-row total)
+    "q329_randomization_test", // doc slice × broadcast(128-row perm ids + 1-row observed diff)
+    "q330_jackknife_ratio",    // month frame × broadcast(1-row totals)
+    "q331_bloom_fpp_audit")    // 1-row member/bit/probe counts × broadcast, assembled
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
