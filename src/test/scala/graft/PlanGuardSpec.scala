@@ -83,7 +83,12 @@ class PlanGuardSpec extends SparkSuite {
     "q328_equidepth_hist",     // price histogram × broadcast(1-row total)
     "q329_randomization_test", // doc slice × broadcast(128-row perm ids + 1-row observed diff)
     "q330_jackknife_ratio",    // month frame × broadcast(1-row totals)
-    "q331_bloom_fpp_audit")    // 1-row member/bit/probe counts × broadcast, assembled
+    "q331_bloom_fpp_audit",    // 1-row member/bit/probe counts × broadcast, assembled
+    "q333_simpson_audit",      // 3-row stratum frame × broadcast(1-row overall cov)
+    "q334_changepoint",        // day frame × broadcast(1-row totals)
+    "q335_srm_audit",          // 1-row user counts × broadcast(1-row event counts)
+    "q336_negative_sampling",  // 50-row head × broadcast(1-row normalizer)
+    "q337_fano_burstiness")    // 5-row type frame × broadcast(1-row hour span)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -153,13 +158,25 @@ class PlanGuardSpec extends SparkSuite {
               if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
             // a global sort-window is scale-safe only when its input is
             // already collapsed: an aggregate frame (value-cardinality
-            // histograms, rollups) or an explicitly bounded one (top-k)
-            val collapsed = w.child.collectFirst {
-              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-              case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
-              case l: org.apache.spark.sql.execution.GlobalLimitExec => l
-            }.nonEmpty
-            if (collapsed) None else Some(s"$name: $w")
+            // histograms, rollups) or an explicitly bounded one (top-k).
+            // A Staged (cached) frame hides its producer behind an
+            // InMemoryTableScan; the cached plan is still right there —
+            // recurse into it, the guarantee is identical.
+            def collapsed(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+              p.collectFirst {
+                case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+                case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+                case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+                case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+                    if collapsed(m.relation.cachedPlan match {
+                      // AQE wraps the cached plan; the inner plan is a
+                      // field, not a child, so collect needs the unwrap
+                      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                        a.inputPlan
+                      case p => p
+                    }) => m
+              }.nonEmpty
+            if (collapsed(w.child)) None else Some(s"$name: $w")
         }.flatten
       case _ => Nil
     }
