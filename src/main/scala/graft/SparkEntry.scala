@@ -56,7 +56,8 @@ object SparkEntry {
       graft.queries.Wave45Queries.queries ++ graft.queries.Wave46Queries.queries ++
       graft.queries.Wave47Queries.queries ++ graft.queries.Wave48Queries.queries ++
       graft.queries.Wave49Queries.queries ++ graft.queries.Wave50Queries.queries ++
-      graft.queries.Wave51Queries.queries ++ graft.queries.Wave52Queries.queries
+      graft.queries.Wave51Queries.queries ++ graft.queries.Wave52Queries.queries ++
+      graft.queries.Wave53Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -87,5 +88,6 @@ object SparkEntry {
       graft.queries.Wave45Queries.oracle ++ graft.queries.Wave46Queries.oracle ++
       graft.queries.Wave47Queries.oracle ++ graft.queries.Wave48Queries.oracle ++
       graft.queries.Wave49Queries.oracle ++ graft.queries.Wave50Queries.oracle ++
-      graft.queries.Wave51Queries.oracle ++ graft.queries.Wave52Queries.oracle
+      graft.queries.Wave51Queries.oracle ++ graft.queries.Wave52Queries.oracle ++
+      graft.queries.Wave53Queries.oracle
 }

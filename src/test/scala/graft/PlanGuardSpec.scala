@@ -88,7 +88,10 @@ class PlanGuardSpec extends SparkSuite {
     "q334_changepoint",        // day frame × broadcast(1-row totals)
     "q335_srm_audit",          // 1-row user counts × broadcast(1-row event counts)
     "q336_negative_sampling",  // 50-row head × broadcast(1-row normalizer)
-    "q337_fano_burstiness")    // 5-row type frame × broadcast(1-row hour span)
+    "q337_fano_burstiness",    // 5-row type frame × broadcast(1-row hour span)
+    "q338_seasonal_strength",  // 1-row residual moments × broadcast(1-row totals)
+    "q340_hill_tail_index",    // 100-row head × broadcast(1-row threshold)
+    "q341_james_stein")        // source frame × broadcast(1-row grand/within/between masses)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -27,7 +27,20 @@ if "--json" in sys.argv:
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata ships single files; ScaleGen corpora are
+    # Spark-written directories of part files — read either layout
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+    # events.ts ships under several physical encodings (TESTDATA/ScaleGen);
+    # graft.Tables.events normalizes all of them to TIMESTAMP via
+    # `timestamp_micros(ts div 1000)` on the raw-nanos layout — mirror
+    # that here or every ts-surfacing oracle dtype-mismatches at sf1
+    if name == "events":
+        t = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+        if t and t[0] == "BIGINT":
+            con.execute(
+                f"CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 n_pass = n_fail = n_ulp = 0
