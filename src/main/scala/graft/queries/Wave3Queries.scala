@@ -176,7 +176,11 @@ object Wave3Queries {
         min(struct((-$"q").as("nq"), $"doc_id")).as("best"))
       .select($"component_id", $"n_members",
         $"best.doc_id".as("keep_id"),
-        round(-$"best.nq", 6).as("best_q"))
+        // floor-on-scaled, not round(): the quality ratio lands on 6-dp
+        // half-boundaries at sf1 (27 of 50k docs), where Spark's HALF_UP
+        // on the shortest decimal form diverges from DuckDB's
+        // exact-binary round — caught by the round-13 sf1 oracle gate
+        (floor(-$"best.nq" * 1e6) / 1e6).as("best_q"))
       .orderBy($"component_id")
   }
 
@@ -628,7 +632,7 @@ object Wave3Queries {
         |      ORDER BY q DESC, doc_id) AS rn,
         |    count(*) OVER (PARTITION BY component_id) AS n_members FROM j)
         |SELECT component_id, CAST(n_members AS BIGINT) AS n_members,
-        |  doc_id AS keep_id, round(q, 6) AS best_q
+        |  doc_id AS keep_id, floor(q * 1e6) / 1e6 AS best_q
         |FROM r WHERE rn = 1 ORDER BY component_id""".stripMargin,
     "q118_kanon" ->
       """WITH r AS (SELECT lang, source, count(*) AS n_rows,

@@ -13,16 +13,27 @@ answer; the scale gate treats it as a pass but records it separately so a
 real divergence (q236-style overflow, dropped rows, wrong join) can never
 hide behind the float class.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json out.json]
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+         [--json out.json] [--only q121,q294]
+
+--only re-checks just the named query prefixes; with --json it MERGES
+into an existing artifact (post-fix re-verification without recomputing
+every oracle).
 """
 import sys, json, glob, os, time
 import duckdb
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+flag_vals = {"--json", "--only"}
+args = [a for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--") and sys.argv[i - 1] not in flag_vals]
 sf_dir, out_dir = args[0], args[1]
 json_out = None
 if "--json" in sys.argv:
     json_out = sys.argv[sys.argv.index("--json") + 1]
+only = None
+if "--only" in sys.argv:
+    only = [p.strip() for p in
+            sys.argv[sys.argv.index("--only") + 1].split(",") if p.strip()]
 
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -48,6 +59,8 @@ record = {}
 for qname in sorted(os.listdir(out_dir)):
     qdir = os.path.join(out_dir, qname)
     if not os.path.isdir(qdir):
+        continue
+    if only is not None and not any(qname.startswith(p) for p in only):
         continue
     t0 = time.time()
     got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
@@ -113,8 +126,17 @@ for qname in sorted(os.listdir(out_dir)):
                          "detail": "; ".join(status[:4])}
 print(f"passed {n_pass}, ulp {n_ulp}, failed {n_fail}")
 if json_out:
-    top = {"sf_dir": sf_dir, "n_pass": n_pass, "n_ulp": n_ulp,
-           "n_fail": n_fail,
+    if only is not None and os.path.exists(json_out):
+        # merge mode: overwrite just the re-checked entries of the
+        # existing artifact and recompute its counters
+        prior = json.load(open(json_out))
+        merged = dict(prior.get("queries", {}))
+        merged.update(record)
+        record = merged
+    top = {"sf_dir": sf_dir,
+           "n_pass": sum(1 for v in record.values() if v["status"] == "ok"),
+           "n_ulp": sum(1 for v in record.values() if v["status"] == "ulp"),
+           "n_fail": sum(1 for v in record.values() if v["status"] == "fail"),
            "n_rows_only": sum(1 for v in record.values()
                               if v["status"] == "rows_only"),
            "queries": record}
