@@ -91,7 +91,10 @@ class PlanGuardSpec extends SparkSuite {
     "q337_fano_burstiness",    // 5-row type frame × broadcast(1-row hour span)
     "q338_seasonal_strength",  // 1-row residual moments × broadcast(1-row totals)
     "q340_hill_tail_index",    // 100-row head × broadcast(1-row threshold)
-    "q341_james_stein")        // source frame × broadcast(1-row grand/within/between masses)
+    "q341_james_stein",        // source frame × broadcast(1-row grand/within/between masses)
+    "q343_good_turing",        // 6-row freq-of-freqs × broadcast(1-row total)
+    "q344_burrows_delta",      // source frame × broadcast(20-row top-token frame)
+    "q346_quantile_drift_bands") // month bands × broadcast(1-row global band)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

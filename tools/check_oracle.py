@@ -14,16 +14,21 @@ real divergence (q236-style overflow, dropped rows, wrong join) can never
 hide behind the float class.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
-         [--json out.json] [--only q121,q294]
+         [--json out.json] [--only q121,q294] [--timeout secs]
 
 --only re-checks just the named query prefixes; with --json it MERGES
 into an existing artifact (post-fix re-verification without recomputing
-every oracle).
+every oracle). --timeout interrupts any single DuckDB oracle after the
+given seconds and records status "timeout" (counted apart from fail):
+at sf1 the deliberately-quadratic pair-family derivations can take
+DuckDB hours that the store-backed Spark side amortizes away — a
+timeout there is a cost statement about the ORACLE, not a correctness
+verdict about the engine.
 """
-import sys, json, glob, os, time
+import sys, json, glob, os, time, threading
 import duckdb
 
-flag_vals = {"--json", "--only"}
+flag_vals = {"--json", "--only", "--timeout"}
 args = [a for i, a in enumerate(sys.argv[1:], 1)
         if not a.startswith("--") and sys.argv[i - 1] not in flag_vals]
 sf_dir, out_dir = args[0], args[1]
@@ -34,6 +39,9 @@ only = None
 if "--only" in sys.argv:
     only = [p.strip() for p in
             sys.argv[sys.argv.index("--only") + 1].split(",") if p.strip()]
+timeout_s = None
+if "--timeout" in sys.argv:
+    timeout_s = float(sys.argv[sys.argv.index("--timeout") + 1])
 
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -70,15 +78,31 @@ for qname in sorted(os.listdir(out_dir)):
         record[qname] = {"status": "rows_only", "rows": len(got),
                          "secs": round(time.time() - t0, 2)}
         continue
+    timer = None
+    timed_out = [False]
+    if timeout_s:
+        def _interrupt():
+            timed_out[0] = True
+            con.interrupt()
+        timer = threading.Timer(timeout_s, _interrupt)
+        timer.start()
     try:
         exp = con.execute(oracle[qname]).fetchdf()
     except Exception as e:
-        n_fail += 1
-        print(f"  [FAIL] {qname}: oracle error {e}")
-        record[qname] = {"status": "fail", "rows": len(got),
-                         "detail": f"oracle error: {e}",
-                         "secs": round(time.time() - t0, 2)}
+        if timed_out[0]:
+            print(f"  [timeout] {qname}: oracle exceeded {timeout_s}s")
+            record[qname] = {"status": "timeout", "rows": len(got),
+                             "secs": round(time.time() - t0, 2)}
+        else:
+            n_fail += 1
+            print(f"  [FAIL] {qname}: oracle error {e}")
+            record[qname] = {"status": "fail", "rows": len(got),
+                             "detail": f"oracle error: {e}",
+                             "secs": round(time.time() - t0, 2)}
         continue
+    finally:
+        if timer is not None:
+            timer.cancel()
     exp = exp[sorted(exp.columns)]
     status = []
     float_only = True          # every mismatch so far is a float column
@@ -124,7 +148,8 @@ for qname in sorted(os.listdir(out_dir)):
         print(f"  [FAIL] {qname}: " + "; ".join(status[:4]))
         record[qname] = {"status": "fail", "rows": len(got), "secs": secs,
                          "detail": "; ".join(status[:4])}
-print(f"passed {n_pass}, ulp {n_ulp}, failed {n_fail}")
+n_to = sum(1 for v in record.values() if v["status"] == "timeout")
+print(f"passed {n_pass}, ulp {n_ulp}, timeout {n_to}, failed {n_fail}")
 if json_out:
     if only is not None and os.path.exists(json_out):
         # merge mode: overwrite just the re-checked entries of the
@@ -139,6 +164,8 @@ if json_out:
            "n_fail": sum(1 for v in record.values() if v["status"] == "fail"),
            "n_rows_only": sum(1 for v in record.values()
                               if v["status"] == "rows_only"),
+           "n_timeout": sum(1 for v in record.values()
+                            if v["status"] == "timeout"),
            "queries": record}
     json.dump(top, open(json_out, "w"), indent=0, separators=(",", ":"))
     print(f"wrote {json_out}")
