@@ -33,9 +33,12 @@ object Wave29Queries {
     Stores.docPairs(s, d)
       .select(floor($"jaccard" * 20).cast("int").as("band"), $"jaccard")
       .groupBy($"band")
+      // floor-on-scaled, not round(.,9): exact-rational jaccards land on
+      // 9-dp half-boundaries at sf1 (caught by the round-13 sf1 oracle
+      // gate); per-element floor to 1e-9 longs keeps the sum integral
       .agg(count(lit(1)).cast("long").as("n_pairs"),
-        round((sum(round($"jaccard", 9).cast(Dec)) / count(lit(1)))
-          .cast("double"), 9).as("mean_jaccard"))
+        (floor(sum(floor($"jaccard" * 1e9)) /
+          count(lit(1)).cast("double")) / 1e9).as("mean_jaccard"))
       .withColumn("band_lo", round($"band" / 20.0, 2))
       .select($"band", $"band_lo", $"n_pairs", $"mean_jaccard")
       .orderBy($"band")
@@ -204,9 +207,10 @@ object Wave29Queries {
         $"source".as("source_b")), Seq("doc_b"))
       .groupBy(($"lang_a" === $"lang_b").as("same_lang"),
         ($"source_a" === $"source_b").as("same_source"))
+      // same floor-on-scaled discipline as q221 (9-dp boundary hazard)
       .agg(count(lit(1)).cast("long").as("n_pairs"),
-        round((sum(round($"jaccard", 9).cast(Dec)) / count(lit(1)))
-          .cast("double"), 9).as("mean_jaccard"))
+        (floor(sum(floor($"jaccard" * 1e9)) /
+          count(lit(1)).cast("double")) / 1e9).as("mean_jaccard"))
       .orderBy($"same_lang", $"same_source")
   }
 
@@ -319,8 +323,8 @@ object Wave29Queries {
         |SELECT CAST(floor(jaccard * 20) AS INTEGER) AS band,
         |  round(CAST(floor(jaccard * 20) AS INTEGER) / 20.0, 2) AS band_lo,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  round(CAST(sum(CAST(round(jaccard, 9) AS DECIMAL(28,12)))
-        |    / count(*) AS DOUBLE), 9) AS mean_jaccard
+        |  floor(CAST(sum(CAST(floor(jaccard * 1e9) AS BIGINT))
+        |    AS DOUBLE) / count(*)) / 1e9 AS mean_jaccard
         |FROM pairs GROUP BY 1, 2 ORDER BY band""".stripMargin),
     "q222_local_supplier_volume" ->
       s"""SELECT n.n_name,
@@ -396,8 +400,8 @@ object Wave29Queries {
         |SELECT da.lang = db.lang AS same_lang,
         |  da.source = db.source AS same_source,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  round(CAST(sum(CAST(round(jaccard, 9) AS DECIMAL(28,12)))
-        |    / count(*) AS DOUBLE), 9) AS mean_jaccard
+        |  floor(CAST(sum(CAST(floor(jaccard * 1e9) AS BIGINT))
+        |    AS DOUBLE) / count(*)) / 1e9 AS mean_jaccard
         |FROM pairs
         |JOIN documents da ON pairs.doc_a = da.doc_id
         |JOIN documents db ON pairs.doc_b = db.doc_id

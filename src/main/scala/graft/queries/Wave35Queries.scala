@@ -44,7 +44,10 @@ object Wave35Queries {
       .select($"p_partkey", $"p_name")
     Tables.lineitem(s, d)
       .groupBy($"l_partkey", $"l_suppkey")
-      .agg(min(round($"l_extendedprice" / $"l_quantity", 4)).as("unit_cost"))
+      // floor-on-scaled: price/qty rationals (qty ≤ 50) land on 4-dp
+      // half-boundaries at sf1 — the round() cross-engine hazard class
+      .agg(min(floor($"l_extendedprice" / $"l_quantity" * 1e4) / 1e4)
+        .as("unit_cost"))
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
       .join(broadcast(euroSupp), $"l_suppkey" === $"s_suppkey")
       .withColumn("__min", min($"unit_cost").over(Window.partitionBy($"p_partkey")))
@@ -251,7 +254,8 @@ object Wave35Queries {
         |pp AS (SELECT p_partkey, p_name FROM part
         |  WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20),
         |cost AS (SELECT l_partkey, l_suppkey,
-        |    min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+        |    min(floor(l_extendedprice / l_quantity * 1e4) / 1e4)
+        |      AS unit_cost
         |  FROM lineitem GROUP BY 1, 2),
         |o AS (SELECT pp.p_partkey, pp.p_name, es.s_suppkey, es.s_name,
         |    es.n_name, cost.unit_cost,
