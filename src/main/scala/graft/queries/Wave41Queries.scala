@@ -33,29 +33,35 @@ object Wave41Queries {
     val wc = Text.tokenCount($"text")
     val awl = Text.sumTokenLen($"text") / wc
     val stopRatio = Text.stopwordCount($"text") / wc
+    // the per-doc score rides as an INTEGER grid value (floor of the
+    // bit-identical raw double × 1e6): a 6-dp round() here and in the
+    // oracle disagreed at half-boundaries (sf0.3 slice-check catch),
+    // and two floored DOUBLES can't safely re-derive the integer —
+    // floor((k/1e6)·1e6) loses a cell when the double sits below k
     val base = Tables.documents(s, d)
       .select($"doc_id", wc.cast("long").as("n_tok"),
-        round(Text.qualityScore(wc, stopRatio, awl), 6).as("q"))
+        floor(Text.qualityScore(wc, stopRatio, awl) * 1e6).cast("long")
+          .as("qq"))
       .join(Stores.docClusters(s, d), Seq("doc_id"), "left")
       .withColumn("component_id", coalesce($"component_id", $"doc_id"))
     val reps = base.groupBy($"component_id")
       .agg(
-        min(struct($"doc_id", $"n_tok", $"q")).as("by_id"),
-        min(struct(-$"n_tok".as("neg"), $"doc_id", $"n_tok", $"q")).as("by_len"),
-        min(struct(-$"q".as("negq"), $"doc_id", $"n_tok", $"q")).as("by_q"))
+        min(struct($"doc_id", $"n_tok", $"qq")).as("by_id"),
+        min(struct(-$"n_tok".as("neg"), $"doc_id", $"n_tok", $"qq")).as("by_len"),
+        min(struct(-$"qq".as("negq"), $"doc_id", $"n_tok", $"qq")).as("by_q"))
     val rows = Seq(
       struct(lit("best_quality").as("strategy"),
-        $"by_q.n_tok".as("n_tok"), $"by_q.q".as("q")),
+        $"by_q.n_tok".as("n_tok"), $"by_q.qq".as("qq")),
       struct(lit("longest").as("strategy"),
-        $"by_len.n_tok".as("n_tok"), $"by_len.q".as("q")),
+        $"by_len.n_tok".as("n_tok"), $"by_len.qq".as("qq")),
       struct(lit("min_id").as("strategy"),
-        $"by_id.n_tok".as("n_tok"), $"by_id.q".as("q")))
+        $"by_id.n_tok".as("n_tok"), $"by_id.qq".as("qq")))
     reps.select(explode(array(rows: _*)).as("r"))
       .groupBy($"r.strategy".as("strategy"))
       .agg(count(lit(1)).cast("long").as("n_clusters"),
         sum($"r.n_tok").cast("long").as("retained_tokens"),
-        round(sum($"r.q".cast("decimal(28,6)")).cast("double") /
-          count(lit(1)), 9).as("mean_rep_quality"))
+        (floor(sum($"r.qq") / count(lit(1)).cast("double") * 1e3) / 1e9)
+          .as("mean_rep_quality"))
       .orderBy($"strategy")
   }
 
@@ -175,27 +181,28 @@ object Wave41Queries {
        |      x -> list_contains($stopList10, x))) AS INTEGER) AS n_stop
        |  FROM documents),
        |sc AS (SELECT doc_id, CAST(word_count AS BIGINT) AS n_tok,
-       |    round(least(1.0, word_count / 100.0) * 0.4
+       |    CAST(floor((least(1.0, word_count / 100.0) * 0.4
        |      + (1.0 - n_stop / word_count) * 0.3
-       |      + least(1.0, (sum_len / word_count) / 8.0) * 0.3, 6) AS q
+       |      + least(1.0, (sum_len / word_count) / 8.0) * 0.3) * 1e6)
+       |      AS BIGINT) AS qq
        |  FROM m),
        |j AS (SELECT sc.doc_id, coalesce(cc.component_id, sc.doc_id)
-       |    AS component_id, sc.n_tok, sc.q
+       |    AS component_id, sc.n_tok, sc.qq
        |  FROM sc LEFT JOIN cc USING (doc_id))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q289_rep_policy_comparison" -> {
       val strategies = Seq(
-        ("best_quality", "ORDER BY q DESC, doc_id"),
+        ("best_quality", "ORDER BY qq DESC, doc_id"),
         ("longest", "ORDER BY n_tok DESC, doc_id"),
         ("min_id", "ORDER BY doc_id"))
       val perS = strategies.map { case (name, ord) =>
         s"""SELECT '$name' AS strategy,
            |  CAST(count(*) AS BIGINT) AS n_clusters,
            |  CAST(sum(n_tok) AS BIGINT) AS retained_tokens,
-           |  round(CAST(sum(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / count(*), 9)
-           |    AS mean_rep_quality
-           |FROM (SELECT component_id, n_tok, q,
+           |  floor(CAST(sum(qq) AS DOUBLE)
+           |    / count(*) * 1e3) / 1e9 AS mean_rep_quality
+           |FROM (SELECT component_id, n_tok, qq,
            |    row_number() OVER (PARTITION BY component_id $ord) AS rn
            |  FROM j) x WHERE rn = 1""".stripMargin
       }.mkString("\nUNION ALL\n")
