@@ -94,7 +94,10 @@ class PlanGuardSpec extends SparkSuite {
     "q341_james_stein",        // source frame × broadcast(1-row grand/within/between masses)
     "q343_good_turing",        // 6-row freq-of-freqs × broadcast(1-row total)
     "q344_burrows_delta",      // source frame × broadcast(20-row top-token frame)
-    "q346_quantile_drift_bands") // month bands × broadcast(1-row global band)
+    "q346_quantile_drift_bands", // month bands × broadcast(1-row global band)
+    "q348_friedman_test",      // 1-row rank pivot × broadcast(1-row n/ties)
+    "q349_sprt_boundary",      // 1-row walk tail × broadcast(1-row first crossing)
+    "q350_theil_decomposition") // doc scan × broadcast(1-row totals)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
