@@ -97,7 +97,8 @@ class PlanGuardSpec extends SparkSuite {
     "q346_quantile_drift_bands", // month bands × broadcast(1-row global band)
     "q348_friedman_test",      // 1-row rank pivot × broadcast(1-row n/ties)
     "q349_sprt_boundary",      // 1-row walk tail × broadcast(1-row first crossing)
-    "q350_theil_decomposition") // doc scan × broadcast(1-row totals)
+    "q350_theil_decomposition", // doc scan × broadcast(1-row totals)
+    "q355_neyman_allocation")  // source frame × broadcast(1-row budget normalizer)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
