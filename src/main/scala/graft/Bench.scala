@@ -275,14 +275,22 @@ object Bench {
     // `"contended": true` so a polluted recording is self-diagnosing.
     // Guard on WALL time of the whole sweep, not the sum of successful
     // durations — failed-but-slow queries and clearCache overhead count.
-    // default sized for the CURRENT surface at sf0.1: 123 queries sweep in
-    // ~170-190 s cold on an idle host, so 180 (the 100-query sizing) now
-    // trips on every run and forces a partial second sweep; 300 keeps a
-    // clean host comfortably inside a full min-of-two while still bounding
-    // a contended run's wall at ~450 s (sweep 1 + capped partial sweep 2)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
-    val contended = firstWallSec > budgetSec
+    // budget derived from the COMMITTED steady record, not a fixed
+    // constant: a fixed default decays into a surface-size alarm — the
+    // r13 recording self-flagged `contended: true` purely because an
+    // honest 355-query sweep (~324 s) can never fit the 180 s set when
+    // the surface was ~60 queries. 3 × Σ steady_state[sf] tracks the
+    // surface as it grows (sweep-1 cold cost runs ~1.5-2× the steady
+    // min-of-two total, so 3× flags only genuine host noise), with a
+    // 300 s floor for scales without a committed record. The env var
+    // stays an explicit override.
     val steady = loadSteadyState(sfDir)
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
+      .getOrElse {
+        val steadySum = steady.values.filter(_ > 0).sum
+        math.max(300.0, 3.0 * steadySum)
+      }
+    val contended = firstWallSec > budgetSec
     val sweep2Start = System.nanoTime()
     val second: Map[String, Double] =
       (if (!contended) sweep(spark, sfDir)

@@ -81,7 +81,27 @@ object GoldSoak {
       "hdfs" -> PipelineConfig.DefaultProvider,
       "rocksdb" -> PipelineConfig.RocksDbProvider)
 
-    val records = providers.map { case (label, provider) =>
+    // true first-batch durations, captured AS BATCHES COMPLETE via a
+    // listener: recentProgress retains only the newest
+    // numRecentProgressUpdates entries, so for a tier exceeding that cap
+    // `recentProgress.headOption` is a steady-state batch, not the first —
+    // skewing exactly the warmup/steady split the field exists to provide
+    val firstBatchMs =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        Option(e.progress.durationMs.get("triggerExecution")).foreach { ms =>
+          firstBatchMs.putIfAbsent(e.progress.id, ms)
+        }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    val records = try providers.map { case (label, provider) =>
       val root = s"$work/$label"
       val cfg = PipelineConfig(
         landingRoot = landing,
@@ -112,10 +132,15 @@ object GoldSoak {
           .map(_.toString)).distinct.sorted
         // first micro-batch of each query carries codegen/classload
         // warmup; report it apart so steady rows/s is computable
-        val firstMs = qs.flatMap(_.recentProgress.headOption).flatMap(p =>
-          Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
-        val phases = phaseKeys.map(k => s""""$k":${sumKey(k)}""")
-          .mkString("{", ",", s""","firstBatchTriggerMs":$firstMs}""")
+        // (listener-captured — retention-proof; see firstBatchMs above)
+        val firstMs = qs.flatMap(q => Option(firstBatchMs.get(q.id)))
+          .map(_.toLong).sum
+        // one Seq including the firstBatch entry, so an empty phaseKeys
+        // (a tier with zero progress entries) still yields valid JSON
+        // instead of the {,"firstBatchTriggerMs":...} corruption
+        val phases = (phaseKeys.map(k => s""""$k":${sumKey(k)}""") :+
+          s""""firstBatchTriggerMs":$firstMs""")
+          .mkString("{", ",", "}")
         (rows, ms / 1000.0, progress.length, phases)
       }
       val t0 = System.nanoTime()
@@ -175,7 +200,7 @@ object GoldSoak {
           s""""gold_out_rows":$goldRows,"gold_out_hash":$goldHash}"""
       println(s"[gold-soak] $rec")
       (label, goldRows, goldHash, rec)
-    }
+    } finally spark.streams.removeListener(listener)
 
     val Seq(h, r) = records
     val equal = h._2 == r._2 && h._3 == r._3

@@ -27,6 +27,7 @@ verdict about the engine.
 """
 import sys, json, glob, os, time, threading
 import duckdb
+import numpy as np
 
 flag_vals = {"--json", "--only", "--timeout"}
 args = [a for i, a in enumerate(sys.argv[1:], 1)
@@ -71,7 +72,18 @@ for qname in sorted(os.listdir(out_dir)):
     if only is not None and not any(qname.startswith(p) for p in only):
         continue
     t0 = time.time()
-    got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
+    # the fetch itself can fail (corrupt dump, or a stray interrupt from a
+    # racing timeout timer of the PREVIOUS query) — record a fail rather
+    # than crashing the whole run
+    try:
+        got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
+    except Exception as e:
+        n_fail += 1
+        print(f"  [FAIL] {qname}: result fetch error {e}")
+        record[qname] = {"status": "fail", "rows": -1,
+                         "detail": f"result fetch error: {e}",
+                         "secs": round(time.time() - t0, 2)}
+        continue
     got = got[sorted(got.columns)]
     if qname not in oracle:
         print(f"  [rows-only] {qname}: {len(got)} rows")
@@ -80,10 +92,18 @@ for qname in sorted(os.listdir(out_dir)):
         continue
     timer = None
     timed_out = [False]
+    # the timer may fire AFTER the oracle returned but BEFORE cancel() —
+    # con.interrupt() would then abort the NEXT DuckDB call. Guard the
+    # interrupt with a still-running flag flipped under a lock before
+    # cancel, so a late timer becomes a no-op instead of a stray abort.
+    run_lock = threading.Lock()
+    running = [True]
     if timeout_s:
         def _interrupt():
-            timed_out[0] = True
-            con.interrupt()
+            with run_lock:
+                if running[0]:
+                    timed_out[0] = True
+                    con.interrupt()
         timer = threading.Timer(timeout_s, _interrupt)
         timer.start()
     try:
@@ -101,6 +121,8 @@ for qname in sorted(os.listdir(out_dir)):
                              "secs": round(time.time() - t0, 2)}
         continue
     finally:
+        with run_lock:
+            running[0] = False
         if timer is not None:
             timer.cancel()
     exp = exp[sorted(exp.columns)]
@@ -127,8 +149,18 @@ for qname in sorted(os.listdir(out_dir)):
                               f" ({int(neq.sum())} diffs)")
                 if str(a.dtype).startswith("float"):
                     d = (a[neq] - b[neq]).abs()
-                    scale = b[neq].abs().clip(lower=1e-300)
-                    worst_rel = max(worst_rel, float((d / scale).max()))
+                    # a NaN/inf-vs-finite divergence must NEVER pass as
+                    # 'ulp': (a-b) is NaN there, pandas .max() skips NaN,
+                    # and worst_rel would stay 0 — exactly the real
+                    # divergence the class is documented to never hide.
+                    # Treat any NaN-pattern mismatch or non-finite diff
+                    # as a hard mismatch.
+                    if bool(((a[neq].isna() != b[neq].isna())
+                             | ~np.isfinite(d.fillna(np.inf))).any()):
+                        float_only = False
+                    else:
+                        scale = b[neq].abs().clip(lower=1e-300)
+                        worst_rel = max(worst_rel, float((d / scale).max()))
                 else:
                     float_only = False
     secs = round(time.time() - t0, 2)
@@ -150,6 +182,11 @@ for qname in sorted(os.listdir(out_dir)):
                          "detail": "; ".join(status[:4])}
 n_to = sum(1 for v in record.values() if v["status"] == "timeout")
 print(f"passed {n_pass}, ulp {n_ulp}, timeout {n_to}, failed {n_fail}")
+# the exit code (and the artifact's counters) must reflect the WHOLE
+# merged record, not just this run's slice: a partial --only re-check
+# that leaves standing 'fail' entries in the artifact must still exit 1,
+# or a post-fix re-verification can green-light a gate with old failures.
+exit_fail = n_fail
 if json_out:
     if only is not None and os.path.exists(json_out):
         # merge mode: overwrite just the re-checked entries of the
@@ -168,5 +205,9 @@ if json_out:
                             if v["status"] == "timeout"),
            "queries": record}
     json.dump(top, open(json_out, "w"), indent=0, separators=(",", ":"))
+    exit_fail = top["n_fail"]
+    if only is not None:
+        print(f"merged totals: pass {top['n_pass']}, ulp {top['n_ulp']}, "
+              f"timeout {top['n_timeout']}, failed {top['n_fail']}")
     print(f"wrote {json_out}")
-sys.exit(1 if n_fail else 0)
+sys.exit(1 if exit_fail else 0)
