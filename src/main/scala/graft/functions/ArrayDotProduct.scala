@@ -99,6 +99,7 @@ object GraftFunctions {
     "simhash_sig" -> (exprs => SimHashSignature(exprs(0))),
     "array_top_count" -> (exprs => ArrayTopCount(exprs(0))),
     "winnow_fps" -> literalIntBuilder("winnow_fps", "w")(WinnowFingerprints.apply),
+    "ngram_hashes" -> literalIntBuilder("ngram_hashes", "n")(NgramHashes.apply),
     "token_entropy" -> (exprs => TokenEntropy(exprs(0))),
     "topk_freq" -> { exprs =>
       if (exprs.length != 3)
@@ -107,6 +108,25 @@ object GraftFunctions {
       FrequentItemsSketch(exprs(0),
         evalIntLiteral("topk_freq", "capacity", exprs(1)),
         evalIntLiteral("topk_freq", "k", exprs(2)))
+    },
+    // (id string col, seed string literal, b int literal) — the Poisson
+    // bootstrap's per-row replicate weight vector; seed and b are draw
+    // parameters fixed at analysis time, never per-row data
+    "bootstrap_weights" -> { exprs =>
+      if (exprs.length != 3)
+        throw new IllegalArgumentException(
+          s"bootstrap_weights expects 3 arguments (string col, seed literal, b literal), got ${exprs.length}")
+      if (!exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "bootstrap_weights: seed must be a foldable string literal")
+      val seed = exprs(1).eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          "bootstrap_weights: seed must be a non-null string literal, got " +
+            (if (other == null) "NULL" else other.toString))
+      }
+      BootstrapWeights(exprs(0), seed,
+        evalIntLiteral("bootstrap_weights", "b", exprs(2)))
     },
     // Spark's own runtime-filter probe expression (codegen-resident,
     // deserializes the sketch once per codegen instance), surfaced as a
@@ -150,11 +170,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "simhash_sig" -> classOf[SimHashSignature].getName,
     "array_top_count" -> classOf[ArrayTopCount].getName,
     "winnow_fps" -> classOf[WinnowFingerprints].getName,
+    "ngram_hashes" -> classOf[NgramHashes].getName,
     "token_entropy" -> classOf[TokenEntropy].getName,
     "topk_freq" -> classOf[FrequentItemsSketch].getName,
     "bloom_might_contain" ->
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-    "bpe_encode" -> classOf[BpeEncode].getName)
+    "bpe_encode" -> classOf[BpeEncode].getName,
+    "bootstrap_weights" -> classOf[BootstrapWeights].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.builders.foreach { case (name, builder) =>

@@ -326,22 +326,24 @@ object Sampling {
     * over b replicate means — both deterministic. Output: one row with
     * the point mean, ci_lo (2.5%), ci_hi (97.5%).
     *
-    * Shape: one b-way explode (b·N rows scanned once, the bootstrap's
-    * inherent cost), two-phase integer aggregate per replicate (b groups),
-    * then a percentile over the b-row frame. */
+    * Shape: ONE map-side native weight-vector call per row
+    * ([[graft.functions.BootstrapWeights]], bit-identical to the
+    * composed md5 form — BootstrapWeightsSpec pins the equality), then a
+    * `posexplode` of the in-memory array feeding a map-side partial
+    * aggregate (b groups). The b·N term still exists — it is the
+    * bootstrap's inherent cost — but as a cheap array explode of
+    * precomputed longs, NOT b string-hash projections of the corpus:
+    * the md5/hex/conv work that used to run per (row, replicate) now
+    * runs per row. */
   def poissonBootstrapCI(df: DataFrame, idCol: String, valueCol: String,
                          b: Int, seed: String): DataFrame = {
     require(b >= 2, s"need at least 2 replicates: $b")
-    val u = (Shard.orderKey(
-      concat_ws(" ", lit(seed), col("rep"), col(idCol)), "bs") + 0.5)
-      .cast("double") / lit(1152921504606846976.0)
-    val w = poisson1Cum.zipWithIndex
-      .foldRight(lit(6): Column) { case ((c, k), acc) =>
-        when(u < c, k).otherwise(acc) }
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val reps = df
-      .select(col(idCol), col(valueCol).cast("long").as("__x"),
-        explode(sequence(lit(0), lit(b - 1))).as("rep"))
-      .withColumn("__w", w.cast("long"))
+      .select(col(valueCol).cast("long").as("__x"),
+        call_function("bootstrap_weights",
+          col(idCol).cast("string"), lit(seed), lit(b)).as("__ws"))
+      .select($"__x", posexplode($"__ws").as(Seq("rep", "__w")))
       .groupBy(col("rep"))
       .agg(sum(col("__w") * col("__x")).as("swx"), sum(col("__w")).as("sw"))
       .select(($"swx".cast("double") / $"sw").as("rep_mean"))

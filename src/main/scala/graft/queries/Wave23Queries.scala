@@ -62,37 +62,51 @@ object Wave23Queries {
   }
 
   /** Per-user inter-event regularity — the bot-traffic screen: humans
-    * produce bursty gaps (coefficient of variation ≳ 1), schedulers
-    * produce metronomic ones (CV ≈ 0). Exact epoch-micro lag gaps
-    * (q189's ordering: ts, event_id tie-break), 6 dp gap seconds,
-    * decimal-exact Σg and Σg² — mean, population CV, and the flag at
-    * CV < 0.3 with ≥ 5 gaps. One window pass + one aggregate; state is
-    * per-user scalars, never the event list. */
+    * produce bursty gaps (squared coefficient of variation ≳ 1),
+    * schedulers produce metronomic ones (CV² ≈ 0). Exact epoch-micro lag
+    * gaps (q189's ordering: ts, event_id tie-break), decimal-exact Σg
+    * and Σg², and — the round-14 integer-grid rewrite (q289's
+    * discipline) — every reported value is an exact integer HALF_UP
+    * division ON THE DECIMALS, cast to double only from an exactly
+    * representable scaled integer. The pre-r14 form reported
+    * CV = √(var)/mean from doubles cast off wide decimals; DuckDB casts
+    * its int128 decimals to double differently than the JVM in the last
+    * bit, which left this query in the sf1 oracle's `ulp` class. CV²
+    * (the variance-to-mean-squared ratio) carries the identical
+    * regularity ordering with NO irrational op, so the grid is exact:
+    * mean_gap_s = (2000·Σg + n) div (2n) / 1e9 (HALF_UP at 9 dp),
+    * cv2_gap = (2·10⁶·num + den) div (2·den) / 1e6 (HALF_UP at 6 dp)
+    * with num = n·Σg² − (Σg)², den = (Σg)². The flag threshold
+    * CV < 0.3 becomes the EXACT integer comparison 100·num < 9·den.
+    * Overflow headroom: gaps are bounded by the corpus time range
+    * (~2.6e12 µs), so num ≤ n·Σg·max_g ≤ 1e4·6.8e24 and the 2·10⁶
+    * scaling stays under DECIMAL(38) even at 100× this corpus.
+    * One window pass + one aggregate; state is per-user scalars, never
+    * the event list. */
   private val q204: Q = (s, d) => {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    // gaps stay EXACT integer micros through both sums (Σg and Σg² as
-    // wide decimals — no 6 dp intermediate rounding, whose half-way
-    // boundaries round differently across engines); the only float ops
-    // are the final divisions, identical expression trees on both sides
     val g = Tables.events(s, d)
       .withColumn("__g",
         unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
     val agg = g.groupBy($"user_id")
       .agg(count(lit(1)).cast("long").as("n_events"),
         count($"__g").cast("long").as("n_gaps"),
-        sum($"__g".cast("decimal(38,0)")).cast("double").as("__sg"),
+        sum($"__g".cast("decimal(38,0)")).as("__sg"),
         sum($"__g".cast("decimal(38,0)") * $"__g".cast("decimal(38,0)"))
-          .cast("double").as("__sgg"))
+          .as("__sgg"))
       .where($"n_gaps" >= 1)
-    val m = agg.col("__sg") / agg.col("n_gaps").cast("double")
-    agg.select($"user_id", $"n_events", $"n_gaps",
-        round(m / 1000000.0, 9).as("mean_gap_s"),
-        when($"__sg" > 0, round(
-          sqrt(greatest($"__sgg" / $"n_gaps".cast("double") - m * m,
-            lit(0.0))) / m, 9)).as("cv_gap"))
+    agg
+      .withColumn("__num", $"__sgg" * $"n_gaps" - $"__sg" * $"__sg")
+      .withColumn("__den", $"__sg" * $"__sg")
+      .withColumn("__mk", expr("(__sg * 2000 + n_gaps) div (n_gaps * 2)"))
+      .withColumn("__ck", expr("(__num * 2000000 + __den) div (__den * 2)"))
       .withColumn("is_regular",
-        coalesce($"cv_gap" < 0.3, lit(false)) && $"n_gaps" >= 5)
+        ($"__num" * 100 < $"__den" * 9) && $"n_gaps" >= 5)
+      .select($"user_id", $"n_events", $"n_gaps",
+        ($"__mk".cast("double") / 1e9).as("mean_gap_s"),
+        when($"__sg" > 0, $"__ck".cast("double") / 1e6).as("cv2_gap"),
+        $"is_regular")
       .orderBy($"user_id")
   }
 
@@ -163,22 +177,20 @@ object Wave23Queries {
         |a AS (SELECT user_id,
         |    CAST(count(*) AS BIGINT) AS n_events,
         |    CAST(count(g) AS BIGINT) AS n_gaps,
-        |    CAST(sum(CAST(g AS DECIMAL(38,0))) AS DOUBLE) AS sg,
-        |    CAST(sum(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0)))
-        |      AS DOUBLE) AS sgg
+        |    sum(CAST(g AS HUGEINT)) AS sg,
+        |    sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sgg
         |  FROM g0 GROUP BY user_id
-        |  HAVING count(g) >= 1)
+        |  HAVING count(g) >= 1),
+        |b AS (SELECT *, sgg * n_gaps - sg * sg AS num, sg * sg AS den
+        |  FROM a)
         |SELECT user_id, n_events, n_gaps,
-        |  round(sg / CAST(n_gaps AS DOUBLE) / 1000000.0, 9) AS mean_gap_s,
-        |  CASE WHEN sg > 0 THEN round(sqrt(greatest(sgg / CAST(n_gaps AS DOUBLE) -
-        |    (sg / CAST(n_gaps AS DOUBLE)) * (sg / CAST(n_gaps AS DOUBLE)),
-        |    0.0)) / (sg / CAST(n_gaps AS DOUBLE)), 9) END AS cv_gap,
-        |  (coalesce(CASE WHEN sg > 0 THEN round(sqrt(greatest(
-        |    sgg / CAST(n_gaps AS DOUBLE) -
-        |    (sg / CAST(n_gaps AS DOUBLE)) * (sg / CAST(n_gaps AS DOUBLE)),
-        |    0.0)) / (sg / CAST(n_gaps AS DOUBLE)), 9) END < 0.3, false)
-        |    AND n_gaps >= 5) AS is_regular
-        |FROM a ORDER BY user_id""".stripMargin,
+        |  CAST((sg * 2000 + n_gaps) // (n_gaps * 2) AS DOUBLE) / 1e9
+        |    AS mean_gap_s,
+        |  CASE WHEN sg > 0
+        |    THEN CAST((num * 2000000 + den) // (den * 2) AS DOUBLE) / 1e6
+        |  END AS cv2_gap,
+        |  (num * 100 < den * 9 AND n_gaps >= 5) AS is_regular
+        |FROM b ORDER BY user_id""".stripMargin,
     "q205_knn_hubness" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings WHERE vec_id < 200),

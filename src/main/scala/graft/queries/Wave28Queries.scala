@@ -47,21 +47,33 @@ object Wave28Queries {
     * their part's average quantity — the "weekly small-order drag"
     * number. The correlated subquery becomes ONE per-part aggregate
     * (broadcast back to the scan, since the per-part frame is
-    * dimension-sized) — never a per-row subquery execution. The
-    * threshold is decimal-exact (0.2 × an exact mean) and rounded to a
-    * fixed scale BEFORE the comparison so the predicate is
-    * engine-stable. */
+    * dimension-sized) — never a per-row subquery execution.
+    *
+    * Round-14 integer-grid rewrite (q289's discipline): the predicate
+    * `q < 0.2 · avg(q)` clears denominators into the EXACT integer
+    * comparison `5·n·q⁴ < Σq⁴` on 1e4-scaled longs (no rounded float
+    * threshold at all), and the weekly revenue is an exact integer
+    * HALF_UP division — `(2·S + 7) div 14 / 1e4` on the 1e4-scaled
+    * revenue sum S. The pre-r14 form rounded a ~1e8-magnitude double at
+    * 9 dp — a grid finer than double resolution at that magnitude,
+    * which is precisely what left this query in the sf1 oracle's `ulp`
+    * class (Spark rounds through BigDecimal, DuckDB through float
+    * multiply; they disagree in the last bit at 18 significant
+    * digits). The 4 dp money grid is exactly representable:
+    * k = (2S+7) div 14 ≤ ~1e13 « 2^53. */
   private val q219: Q = (s, d) => {
     import s.implicits._
     val avgQty = Tables.lineitem(s, d)
       .groupBy($"l_partkey".as("p_key"))
-      .agg(round(Exact.davgScaled($"l_quantity") * 0.2, 9).as("qty_cut"))
+      .agg(sum(round($"l_quantity" * 10000, 0).cast("long")).as("__sq"),
+        count($"l_quantity").as("__nq"))
     Tables.lineitem(s, d)
       .join(broadcast(avgQty), $"l_partkey" === $"p_key")
-      .where($"l_quantity" < $"qty_cut")
+      .where(round($"l_quantity" * 10000, 0).cast("long") * $"__nq" * 5
+        < $"__sq")
       .agg(count(lit(1)).cast("long").as("n_small"),
-        round(Exact.dsumScaled($"l_extendedprice") / 7.0, 9)
-          .as("avg_weekly_revenue"))
+        (expr("(sum(cast(round(l_extendedprice * 10000, 0) as bigint)) * 2 + 7) div 14")
+          .cast("double") / 10000.0).as("avg_weekly_revenue"))
   }
 
   /** Year-over-year revenue growth per customer nation: revenue by
@@ -119,14 +131,15 @@ object Wave28Queries {
          |LIMIT 20""".stripMargin,
     "q219_small_qty_orders" ->
       """WITH a AS (SELECT l_partkey AS p_key,
-        |    round(sum(CAST(round(l_quantity * 10000, 0) AS BIGINT)) / 10000.0
-        |      / count(l_quantity) * 0.2, 9) AS qty_cut
+        |    sum(CAST(round(l_quantity * 10000, 0) AS BIGINT)) AS sq,
+        |    CAST(count(l_quantity) AS BIGINT) AS nq
         |  FROM lineitem GROUP BY l_partkey)
         |SELECT CAST(count(*) AS BIGINT) AS n_small,
-        |  round(sum(CAST(round(l.l_extendedprice * 10000, 0) AS BIGINT))
-        |    / 10000.0 / 7.0, 9) AS avg_weekly_revenue
+        |  CAST((sum(CAST(round(l.l_extendedprice * 10000, 0) AS BIGINT))
+        |    * 2 + 7) // 14 AS DOUBLE) / 10000.0 AS avg_weekly_revenue
         |FROM lineitem l JOIN a ON l.l_partkey = a.p_key
-        |WHERE l.l_quantity < a.qty_cut""".stripMargin,
+        |WHERE CAST(round(l.l_quantity * 10000, 0) AS BIGINT) * a.nq * 5
+        |  < a.sq""".stripMargin,
     "q220_yoy_growth" ->
       s"""WITH by_year AS (SELECT n.n_name,
          |    CAST(year(o.o_orderdate) AS INTEGER) AS yr,

@@ -36,31 +36,59 @@ object Wave36Queries {
     * doc × doc. */
   private val q265: Q = (s, d) => {
     import s.implicits._
+    val ns = Seq(4, 8, 13)
     val lab = Sampling.splitAssign(
         Tables.documents(s, d).select($"doc_id"), "doc_id", splitDefs)
       .select($"doc_id", $"split")
     val docs = Tables.documents(s, d).join(lab, "doc_id")
       .where($"split".isin("train", "test"))
       .select($"doc_id", $"split", $"text")
-    def at(n: Int): DataFrame = {
-      // deliberately NOT staged: materializing the exploded n-gram
-      // strings costs more than re-running the codegen explode
-      // (measured 8.4 s staged vs 3.9 s recomputed at sf0.1)
-      val sh = docs.select($"doc_id", $"split",
-        explode(array_distinct(Text.shingles($"text", n))).as("sh"))
-      val trainSh = sh.where($"split" === "train").select($"sh").distinct()
-      val contaminated = sh.where($"split" === "test")
-        .join(trainSh, Seq("sh"), "left_semi")
-        .select($"doc_id").distinct()
-        .agg(count(lit(1)).as("n_contaminated"))
-      val nTest = lab.where($"split" === "test")
-        .agg(count(lit(1)).as("n_test_docs"))
-      contaminated.crossJoin(broadcast(nTest))
-        .select(lit(n).as("n"), $"n_test_docs", $"n_contaminated",
-          round($"n_contaminated" / $"n_test_docs".cast("double"), 9)
-            .as("contam_rate"))
-    }
-    at(4).unionByName(at(8)).unionByName(at(13)).orderBy($"n")
+    // ONE (n-tagged) n-gram-hash explode per branch instead of one
+    // shingle explode per n. Two structural wins over the pre-r14 form:
+    // (a) the per-doc n-gram sets come from the NATIVE
+    //     [[graft.functions.NgramHashes]] expression — one buffer-reuse
+    //     pass per (row, n); the composed zip_with/concat shingle chain
+    //     it replaces materialized O(n²) intermediate string bytes per
+    //     document and was the profiled dominant cost (4.5 s warm at
+    //     sf1 for the explode projection alone);
+    // (b) the exchanges carry 8-byte xxhash64 keys (n folded into the
+    //     hash as the seed-leading column) instead of ~60-byte 13-gram
+    //     strings. The distinct and semi-join only test shingle
+    //     EQUALITY; a collision (≈1e11 candidate pairs against 2^64)
+    //     would over-count one doc — negligible, and the DuckDB gate
+    //     compares the string-exact counts.
+    graft.functions.GraftFunctions.register(s)
+    val tagged = concat(ns.map(n => transform(
+      call_function("ngram_hashes", $"toks", lit(n)),
+      x => struct(lit(n).as("n"), x.as("h")))): _*)
+    // doc_id-keyed repartition BEFORE the tokenize/hash projection: the
+    // corpus ships as a handful of parquet files, so without it the
+    // whole explode runs on as many cores as there are input splits
+    // (2 at sf1). The exchange moves only the compact (doc_id, split,
+    // text) rows and is reused by both branches.
+    val sh = docs
+      .repartition(col("doc_id"))
+      .select($"doc_id", $"split", Text.tokens($"text").as("toks"))
+      .select($"doc_id", $"split", explode(tagged).as("g"))
+      .select($"doc_id", $"split", $"g.n".as("n"), $"g.h".as("h"))
+    // n is folded into the hash as a seed column, so equality on h alone
+    // is equality on (n, shingle); n rides along only for the final rollup
+    val trainSh = sh.where($"split" === "train").select($"h").distinct()
+    val contaminated = sh.where($"split" === "test")
+      .join(trainSh, Seq("h"), "left_semi")
+      .select($"n", $"doc_id").distinct()
+      .groupBy($"n").agg(count(lit(1)).as("n_contaminated"))
+    val nTest = lab.where($"split" === "test")
+      .agg(count(lit(1)).as("n_test_docs"))
+    // literal n frame keeps a zero-contamination n present (the
+    // per-n scalar aggregate always yielded a row; a groupBy would not)
+    ns.toDF("n").join(contaminated, Seq("n"), "left")
+      .withColumn("n_contaminated", coalesce($"n_contaminated", lit(0L)))
+      .crossJoin(broadcast(nTest))
+      .select($"n", $"n_test_docs", $"n_contaminated",
+        round($"n_contaminated" / $"n_test_docs".cast("double"), 9)
+          .as("contam_rate"))
+      .orderBy($"n")
   }
 
   /** Gopher-gate failure-combination histogram: documents grouped by

@@ -144,25 +144,50 @@ object Wave44Queries {
   /** Random-pair cosine null model: the similarity histogram of
     * UNRELATED embedding pairs — the distribution every θ (q32's 0.85,
     * q75's 0.45, SemDeDup's cut) must clear to mean anything. Pairs
-    * come from a deterministic derangement (partner = (id + ⌊N/2⌋)
-    * mod N — id-keyed equi-join, no sampling machinery, reproducible
-    * in SQL), one cosine per row, collapsed to explicit similarity
-    * bands. If corpus θ sits inside the null bulk, the threshold
-    * labels noise as duplicates. Linear in N; one keyed join. */
+    * come from a deterministic derangement over a DENSE 0-based index
+    * (partner = (idx + ⌊N/2⌋) mod N — an idx-keyed equi-join), one
+    * cosine per row, collapsed to explicit similarity bands. If corpus
+    * θ sits inside the null bulk, the threshold labels noise as
+    * duplicates.
+    *
+    * Round-14 structural fix: the dense index is DERIVED (md5-bucketed
+    * rank + broadcast prefix-sum offsets), not assumed — the pre-r14
+    * form used the raw vec_id as the index, which silently self-pairs
+    * or skips rows on a gapped/re-keyed id column. The derivation is
+    * scale-shaped: a 64-bucket partitioned rank window (never a global
+    * sort-window), per-bucket offsets from ONE collect_list-bounded
+    * 1-row aggregate (B ≤ 64 rows) joined back by broadcast. Equal to
+    * the global rank under ORDER BY (bucket, ord, id), which is what
+    * the oracle replays. Linear in N; one keyed self-join. */
   private val q302: Q = (s, d) => {
     import s.implicits._
     val e = Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
-    val n = e.agg(count(lit(1)).as("n"))
-    val withPartner = e.crossJoin(broadcast(n))
-      .select($"id", $"emb", $"norm",
-        pmod($"id" + floor($"n" / 2).cast("long"), $"n").as("pid"))
+    val B = 64
+    val keyed = e
+      .withColumn("__ord", graft.ops.Shard.orderKey($"id", "q302"))
+      .withColumn("__b", pmod($"__ord", lit(B.toLong)).cast("int"))
+    val wB = Window.partitionBy($"__b").orderBy($"__ord", $"id")
+    val ranked = keyed
+      .withColumn("__r", (row_number().over(wB) - 1).cast("long"))
+    val offsets = keyed.groupBy($"__b").agg(count(lit(1)).as("__c"))
+      .agg(sort_array(collect_list(struct($"__b", $"__c"))).as("a"))
+      .select(explode(expr(
+        "transform(a, (x, i) -> struct(x.__b AS __b, " +
+          "aggregate(slice(a, 1, i), 0L, (acc, y) -> acc + y.__c) AS __off, " +
+          "aggregate(a, 0L, (acc, y) -> acc + y.__c) AS __n))")).as("o"))
+      .select($"o.__b".as("__b"), $"o.__off".as("__off"), $"o.__n".as("__n"))
+    val dense = ranked.join(broadcast(offsets), Seq("__b"))
+      .select($"id", $"emb", $"norm", ($"__off" + $"__r").as("idx"), $"__n")
+    val withPartner = dense
+      .select($"emb", $"norm",
+        pmod($"idx" + floor($"__n" / 2).cast("long"), $"__n").as("pid"))
     val cos = Similarity.cosine($"emb", $"p_emb", $"norm", $"p_norm")
     val c4 = round(cos, 4)
     val band = when($"c4" < 0.0, "a_neg").when($"c4" < 0.2, "b_00_02")
       .when($"c4" < 0.4, "c_02_04").when($"c4" < 0.6, "d_04_06")
       .when($"c4" < 0.8, "e_06_08").otherwise("f_08_10")
     withPartner
-      .join(e.select($"id".as("pid"), $"emb".as("p_emb"),
+      .join(dense.select($"idx".as("pid"), $"emb".as("p_emb"),
         $"norm".as("p_norm")), Seq("pid"))
       .select(c4.as("c4"))
       .select(band.as("cos_band"), $"c4")
@@ -317,13 +342,19 @@ object Wave44Queries {
         |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |nn AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
         |  FROM e),
-        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-        |p AS (SELECT a.id, a.emb, a.nrm,
-        |    (a.id + CAST(floor(n / 2) AS BIGINT)) % n AS pid
-        |  FROM nn a CROSS JOIN n0),
+        |k AS (SELECT *, CAST(concat('0x', substr(md5(concat('q302 ',
+        |      CAST(id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
+        |  FROM nn),
+        |dx AS (SELECT *,
+        |    row_number() OVER (ORDER BY ord % 64, ord, id) - 1 AS idx,
+        |    count(*) OVER () AS n
+        |  FROM k),
+        |p AS (SELECT emb, nrm,
+        |    (idx + CAST(floor(n / 2) AS BIGINT)) % n AS pid
+        |  FROM dx),
         |j AS (SELECT round(list_dot_product(a.emb, b.emb)
         |    / (a.nrm * b.nrm), 4) AS c4
-        |  FROM p a JOIN nn b ON a.pid = b.id),
+        |  FROM p a JOIN dx b ON a.pid = b.idx),
         |bb AS (SELECT c4, CASE WHEN c4 < 0.0 THEN 'a_neg'
         |    WHEN c4 < 0.2 THEN 'b_00_02' WHEN c4 < 0.4 THEN 'c_02_04'
         |    WHEN c4 < 0.6 THEN 'd_04_06' WHEN c4 < 0.8 THEN 'e_06_08'

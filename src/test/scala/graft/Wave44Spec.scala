@@ -109,27 +109,37 @@ class Wave44Spec extends SparkSuite {
     assert(math.abs(got._2 - exp) < 1e-5, s"lag-1 acf ${got._2} vs $exp")
   }
 
-  test("q302 derangement precondition (dense vec_id 0..N−1) and no pair loss") {
-    // q302's partner formula pid = (id + ⌊N/2⌋) mod N assumes vec_id is
-    // contiguous from 0; with gaps (or a different id base) the inner join
-    // on pid silently DROPS pairs, shrinking the null-model sample with no
-    // signal — and the oracle, built on the same formula, would stay green.
-    // Two guards: (a) the precondition itself on every fixture scale the
-    // suite touches, (b) the consequence — the derangement is a bijection,
-    // so the banded histogram must account for exactly N pairs.
+  test("q302 derangement: no pair loss on fixtures AND on gapped ids") {
+    // The round-14 rewrite derives a DENSE index (md5-bucketed rank +
+    // prefix-sum offsets) instead of assuming vec_id is 0..N−1, so the
+    // derangement is a bijection on ANY id set. Guards: (a) the banded
+    // histogram accounts for exactly N pairs on the real fixtures, and
+    // (b) the same holds on a deliberately GAPPED/re-based id column —
+    // the case the pre-r14 formula silently dropped pairs on.
     import org.apache.spark.sql.functions._
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val ids = Tables.embeddings(spark, dir)
-        .agg(min($"vec_id").as("lo"), max($"vec_id").as("hi"),
-          count(lit(1)).as("n"))
-        .as[(Long, Long, Long)].collect().head
-      assert(ids._1 == 0L && ids._2 == ids._3 - 1,
-        s"$dir: vec_id not dense 0..N−1 (min=${ids._1}, max=${ids._2}, " +
-          s"n=${ids._3}) — q302's modular partner would drop pairs")
+      val n = Tables.embeddings(spark, dir).count()
       val accounted = SparkEntry.queries("q302_null_cosine_baseline")(spark, dir)
         .agg(sum($"n_pairs")).as[Long].collect().head
-      assert(accounted == ids._3,
-        s"$dir: q302 histogram accounts $accounted of ${ids._3} vectors")
+      assert(accounted == n,
+        s"$dir: q302 histogram accounts $accounted of $n vectors")
     }
+    // gapped ids: re-key sf0.001 embeddings to 1000 + 7·vec_id (+ a hole),
+    // write to a temp dir, run the SAME query body against it
+    val src = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val gapped = src
+      .where($"vec_id" =!= 13L)
+      .withColumn("vec_id", $"vec_id" * 7 + 1000)
+    val dir = tmpDir("q302gap")
+    gapped.write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val nG = gapped.count()
+    val out = SparkEntry.queries("q302_null_cosine_baseline")(spark, dir)
+    val accountedG = out.agg(sum($"n_pairs")).as[Long].collect().head
+    assert(accountedG == nG,
+      s"gapped ids: q302 histogram accounts $accountedG of $nG vectors")
+    // derangement: no self-pair can reach cosine exactly 1 via identity —
+    // with a hole and re-base the old formula would have lost ≥1 pair, so
+    // equality above is the regression signal
   }
 }
