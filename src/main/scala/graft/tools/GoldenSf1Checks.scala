@@ -1,0 +1,649 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, Tables}
+import graft.ops.{Bpe, Dedup, Similarity, Text}
+import graft.queries.Stores
+
+/** Scale-level VALUE evidence for the golden-pinned (rows-only in the
+  * sf1 DuckDB oracle) query family — the ANN/model/media queries whose
+  * outputs aren't SQL-expressible, so the sf1 oracle can only count
+  * their rows. Each query here gets the INDEPENDENT check COVERAGE.md
+  * names for it, executed at sf1 (not fixture) scale: recall against
+  * exact brute force, bit-level recomputation through the composed
+  * (non-native) formulation, model invariants with ground-truth
+  * structure, or cross-engine-style internal consistency that a wrong
+  * answer cannot satisfy. Round-13 proved fixture agreement ≠ scale
+  * agreement (four sf1-only rounding catches); this tool closes the
+  * same gap for the family the oracle cannot reach.
+  *
+  * Usage: `runMain graft.tools.GoldenSf1Checks [sfDir] [outJson]`
+  * (defaults: `testdata-sf1`, `perf/golden_sf1_checks.json`). Exits 1
+  * if any check fails. Run once per round; the artifact is committed.
+  */
+object GoldenSf1Checks {
+
+  private case class Res(query: String, check: String, pass: Boolean,
+                         detail: String, secs: Double)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val out = args.lift(1).getOrElse("perf/golden_sf1_checks.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    def emb: DataFrame =
+      Similarity.prepared(Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+
+    /** recall of `approx` against exact brute force for the id<limit
+      * query slice at k=5 — the OpsSpec invariant, executed at sf1. */
+    def recallVsBrute(approx: DataFrame, limit: Long): Double = {
+      val e = emb
+      val bf = Similarity.knnBruteForce(e.where($"id" < limit), e, k = 5)
+        .select($"query_id", $"neighbor_id")
+      val nTruth = bf.count()
+      val hit = bf.join(approx.select($"query_id", $"neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      hit.toDouble / nTruth
+    }
+
+    /** Hard value replay for a kNN result frame: every reported cosine
+      * equals the exact recomputation from the raw embeddings (6 dp, the
+      * queries' own rounding), and per query the ranks are 1..m with
+      * cosine descending (neighbor_id tie-break). Returns
+      * (nRows, nCosineMismatch, nRankViolations). */
+    def knnReplay(out: DataFrame): (Long, Long, Long) = {
+      val e = emb
+      val joined = out
+        .join(e.select($"id".as("query_id"), $"emb".as("qe"), $"norm".as("qn")),
+          Seq("query_id"))
+        .join(e.select($"id".as("neighbor_id"), $"emb".as("ce"), $"norm".as("cn")),
+          Seq("neighbor_id"))
+        .withColumn("c6", round(Similarity.cosine($"qe", $"ce", $"qn", $"cn"), 6))
+      val n = out.count()
+      val badCos = joined.where($"c6" =!= $"cosine").count()
+      // rank contract: contiguous 1..m per query, cosine non-increasing
+      // in rank (1e-9 slack: the reported column is rounded to 6 dp while
+      // the ranking ran on unrounded values)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"rnk")
+      val badOrder = out
+        .withColumn("prev", lag($"cosine", 1).over(w))
+        .where($"prev".isNotNull && $"cosine" > $"prev" + 1e-9).count()
+      val badContig = out.groupBy($"query_id")
+        .agg(min($"rnk").as("mn"), max($"rnk").as("mx"), count(lit(1)).as("c"))
+        .where($"mn" =!= 1 || $"mx" =!= $"c").count()
+      (n, badCos, badOrder + badContig)
+    }
+
+    val checks: Seq[(String, String, () => (Boolean, String))] = Seq(
+
+      ("q25_minhash_pairs", "banding predicate replayed via composed (non-native) signatures for every reported pair", () => {
+        val pairs = q("q25_minhash_pairs").select($"doc_a", $"doc_b")
+        val ids = pairs.select($"doc_a".as("doc_id"))
+          .unionByName(pairs.select($"doc_b".as("doc_id"))).distinct()
+        val sigs = Dedup.minhashSignaturesExploded(
+          Tables.documents(spark, sfDir).join(ids, Seq("doc_id"), "left_semi"),
+          "doc_id", "text", k = 64)
+        val joined = pairs
+          .join(sigs.select($"doc".as("doc_a"), $"sig".as("sig_a")), Seq("doc_a"))
+          .join(sigs.select($"doc".as("doc_b"), $"sig".as("sig_b")), Seq("doc_b"))
+        // k=64, bands=16 → rows of 4: some band (4 consecutive slots) equal
+        val bandEq = (0 until 16).map(b =>
+          (0 until 4).map(i => element_at($"sig_a", b * 4 + i + 1) ===
+            element_at($"sig_b", b * 4 + i + 1)).reduce(_ && _))
+          .reduce(_ || _)
+        // est Jaccard from full signature agreement ≥ the 0.5 threshold
+        val est = size(filter(zip_with($"sig_a", $"sig_b",
+          (a, b) => a === b), x => x)) / lit(64.0)
+        val n = pairs.count()
+        val ok = joined.where(bandEq && est >= 0.5).count()
+        (n > 0 && ok == n, s"pairs=$n, banding+est replayed=$ok")
+      }),
+
+      ("q26_simhash_pairs", "hamming<=3 replayed via the composed 64-sign-sum signatures for every reported pair", () => {
+        val pairs = q("q26_simhash_pairs")
+        val ids = pairs.select($"doc_a".as("doc_id"))
+          .unionByName(pairs.select($"doc_b".as("doc_id"))).distinct()
+        // independent route: the explode + sign-sum formulation, not the
+        // native expression the query used
+        val sigs = Dedup.simhashSignaturesExploded(
+          Tables.documents(spark, sfDir).join(ids, Seq("doc_id"), "left_semi"),
+          "doc_id", "text")
+        val joined = pairs
+          .join(sigs.select($"doc".as("doc_a"), $"sig".as("sig_a")), Seq("doc_a"))
+          .join(sigs.select($"doc".as("doc_b"), $"sig".as("sig_b")), Seq("doc_b"))
+        val n = pairs.count()
+        val ok = joined
+          .where(bit_count($"sig_a".bitwiseXOR($"sig_b")) <= 3 &&
+            $"doc_a" < $"doc_b").count()
+        (n > 0 && ok == n, s"pairs=$n, hamming<=3 and a<b replayed=$ok")
+      }),
+
+      ("q28_knn_lsh", "reported cosines exact + rank contract; recall vs brute force recorded", () => {
+        val out = q("q28_knn_lsh")
+        val (n, badCos, badRank) = knnReplay(out)
+        val r = recallVsBrute(out, 10)
+        // single-probe LSH recall is <1 BY DESIGN (the query's own
+        // contract) — the hard value check is the cosine/rank replay;
+        // recall is recorded as measured scale data
+        (n > 0 && badCos == 0 && badRank == 0,
+          f"rows=$n, cosMismatch=$badCos, rankViol=$badRank, recall=$r%.3f (recorded)")
+      }),
+
+      ("q29_winnow_fp", "bit-equality vs the windowed (posexplode+sliding-min) formulation, 1000-doc slice", () => {
+        val slice = Tables.documents(spark, sfDir).where($"doc_id" % 50 === 0)
+        val native = Text.winnowFingerprintRows(slice, "doc_id", "text")
+        val windowed = Text.winnowFingerprintRowsWindowed(slice, "doc_id", "text")
+        val onlyN = native.exceptAll(windowed).count()
+        val onlyW = windowed.exceptAll(native).count()
+        val n = native.count()
+        (n > 0 && onlyN == 0 && onlyW == 0,
+          s"rows=$n, native-only=$onlyN, windowed-only=$onlyW")
+      }),
+
+      ("q32_embed_neardup", "exact cosine >= 0.4 replayed for every reported pair + slice recall", () => {
+        val pairs = q("q32_embed_neardup")
+        val e = emb
+        val withCos = pairs
+          .join(e.select($"id".as("id_a"), $"emb".as("ea"), $"norm".as("na")), Seq("id_a"))
+          .join(e.select($"id".as("id_b"), $"emb".as("eb"), $"norm".as("nb")), Seq("id_b"))
+          .withColumn("c", Similarity.cosine($"ea", $"eb", $"na", $"nb"))
+        val n = pairs.count()
+        val ok = withCos.where($"c" >= 0.4 && $"id_a" < $"id_b").count()
+        // recall vs exact all-pairs on a vec_id<500 slice — RECORDED, not
+        // a floor: nearDupPairs is LSH-bucketed, same-bucket-only by
+        // design, so slice recall is the measured bucket-miss rate
+        val sl = e.where($"id" < 500)
+        val a = sl.select($"id".as("id_a"), $"emb".as("ea"), $"norm".as("na"))
+        val b = sl.select($"id".as("id_b"), $"emb".as("eb"), $"norm".as("nb"))
+        val truth = a.join(broadcast(b), $"id_a" < $"id_b")
+          .where(Similarity.cosine($"ea", $"eb", $"na", $"nb") >= 0.4)
+          .select($"id_a", $"id_b")
+        val nT = truth.count()
+        val found = truth.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+        (n > 0 && ok == n,
+          s"pairs=$n precise=$ok; slice truth=$nT found=$found (bucket recall recorded)")
+      }),
+
+      ("q38_approx_sketches", "HLL and DDSketch estimates vs exact sf1 recomputation within theory bounds", () => {
+        val gotMap = q("q38_approx_sketches").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val exact = Tables.events(spark, sfDir).groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("nd"),
+            expr("percentile(value, 0.5)").as("med"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val bad = exact.flatMap { case (t, (nd, med)) =>
+          val (aU, aM) = gotMap(t)
+          val relU = math.abs(aU - nd).toDouble / nd
+          val relM = math.abs(aM - med) / math.max(math.abs(med), 1e-9)
+          // HLL default rsd 5% → 3σ 15%; DDSketch alpha 1% → allow 2%
+          if (relU > 0.15 || relM > 0.02) Some(s"$t relU=$relU relM=$relM") else None
+        }
+        (gotMap.nonEmpty && bad.isEmpty, s"types=${exact.size}, violations=${bad.mkString("; ")}")
+      }),
+
+      // Recall floors for the IVF family are the UNIFORM-CORPUS probe
+      // fraction (nProbe/nCells = 4/16 = 0.25): probing a quarter of the
+      // cells of an unclustered corpus recovers ≥ ~a quarter of the true
+      // neighbors in expectation. The fixture-scale OpsSpec floor (0.5 at
+      // nCells=8) does NOT transfer to sf1 — measured recall at the
+      // queries' fixed 4/16 parameters: 0.62 @ sf0.01 → 0.40 @ sf1, the
+      // expected under-probing of a 16× larger corpus, with every
+      // reported VALUE still exact (cosine/rank replay). The measured
+      // recall is the tracked scale datum.
+      ("q41_knn_ivf", "reported cosines exact + rank contract + recall >= probe-fraction bound (0.25)", () => {
+        val out = q("q41_knn_ivf")
+        val (n, badCos, badRank) = knnReplay(out)
+        val r = recallVsBrute(out, 10)
+        (n > 0 && badCos == 0 && badRank == 0 && r >= 0.25,
+          f"rows=$n, cosMismatch=$badCos, rankViol=$badRank, recall=$r%.3f (floor 0.25 = nProbe/nCells)")
+      }),
+
+      ("q45_embed_clusters", "component labels consistent with every q32 edge + label = component member", () => {
+        val labels = q("q45_embed_clusters")
+        val edges = q("q32_embed_neardup").select($"id_a", $"id_b")
+        val viol = edges
+          .join(labels.select($"vec_id".as("id_a"), $"component_id".as("ca")), Seq("id_a"))
+          .join(labels.select($"vec_id".as("id_b"), $"component_id".as("cb")), Seq("id_b"))
+          .where($"ca" =!= $"cb").count()
+        // every component label is the MIN member id of its component
+        val badLabel = labels.groupBy($"component_id")
+          .agg(min($"vec_id").as("mn"))
+          .where($"component_id" =!= $"mn").count()
+        val n = labels.count()
+        (n > 0 && viol == 0 && badLabel == 0,
+          s"nodes=$n, split-edge=$viol, non-min-label=$badLabel")
+      }),
+
+      ("q47_sketch_rollup", "DataSketches HLL estimates vs exact distinct at sf1", () => {
+        val got = q("q47_sketch_rollup").collect()
+          .map(r => r.getString(0) ->
+            r.get(1).asInstanceOf[Number].doubleValue()).toMap
+        val ev = Tables.events(spark, sfDir)
+        val exact = ev.groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("nd"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ++
+          Map("ALL" -> ev.agg(countDistinct($"user_id")).as[Long].head())
+        val bad = exact.flatMap { case (t, nd) =>
+          val rel = math.abs(got(t) - nd) / nd
+          if (rel > 0.05) Some(s"$t rel=$rel") else None
+        }
+        (bad.isEmpty, s"rows=${exact.size}, violations=${bad.mkString("; ")}")
+      }),
+
+      ("q73_knn_ivfpq", "reported cosines exact + rank contract; PQ-shortlist recall recorded (floor 0.1)", () => {
+        val out = q("q73_knn_ivfpq")
+        val (n, badCos, badRank) = knnReplay(out)
+        val r = recallVsBrute(out, 10)
+        // the 16-entry-per-subspace PQ shortlist cuts below the raw IVF
+        // probe fraction; the hard check is the exact re-rank values
+        (n > 0 && badCos == 0 && badRank == 0 && r >= 0.1,
+          f"rows=$n, cosMismatch=$badCos, rankViol=$badRank, recall=$r%.3f (recorded; floor 0.1)")
+      }),
+
+      ("q74_knn_ivf_saved", "persisted-index output identical to q41's fresh-train output", () => {
+        val a = q("q74_knn_ivf_saved")
+        val b = q("q41_knn_ivf")
+        val d1 = a.exceptAll(b).count(); val d2 = b.exceptAll(a).count()
+        val n = a.count()
+        (n > 0 && d1 == 0 && d2 == 0, s"rows=$n, diffs=${d1 + d2}")
+      }),
+
+      ("q79_quality_classifier", "scores in (0,1), prediction consistent, agreement with seed rule at sf1", () => {
+        val out = q("q79_quality_classifier")
+        val n = out.count()
+        // the reported score is rounded to 6 dp: bounds are inclusive and
+        // the threshold consistency check skips the 1e-6 boundary band
+        val badScore = out.where($"score" < 0.0 || $"score" > 1.0).count()
+        val inconsistent = out
+          .where(abs($"score" - 0.5) > 1e-6 &&
+            ($"score" >= 0.5).cast("double") =!= $"predicted").count()
+        // seed rule agreement: the distilled classifier must track the
+        // rule-based label it was trained from (ClassifySpec's floor)
+        val agree = out.where($"label" === $"predicted").count()
+        val rate = agree.toDouble / n
+        (n > 0 && badScore == 0 && inconsistent == 0 && rate >= 0.85,
+          f"n=$n, badScore=$badScore, inconsistent=$inconsistent, seedAgreement=$rate%.3f (floor 0.85)")
+      }),
+
+      ("q82_image_dhash", "store values equal a direct (store-bypassing) codec pass, 1/20 sample", () => {
+        val got = q("q82_image_dhash").where($"doc_id" % 20 === 0)
+        val media = graft.ops.Multimodal.attachMedia(
+          Tables.documents(spark, sfDir).where($"doc_id" % 20 === 0))
+        val direct = graft.ops.Multimodal.imageDHash(media)
+          .select(col("doc").cast("long").as("doc_id"), col("sig").as("dhash"))
+        val diff = got.exceptAll(direct).count() + direct.exceptAll(got).count()
+        val n = got.count()
+        (n > 0 && diff == 0, s"sampled=$n, diffs=$diff")
+      }),
+
+      ("q83_bpe_vocab", "training bit-identical under adversarial repartitioning at sf1", () => {
+        val docs = Tables.documents(spark, sfDir)
+        val m1 = Bpe.train(docs, "text", nMerges = 50)
+        val m2 = Bpe.train(docs.repartition(17), "text", nMerges = 50)
+        val same = m1 == m2
+        (same, s"merges=${m1.merges.size}, identical=$same")
+      }),
+
+      ("q84_audio_fp", "store values equal a direct codec pass, 1/20 sample", () => {
+        val got = q("q84_audio_fp").where($"doc_id" % 20 === 0)
+        val media = graft.ops.Multimodal.attachMedia(
+          Tables.documents(spark, sfDir).where($"doc_id" % 20 === 0))
+        val direct = graft.ops.Multimodal.audioFingerprints(media)
+          .select(col("doc").cast("long").as("doc_id"), col("sig").as("audio_fp"))
+        val diff = got.exceptAll(direct).count() + direct.exceptAll(got).count()
+        val n = got.count()
+        (n > 0 && diff == 0, s"sampled=$n, diffs=$diff")
+      }),
+
+      ("q85_video_frame_hashes", "store values equal a direct codec pass, 1/20 sample", () => {
+        val got = q("q85_video_frame_hashes").where($"doc_id" % 20 === 0)
+        val media = graft.ops.Multimodal.attachMedia(
+          Tables.documents(spark, sfDir).where($"doc_id" % 20 === 0))
+        val direct = graft.ops.Multimodal.videoFrameHashes(media, everyN = 1)
+          .select(col("doc").cast("long").as("doc_id"), col("frame_idx"),
+            col("sig").as("dhash"))
+        val diff = got.exceptAll(direct).count() + direct.exceptAll(got).count()
+        val n = got.count()
+        (n > 0 && diff == 0, s"sampled=$n, diffs=$diff")
+      }),
+
+      ("q87_semdedup", "drop implies a near neighbor; no isolated vector dropped", () => {
+        val out = q("q87_semdedup")
+        val n = out.count()
+        val orphanDrop = out.where($"dropped" && $"n_near" === 0).count()
+        val nDropped = out.where($"dropped").count()
+        val nNear = out.where($"n_near" > 0).count()
+        // among near-dup-involved vectors, SOME are kept (never drop both
+        // sides of every pair) and SOME dropped (a non-trivial pass)
+        (n > 0 && orphanDrop == 0 && nDropped > 0 && nDropped < nNear,
+          s"n=$n, dropped=$nDropped, nearInvolved=$nNear, orphanDrops=$orphanDrop")
+      }),
+
+      ("q88_bpe_encode", "encode round-trips losslessly + reported counts replayed, 1/50 sample", () => {
+        val docs = Tables.documents(spark, sfDir).where($"doc_id" % 50 === 0)
+        val model = Bpe.trainedModel(Tables.documents(spark, sfDir), "text", nMerges = 50)
+        val enc = Bpe.encode(docs.select($"doc_id", $"text"), "text", model)
+        // lossless: concatenating tokens reconstructs each word + the
+        // end-of-word marker (BpeSpec's round-trip contract)
+        val bad = enc.select($"doc_id",
+            concat_ws(" ", transform(split($"text", " "),
+              w => concat(w, lit(Bpe.EndOfWord)))).as("expect"),
+            concat_ws("", $"bpe_tokens").as("joined"))
+          .where(regexp_replace($"joined", lit(Bpe.EndOfWord),
+              lit(Bpe.EndOfWord + " ")) =!= concat($"expect", lit(" ")))
+          .count()
+        val rep = q("q88_bpe_encode").where($"doc_id" % 50 === 0)
+          .select($"doc_id", $"n_bpe_tokens")
+        val mine = enc.select($"doc_id", size($"bpe_tokens").as("n_bpe_tokens"))
+        val diff = rep.exceptAll(mine).count() + mine.exceptAll(rep).count()
+        val n = enc.count()
+        (n > 0 && bad == 0 && diff == 0,
+          s"sampled=$n, roundTripFails=$bad, countDiffs=$diff")
+      }),
+
+      ("q98_ppl_buckets_scaled", "agrees with EXACT tercile buckets away from the sketch bin width", () => {
+        val got = q("q98_ppl_buckets_scaled")
+        val scores = Stores.lmScores(spark, sfDir)
+          .select($"doc_id", $"bigram_logprob")
+        // exact tercile boundaries (the sketch estimates these with a
+        // 4096-bin histogram; away from one bin width the bucket is forced)
+        val Array(tLo, tHi) = scores
+          .agg(expr("percentile(bigram_logprob, 1.0/3)"),
+            expr("percentile(bigram_logprob, 2.0/3)"))
+          .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+        val Array(mn, mx) = scores
+          .agg(min($"bigram_logprob"), max($"bigram_logprob"))
+          .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+        val eps = (mx - mn) / 4096.0 * 2
+        val exact = scores.withColumn("expect",
+          when($"bigram_logprob" >= tHi, "head")
+            .when($"bigram_logprob" >= tLo, "middle").otherwise("tail"))
+        val joined = got.join(exact.select($"doc_id", $"expect",
+          $"bigram_logprob".as("lp")), Seq("doc_id"))
+        val n = joined.count()
+        val farWrong = joined
+          .where(abs($"lp" - tLo) > eps && abs($"lp" - tHi) > eps &&
+            $"ppl_bucket" =!= $"expect").count()
+        val agree = joined.where($"ppl_bucket" === $"expect").count()
+        (n > 0 && farWrong == 0 && agree.toDouble / n >= 0.95,
+          s"n=$n, wrongAwayFromBoundary=$farWrong, agree=${agree.toDouble / n}")
+      }),
+
+      ("q105_fertility", "fertility >= 1 per language + totals replay q88's encode", () => {
+        val out = q("q105_fertility").collect()
+        val badFert = out.count(r => r.getAs[Double]("fertility") < 1.0)
+        val sumBpe = out.map(_.getAs[Long]("n_bpe_tokens")).sum
+        val sumW = out.map(_.getAs[Long]("n_words")).sum
+        val q88tot = q("q88_bpe_encode")
+          .agg(sum($"n_bpe_tokens").cast("long"), sum($"n_words").cast("long"))
+          .as[(Long, Long)].head()
+        (out.nonEmpty && badFert == 0 && sumBpe == q88tot._1 && sumW == q88tot._2,
+          s"langs=${out.length}, fert<1=$badFert, totals=${(sumBpe, sumW)} vs q88=${q88tot}")
+      }),
+
+      ("q111_ann_recall", "reported recalls equal an independent truth-side recomputation", () => {
+        val got = q("q111_ann_recall").collect()
+          .map(r => r.getLong(0) -> r.getAs[Double]("recall_at_5")).toMap
+        // independent recomputation of the SAME metric: hit counts via a
+        // driver-side set intersection, not the query's semi-join/rollup
+        val e = emb
+        val bf = Similarity.knnBruteForce(e.where($"id" < 10), e, k = 5)
+          .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val ivf = Similarity.knnIvf(e.where($"id" < 10), e, k = 5,
+            nCells = 16, nProbe = 4)
+          .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val bad = (0L until 10L).flatMap { qid =>
+          val truth = bf.getOrElse(qid, Set.empty)
+          val mine = ivf.getOrElse(qid, Set.empty)
+          val r = (truth intersect mine).size.toDouble / 5.0
+          if (math.abs(got(qid) - r) > 1e-9) Some(s"$qid: ${got(qid)} vs $r") else None
+        }
+        val mean = got.values.sum / got.size
+        (got.size == 10 && bad.isEmpty && mean >= 0.25,
+          f"n=${got.size}, mismatches=${bad.mkString("; ")}, mean=$mean%.3f (floor 0.25 = probe fraction)")
+      }),
+
+      ("q125_compress_ratio", "equal to an independently-written zlib pass, 1/20 sample", () => {
+        val got = q("q125_compress_ratio").where($"doc_id" % 20 === 0)
+          .select($"doc_id", $"compress_ratio").as[(Long, Double)].collect().toMap
+        val texts = Tables.documents(spark, sfDir).where($"doc_id" % 20 === 0)
+          .select($"doc_id", $"text").as[(Long, String)].collect()
+        val bad = texts.flatMap { case (id, t) =>
+          val bytes = t.getBytes("UTF-8")
+          val ratio = if (bytes.isEmpty) 1.0 else {
+            val defl = new java.util.zip.Deflater(6)
+            defl.setInput(bytes); defl.finish()
+            val buf = new Array[Byte](bytes.length * 2 + 64)
+            var total = 0
+            while (!defl.finished()) total += defl.deflate(buf)
+            defl.end()
+            total.toDouble / bytes.length
+          }
+          val r6 = BigDecimal(ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (math.abs(got(id) - r6) > 0) Some(id) else None
+        }
+        (texts.nonEmpty && bad.isEmpty, s"sampled=${texts.length}, diffs=${bad.length}")
+      }),
+
+      ("q137_pca_components", "orthonormal components, descending non-negative eigenvalues", () => {
+        val m = Stores.pcaModel(spark, sfDir)
+        val dots = for {
+          i <- m.components.indices; j <- i until m.components.length
+        } yield (i, j, m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum)
+        val badNorm = dots.filter { case (i, j, v) => i == j && math.abs(v - 1) > 1e-9 }
+        val badOrth = dots.filter { case (i, j, v) => i != j && math.abs(v) > 1e-9 }
+        val desc = m.eigenvalues.sliding(2).forall(p => p.length < 2 || p(0) >= p(1))
+        val nonNeg = m.eigenvalues.forall(_ >= 0)
+        (badNorm.isEmpty && badOrth.isEmpty && desc && nonNeg,
+          s"k=${m.components.length}, badNorm=${badNorm.length}, badOrth=${badOrth.length}, descending=$desc")
+      }),
+
+      ("q140_anisotropy_removal", "post-projection variance along removed components ~0", () => {
+        val rows = q("q140_anisotropy_removal").collect()
+        val bad = rows.filter { r =>
+          val before = r.getAs[Double]("var_before")
+          val after = r.getAs[Double]("var_after")
+          !(before > 0 && after >= 0 && after < before * 1e-6 + 1e-12)
+        }
+        (rows.length == 2 && bad.isEmpty,
+          rows.map(r => s"${r.getAs[Int]("component")}: ${r.getAs[Double]("var_before")} -> ${r.getAs[Double]("var_after")}").mkString("; "))
+      }),
+
+      ("q142_kmeans", "sizes account every vector; labels = argmin centroid on a 1/100 sample", () => {
+        val m = Stores.kmeansModel(spark, sfDir)
+        val n = Tables.embeddings(spark, sfDir).count()
+        val sizeOk = m.sizes.sum == n
+        val sample = Tables.embeddings(spark, sfDir).where($"vec_id" % 100 === 0)
+        val assigned = graft.ops.Kmeans.assign(sample, "embedding", "cluster", m)
+          .select($"vec_id", $"cluster",
+            $"embedding".cast("array<double>").as("e"))
+          .collect()
+        val bad = assigned.count { r =>
+          val e = r.getSeq[Double](2).toArray
+          val nrm = math.sqrt(e.map(x => x * x).sum)
+          val u = if (nrm == 0) e else e.map(_ / nrm)
+          val dists = m.centroids.map(c =>
+            c.zip(u).map { case (a, b) => (a - b) * (a - b) }.sum)
+          dists.indexOf(dists.min) != r.getInt(1)
+        }
+        (sizeOk && bad == 0,
+          s"sizesSum=${m.sizes.sum} vs n=$n, sampled=${assigned.length}, argminMismatch=$bad")
+      }),
+
+      ("q148_kmeans_margin", "member counts match the model's sizes; ambiguous <= members", () => {
+        val m = Stores.kmeansModel(spark, sfDir)
+        val rows = q("q148_kmeans_margin").collect()
+        val byCluster = rows.map(r => r.getAs[Int]("cluster") ->
+          (r.getAs[Long]("n_members"), r.getAs[Long]("n_ambiguous"))).toMap
+        val badSize = m.sizes.zipWithIndex.filter { case (sz, c) =>
+          sz > 0 && byCluster.get(c).exists(_._1 != sz) }
+        val badAmb = byCluster.values.count { case (mem, amb) => amb > mem }
+        (rows.nonEmpty && badSize.isEmpty && badAmb == 0,
+          s"clusters=${rows.length}, sizeMismatch=${badSize.length}, amb>mem=$badAmb")
+      }),
+
+      ("q152_multiprobe_recall", "multi-probe dominates single-probe; both in [0,1]", () => {
+        val rows = q("q152_multiprobe_recall").collect()
+          .map(r => r.getString(0) -> r.getAs[Double]("mean_recall_at_5")).toMap
+        val s = rows("single"); val mu = rows("multi")
+        (mu >= s && s >= 0 && mu <= 1,
+          f"single=$s%.3f, multi=$mu%.3f (dominance required)")
+      }),
+
+      ("q153_ivf_retrieval_eval", "metrics in [0,1], precision<=recall ordering sane, non-degenerate", () => {
+        val rows = q("q153_ivf_retrieval_eval").collect()
+        val cols = rows.headOption.map(_.schema.fieldNames.toSeq).getOrElse(Nil)
+        val metricCols = cols.filter(c => c != "label" && c != "n_queries")
+        val bad = rows.flatMap { r =>
+          metricCols.flatMap { c =>
+            val v = r.getAs[Any](c) match {
+              case d: Double => d; case l: Long => l.toDouble; case _ => 0.0 }
+            if (v < -1e-9 || v > 1 + 1e-9) Some(s"${r.getAs[Any]("label")}.$c=$v") else None
+          }
+        }
+        val nonZero = rows.exists { r => metricCols.exists { c =>
+          (r.getAs[Any](c) match { case d: Double => d; case l: Long => l.toDouble; case _ => 0.0 }) > 0 } }
+        (rows.nonEmpty && bad.isEmpty && nonZero,
+          s"labels=${rows.length}, outOfRange=${bad.take(3).mkString("; ")}, nonZero=$nonZero")
+      }),
+
+      ("q194_pca_saved", "identical to q137's output (store load == fit)", () => {
+        val a = q("q194_pca_saved"); val b = q("q137_pca_components")
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        val n = a.count()
+        (n > 0 && diff == 0, s"rows=$n, diffs=$diff")
+      }),
+
+      ("q195_kmeans_saved", "identical to q142's output (store load == fit)", () => {
+        val a = q("q195_kmeans_saved"); val b = q("q142_kmeans")
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        val n = a.count()
+        (n > 0 && diff == 0, s"rows=$n, diffs=$diff")
+      }),
+
+      ("q196_kmeans_label_profile", "profile accounts every vector; per-cluster totals = model sizes", () => {
+        val m = Stores.kmeansModel(spark, sfDir)
+        val prof = q("q196_kmeans_label_profile")
+        val n = Tables.embeddings(spark, sfDir).count()
+        val tot = prof.agg(sum($"n_vectors")).as[Long].head()
+        val perCluster = prof.groupBy($"cluster")
+          .agg(sum($"n_vectors").as("nv")).collect()
+          .map(r => r.getInt(0) -> r.getAs[Long]("nv")).toMap
+        val badC = m.sizes.zipWithIndex.filter { case (sz, c) =>
+          sz != perCluster.getOrElse(c, 0L) }
+        (tot == n && badC.isEmpty, s"total=$tot vs n=$n, clusterMismatch=${badC.length}")
+      }),
+
+      ("q207_lsh_eval", "counts internally consistent; recall above the banding floor", () => {
+        val r = q("q207_lsh_eval").collect().head
+        val (ne, nc, nh) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hit"))
+        val prec = r.getAs[Double]("precision"); val rec = r.getAs[Double]("recall")
+        val consistent = nh <= math.min(ne, nc) &&
+          math.abs(prec - nh.toDouble / nc) < 1e-8 &&
+          math.abs(rec - nh.toDouble / ne) < 1e-8
+        (ne > 0 && consistent && rec >= 0.8,
+          f"exact=$ne cand=$nc hit=$nh recall=$rec%.3f (floor 0.8)")
+      }),
+
+      ("q208_pq_distortion", "mean squared errors replayed via an independent per-row aggregation", () => {
+        val vecs = emb
+        val pq = Similarity.buildPqIndex(vecs, m = 8, kSub = 16)
+        val enc = Similarity.encodePq(vecs, pq)
+          .withColumn("__u", transform($"emb", (x: Column) => x / $"norm"))
+        // independent route: posexplode subspace errors to rows, average
+        val errCols = pq.subCentroids.zipWithIndex.map { case (cents, mm) =>
+          val centLit = typedLit(cents.toSeq.map(_.toSeq))
+          val sub = slice($"__u", mm * pq.dSub + 1, pq.dSub)
+          val chosen = element_at(centLit, element_at($"codes", mm + 1) + 1)
+          struct(lit(mm).as("subspace"),
+            aggregate(zip_with(sub, chosen, (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x).as("err"))
+        }
+        val mine = enc.select(explode(array(errCols: _*)).as("r"))
+          .groupBy($"r.subspace".as("subspace"))
+          .agg((sum(round($"r.err", 9).cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("mse"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val rep = q("q208_pq_distortion").collect()
+          .map(r => r.getInt(0) -> r.getAs[Double]("mean_sq_err")).toMap
+        val bad = rep.filter { case (ss, v) =>
+          math.abs(v - BigDecimal(mine(ss)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) > 1e-9 }
+        (rep.size == 8 && bad.isEmpty, s"subspaces=${rep.size}, mismatches=${bad.keys.mkString(",")}")
+      }),
+
+      ("q209_ivf_cell_balance", "cells account every vector; load factors replay; sampled cells = argmin", () => {
+        val rows = q("q209_ivf_cell_balance").collect()
+        val n = Tables.embeddings(spark, sfDir).count()
+        val tot = rows.map(_.getAs[Long]("n_vectors")).sum
+        val badLf = rows.count { r =>
+          val expectLf = BigDecimal(r.getAs[Long]("n_vectors").toDouble * 16.0 / n)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          math.abs(r.getAs[Double]("load_factor") - expectLf) > 1e-9 }
+        (tot == n && badLf == 0, s"total=$tot vs n=$n, badLoadFactor=$badLf")
+      }),
+
+      ("q228_minhash_calibration", "per-band estimator error within the k=64 binomial bound", () => {
+        val rows = q("q228_minhash_calibration").collect()
+        // per-pair std of the k=64 signature estimator is sqrt(j(1-j)/64)
+        // <= 1/16; a band MEAN of many pairs concentrates well below —
+        // allow 3 per-pair sigmas as a loose, theory-backed bound
+        val bad = rows.filter { r =>
+          r.getAs[Double]("mean_abs_err") > 3.0 / 16.0 }
+        (rows.nonEmpty && bad.isEmpty,
+          s"bands=${rows.length}, worstErr=${rows.map(_.getAs[Double]("mean_abs_err")).max}")
+      }),
+
+      ("q240_lsh_band_sweep", "recall monotone in bands, precision anti-monotone, counts consistent", () => {
+        val rows = q("q240_lsh_band_sweep").orderBy($"bands").collect()
+        val rec = rows.map(_.getAs[Double]("recall"))
+        val prec = rows.map(_.getAs[Double]("precision"))
+        val ne = rows.map(_.getAs[Long]("n_exact")).distinct
+        val recMono = rec.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+        val precMono = prec.sliding(2).forall(p => p.length < 2 || p(0) >= p(1))
+        (rows.length == 3 && ne.length == 1 && recMono && precMono,
+          s"recalls=${rec.mkString(",")}, precisions=${prec.mkString(",")}")
+      })
+    )
+
+    val results = checks.map { case (query, name, fn) =>
+      val t0 = System.nanoTime()
+      val (pass, detail) =
+        try fn()
+        catch { case e: Throwable =>
+          (false, s"EXCEPTION ${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[golden-sf1] ${if (pass) "ok  " else "FAIL"} $query%-28s $secs%7.1f s  $detail")
+      spark.catalog.clearCache()
+      graft.ops.Staged.releaseAll()
+      Res(query, name, pass, detail, secs)
+    }
+
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val doc = results.map { r =>
+      s"""{"query":"${r.query}","check":"${esc(r.check)}","pass":${r.pass},""" +
+        s""""detail":"${esc(r.detail)}","secs":${f"${r.secs}%.2f"}}"""
+    }.mkString(
+      s"""{"sf_dir":"$sfDir","n_checks":${results.length},""" +
+        s""""n_pass":${results.count(_.pass)},"checks":[""", ",", "]}")
+    val p = java.nio.file.Paths.get(out)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, (doc + "\n").getBytes("UTF-8"))
+    println(s"[golden-sf1] ${results.count(_.pass)}/${results.length} pass -> $out")
+    spark.stop()
+    if (results.exists(!_.pass)) sys.exit(1)
+  }
+}
