@@ -61,13 +61,9 @@ object Wave36Queries {
     val tagged = concat(ns.map(n => transform(
       call_function("ngram_hashes", $"toks", lit(n)),
       x => struct(lit(n).as("n"), x.as("h")))): _*)
-    // doc_id-keyed repartition BEFORE the tokenize/hash projection: the
-    // corpus ships as a handful of parquet files, so without it the
-    // whole explode runs on as many cores as there are input splits
-    // (2 at sf1). The exchange moves only the compact (doc_id, split,
-    // text) rows and is reused by both branches.
+    // scan parallelism: Tables.documents' small-layout fan-out already
+    // spreads the corpus across the cluster before this projection
     val sh = docs
-      .repartition(col("doc_id"))
       .select($"doc_id", $"split", Text.tokens($"text").as("toks"))
       .select($"doc_id", $"split", explode(tagged).as("g"))
       .select($"doc_id", $"split", $"g.n".as("n"), $"g.h".as("h"))

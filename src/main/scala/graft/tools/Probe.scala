@@ -3,11 +3,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Sampling, Text}
+import graft.ops.Text
 
 /** Dev-only stage profiler for pipeline hot spots (not part of any
   * gate): times the building blocks of a query in isolation so a
-  * regression can be attributed to a stage instead of guessed at. */
+  * regression can be attributed to a stage instead of guessed at.
+  * Edit the body for the investigation at hand; keep the committed
+  * version pointed at the most recent frontier (currently q29's
+  * winnow fingerprint growth). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,39 +28,22 @@ object Probe {
       r
     }
 
-    val splitDefs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     for (_ <- 1 to 2) {
-      val lab = Sampling.splitAssign(
-          Tables.documents(spark, sfDir).select($"doc_id"), "doc_id", splitDefs)
-        .select($"doc_id", $"split")
-      val docs = Tables.documents(spark, sfDir).join(lab, "doc_id")
-        .where($"split".isin("train", "test"))
-        .select($"doc_id", $"split", $"text")
-      time("docs join+filter count")(docs.count())
-      val ns = Seq(4, 8, 13)
-      def shFromToks(n: Int) = {
-        val m = size($"toks") - (n - 1)
-        val parts = (0 until n).map(i => slice($"toks", lit(i + 1), m))
-        val joined = parts.reduceLeft((acc, p) =>
-          zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
-        when(size($"toks") >= n, joined).otherwise(array().cast("array<string>"))
-      }
-      val tagged = concat(ns.map(n => transform(
-        array_distinct(shFromToks(n)),
-        x => struct(lit(n).as("n"), xxhash64(lit(n), x).as("h")))): _*)
-      val sh = docs
-        .repartition(col("doc_id"))
-        .select($"doc_id", $"split", Text.tokens($"text").as("toks"))
-        .select($"doc_id", $"split", explode(tagged).as("g"))
-        .select($"doc_id", $"split", $"g.n".as("n"), $"g.h".as("h"))
-      time("merged explode count")(sh.count())
-      val trainSh = sh.where($"split" === "train").select($"h").distinct()
-      time("train distinct count")(trainSh.count())
-      val cont = sh.where($"split" === "test")
-        .join(trainSh, Seq("h"), "left_semi")
-        .select($"n", $"doc_id").distinct()
-        .groupBy($"n").agg(count(lit(1)).as("n_contaminated"))
-      time("semi-join + rollup")(cont.collect().foreach(r => println(s"  $r")))
+      val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      time("docs count")(docs.count())
+      val fps = Text.winnowFingerprintRows(docs, "doc_id", "text")
+      time("fps explode (no sort)")(
+        fps.write.format("noop").mode("overwrite").save())
+      time("fps + total orderBy")(
+        fps.orderBy($"doc_id", $"fp")
+          .write.format("noop").mode("overwrite").save())
+      val rep = Text.winnowFingerprintRows(
+        docs.repartition(col("doc_id")), "doc_id", "text")
+      time("repartitioned fps (no sort)")(
+        rep.write.format("noop").mode("overwrite").save())
+      time("repartitioned fps + orderBy")(
+        rep.orderBy($"doc_id", $"fp")
+          .write.format("noop").mode("overwrite").save())
       spark.catalog.clearCache()
     }
     spark.stop()

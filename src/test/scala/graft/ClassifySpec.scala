@@ -97,7 +97,10 @@ class ClassifySpec extends SparkSuite {
   }
 
   test("scoring is a stateless projection: no shuffle below the score column") {
-    val docs = Tables.documents(spark, sf)
+    // raw read, NOT Tables.documents: the no-Exchange assertion pins the
+    // OPERATOR's shape; the loader's small-layout fan-out adds its own
+    // documented exchange upstream
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
     val m = Classify.trainLogistic(
       docs.select(Classify.qualityFeatures($"text").as("features"),
         Classify.seedQualityLabel($"text").as("label")),

@@ -138,7 +138,11 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("sampleFrames emits every Nth real PNG frame of videos only, no shuffle") {
-    val media = Multimodal.attachMedia(Tables.documents(spark, sf))
+    // raw read, NOT Tables.documents: the no-Exchange assertion pins the
+    // OPERATOR's shape; the loader's small-layout fan-out adds its own
+    // documented exchange upstream
+    val media = Multimodal.attachMedia(
+      spark.read.parquet(s"$sf/documents.parquet"))
     val frames = Multimodal.sampleFrames(media, everyN = 3).cache()
     val videos = media.filter(_.media_type == "video").collect()
     // expected count: ceil(n_frames / 3) per video, from the container header

@@ -98,7 +98,10 @@ class PlanGuardSpec extends SparkSuite {
     "q348_friedman_test",      // 1-row rank pivot × broadcast(1-row n/ties)
     "q349_sprt_boundary",      // 1-row walk tail × broadcast(1-row first crossing)
     "q350_theil_decomposition", // doc scan × broadcast(1-row totals)
-    "q355_neyman_allocation")  // source frame × broadcast(1-row budget normalizer)
+    "q355_neyman_allocation",  // source frame × broadcast(1-row budget normalizer)
+    "q357_token_pmi",          // 1-row pair-count pivot, exploded to 5 rows
+    "q358_quality_length_tau", // bounded contingency cells × broadcast(itself), ≤10⁴ cell pairs
+    "q360_lang_source_mi")     // cell frame × broadcast(1-row corpus total)
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -260,11 +263,14 @@ class PlanGuardSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "per-dim scales must broadcast")
     // every shuffle keys on the dim column (aggregate partials / the
-    // final dim ordering) — the embedding table itself never exchanges
+    // final dim ordering) or on vec_id (Tables' small-layout fan-out,
+    // which spreads the 1–2-split fixture scan across the cluster before
+    // the per-vector math) — the embedding VECTORS never exchange on any
+    // other key
     val parts = "Exchange (?:hash|range)partitioning\\((\\w+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(parts.nonEmpty && parts.forall(_ == "dim"),
-      s"only dim-keyed exchanges expected, got $parts")
+    assert(parts.nonEmpty && parts.forall(p => p == "dim" || p == "vec_id"),
+      s"only dim-/fan-out-keyed exchanges expected, got $parts")
   }
 
   test("q02's time bound reaches the parquet scan as a pushed filter") {

@@ -71,7 +71,10 @@ class ShardSpec extends SparkSuite {
   }
 
   test("shardAssign plans exactly one exchange (the shard-partitioned sort)") {
-    val docs = Tables.documents(spark, sf).select($"doc_id")
+    // raw read, NOT Tables.documents: this pins the exchange count the
+    // OPERATOR adds, so the loader's small-layout fan-out (its own
+    // documented exchange) must stay out of the frame under test
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id")
     val plan = Shard.shardAssign(docs, "doc_id", 8, "s")
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).size
