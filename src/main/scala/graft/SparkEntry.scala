@@ -59,7 +59,7 @@ object SparkEntry {
       graft.queries.Wave51Queries.queries ++ graft.queries.Wave52Queries.queries ++
       graft.queries.Wave53Queries.queries ++ graft.queries.Wave54Queries.queries ++
       graft.queries.Wave55Queries.queries ++ graft.queries.Wave56Queries.queries ++
-      graft.queries.Wave57Queries.queries
+      graft.queries.Wave57Queries.queries ++ graft.queries.Wave58Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -93,5 +93,5 @@ object SparkEntry {
       graft.queries.Wave51Queries.oracle ++ graft.queries.Wave52Queries.oracle ++
       graft.queries.Wave53Queries.oracle ++ graft.queries.Wave54Queries.oracle ++
       graft.queries.Wave55Queries.oracle ++ graft.queries.Wave56Queries.oracle ++
-      graft.queries.Wave57Queries.oracle
+      graft.queries.Wave57Queries.oracle ++ graft.queries.Wave58Queries.oracle
 }

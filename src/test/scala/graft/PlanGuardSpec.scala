@@ -101,7 +101,8 @@ class PlanGuardSpec extends SparkSuite {
     "q355_neyman_allocation",  // source frame × broadcast(1-row budget normalizer)
     "q357_token_pmi",          // 1-row pair-count pivot, exploded to 5 rows
     "q358_quality_length_tau", // bounded contingency cells × broadcast(itself), ≤10⁴ cell pairs
-    "q360_lang_source_mi")     // cell frame × broadcast(1-row corpus total)
+    "q360_lang_source_mi",     // cell frame × broadcast(1-row corpus total)
+    "q365_retrieval_diversity") // q27's brute-force shape (candidates × broadcast(10 query vectors))
 
   test("no query plans a CartesianProduct, unexpected BNLJ, or any ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
