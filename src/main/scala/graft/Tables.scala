@@ -21,8 +21,12 @@ object Tables {
     * row group, so this is an UPPER bound on scan parallelism). Cached
     * per path; pure file-metadata arithmetic, no Spark job. */
   private val splitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def estimatedSplits(spark: SparkSession, path: String): Long =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  /** (estimated splits, total bytes) for a local parquet path — splits =
+    * Σ ceil(fileLen / maxPartitionBytes), an UPPER bound on scan
+    * parallelism (parquet can't split below a row group). Cached per
+    * path; pure file-metadata arithmetic, no Spark job. */
+  private def layoutStats(spark: SparkSession, path: String): (Long, Long) =
     splitCache.computeIfAbsent(path, p => {
       val f = new java.io.File(p)
       val files =
@@ -31,7 +35,8 @@ object Tables {
             .filter(x => x.isFile && x.getName.endsWith(".parquet"))
         else Array(f)
       val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-      files.map(x => math.max(1L, (x.length + maxPart - 1) / maxPart)).sum
+      (files.map(x => math.max(1L, (x.length + maxPart - 1) / maxPart)).sum,
+        files.map(_.length).sum)
     })
 
   /** Per-row-compute tables fan out across the cluster when the physical
@@ -48,8 +53,9 @@ object Tables {
     * thousands of splits, `estimatedSplits ≥ parallelism`, and the read
     * passes through untouched — the guard only compensates for
     * small-file layouts, it never adds a shuffle a real cluster corpus
-    * would pay. */
-  /** documents + embeddings ONLY — the per-row-compute tables, where the
+    * would pay.
+    *
+    * documents + embeddings ONLY — the per-row-compute tables, where the
     * projection above the scan (tokenize / shingle / hash / decode /
     * vector math) dwarfs the exchange. Measured on the relational fact
     * tables (lineitem/orders/events) the same fan-out LOSES: their map
@@ -58,12 +64,26 @@ object Tables {
     * sf1) — the partial aggregate IS the right parallelism fix there. */
   private val fanOutKeys = Map(
     "documents" -> "doc_id", "embeddings" -> "vec_id")
+  /** Below this corpus size the fan-out is net-negative: the extra
+    * exchange STAGE costs ~0.1–0.3 s of scheduling per query, which at
+    * fixture scale (sf0.1 documents: 0.6 MB, whole queries in the
+    * 0.2–0.9 s band) outweighs any parallelism it buys — measured as a
+    * 1.24× median slow-down across the sf0.1 sweep when unconditional,
+    * and still a 2–2.8× regression on the CHEAP document queries at sf1
+    * (5.8 MB corpus: the heavy text family gained 3–5 s each, q44
+    * 5.2→0.96 s, but ~dozens of sub-second scans paid +0.3–1 s of extra
+    * stage each — net-neutral in total, net-negative per query). From
+    * ~8 MB the heavy-family win dominates everything in sight: at sf3
+    * (17.4 MB) q44 reads 15.1→1.84 s and q29 25.4→5.3 s with no cheap-
+    * query regression visible above noise. */
+  private val fanOutMinBytes = 8L << 20
   private def fanOut(spark: SparkSession, df: DataFrame, name: String,
                      path: String): DataFrame =
     fanOutKeys.get(name) match {
       case Some(key) =>
         val target = spark.sparkContext.defaultParallelism
-        if (estimatedSplits(spark, path) >= math.max(2, target / 2)) df
+        val (splits, bytes) = layoutStats(spark, path)
+        if (splits >= math.max(2, target / 2) || bytes < fanOutMinBytes) df
         else df.repartition(target, org.apache.spark.sql.functions.col(key))
       case None => df
     }
