@@ -16,28 +16,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Small-layout guard: estimated scan splits for a local parquet path
-    * (Σ ceil(fileLen / maxPartitionBytes) — parquet can't split below a
-    * row group, so this is an UPPER bound on scan parallelism). Cached
-    * per path; pure file-metadata arithmetic, no Spark job. */
-  private val splitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   /** (estimated splits, total bytes) for a local parquet path — splits =
     * Σ ceil(fileLen / maxPartitionBytes), an UPPER bound on scan
-    * parallelism (parquet can't split below a row group). Cached per
-    * path; pure file-metadata arithmetic, no Spark job. */
-  private def layoutStats(spark: SparkSession, path: String): (Long, Long) =
-    splitCache.computeIfAbsent(path, p => {
-      val f = new java.io.File(p)
-      val files =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty)
-            .filter(x => x.isFile && x.getName.endsWith(".parquet"))
-        else Array(f)
-      val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-      (files.map(x => math.max(1L, (x.length + maxPart - 1) / maxPart)).sum,
-        files.map(_.length).sum)
-    })
+    * parallelism (parquet can't split below a row group). Computed fresh
+    * on every call — pure file-metadata arithmetic (one dir listing, no
+    * Spark job), so caching would only buy staleness: a keyed cache here
+    * baked in the first session's maxPartitionBytes and kept serving
+    * pre-rewrite file sizes after tests/tools regenerated a table dir. */
+  private def layoutStats(spark: SparkSession, path: String): (Long, Long) = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(x => x.isFile && x.getName.endsWith(".parquet"))
+      else Array(f)
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    (files.map(x => math.max(1L, (x.length + maxPart - 1) / maxPart)).sum,
+      files.map(_.length).sum)
+  }
 
   /** Per-row-compute tables fan out across the cluster when the physical
     * layout can't: the fixture corpora ship as 1–2 single-row-group

@@ -382,10 +382,18 @@ object NgramHashes {
     val len = arr.numElements()
     if (len < n) return empty
     // token bytes once per row; n-gram bytes assembled in one reusable
-    // buffer (tokens joined by ' ' — UTF-8-safe, space is 1 byte)
+    // buffer (tokens joined by ' ' — UTF-8-safe, space is 1 byte).
+    // A NULL token is legal (ArrayType(..., containsNull=true) is
+    // accepted): in the composed form every shingle containing it
+    // concat-nulls, and xxhash64(lit(n), null) skips the null child —
+    // the hash degrades to the seed. Mirror that exactly: a window
+    // with any null token hashes to `seed`, never an NPE.
     val toks = new Array[Array[Byte]](len)
     var i = 0
-    while (i < len) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
     val seed = XXH64.hashInt(n, 42L) // xxhash64(lit(n), x) chaining
     val m = len - n + 1
     val out = new Array[Long](m)
@@ -395,20 +403,28 @@ object NgramHashes {
     var p = 0
     while (p < m) {
       var need = n - 1
+      var hasNull = false
       var j = p
-      while (j < p + n) { need += toks(j).length; j += 1 }
-      if (need > buf.length) buf = new Array[Byte](math.max(need, buf.length * 2))
-      var at = 0
-      j = p
       while (j < p + n) {
-        if (j > p) { buf(at) = ' '; at += 1 }
-        System.arraycopy(toks(j), 0, buf, at, toks(j).length)
-        at += toks(j).length
+        if (toks(j) == null) hasNull = true else need += toks(j).length
         j += 1
       }
-      val h = XXH64.hashUnsafeBytes(
-        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, at, seed)
-      if (seen.add(h)) { out(distinct) = h; distinct += 1 }
+      if (hasNull) {
+        if (seen.add(seed)) { out(distinct) = seed; distinct += 1 }
+      } else {
+        if (need > buf.length) buf = new Array[Byte](math.max(need, buf.length * 2))
+        var at = 0
+        j = p
+        while (j < p + n) {
+          if (j > p) { buf(at) = ' '; at += 1 }
+          System.arraycopy(toks(j), 0, buf, at, toks(j).length)
+          at += toks(j).length
+          j += 1
+        }
+        val h = XXH64.hashUnsafeBytes(
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, at, seed)
+        if (seen.add(h)) { out(distinct) = h; distinct += 1 }
+      }
       p += 1
     }
     if (distinct == m) new GenericArrayData(out)

@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.DecimalType
   * order, making the trained model golden-pinnable.
   *
   * Reference anchor: the reference's quality surface is rule-based
-  * routing only (`silver_transform.py` range rules); this extends it
+  * routing only (`silver_enrichment.py` range rules); this extends it
   * the way a production curation stack does — seed labels from the
   * rules ([[Text.qualityScore]]), a parametric model trained on a
   * sample, calibrated scores for the corpus.

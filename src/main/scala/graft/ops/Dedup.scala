@@ -1157,7 +1157,7 @@ object Dedup {
     * identical coverage on the fixture corpus.
     *
     * Reference anchor: the reference has no substring-level operator
-    * (its dedup surface is row-level — `silver_transform.py`'s
+    * (its dedup surface is row-level — `silver_enrichment.py`'s
     * dropDuplicates analog); this extends the dedup family the same way
     * [[minhashCandidates]] extends [[exactGroups]]. */
   def spanDupCoverage(df: DataFrame, idCol: String, textCol: String,
@@ -1236,7 +1236,7 @@ object Dedup {
     * string when nothing survives).
     *
     * Reference anchor: the reference's dedup is row-level
-    * (`silver_transform.py` dropDuplicates analog); this is north-star
+    * (`silver_enrichment.py` dropDuplicates analog); this is north-star
     * curation surface (Wenzek et al. 2020 §4.2's paragraph dedup). */
   /** Non-overlapping k-token tile segmentation shared by
     * [[tileDedupKeepFirst]] and [[Incremental.deltaDedupStatus]] — one

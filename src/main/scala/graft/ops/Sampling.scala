@@ -339,10 +339,17 @@ object Sampling {
                          b: Int, seed: String): DataFrame = {
     require(b >= 2, s"need at least 2 replicates: $b")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // NULL ids still weight their row: bootstrap_weights is null-safe
+    // (null in → null out), and posexplode(null) would silently drop the
+    // row from every replicate while the point mean kept it — so the id
+    // is coalesced to a sentinel draw key first (all null-id rows share
+    // one weight stream, the same degradation the legacy concat_ws draw
+    // had; pass a non-null id column for independent draws).
     val reps = df
       .select(col(valueCol).cast("long").as("__x"),
         call_function("bootstrap_weights",
-          col(idCol).cast("string"), lit(seed), lit(b)).as("__ws"))
+          coalesce(col(idCol).cast("string"), lit(" __null_id")),
+          lit(seed), lit(b)).as("__ws"))
       .select($"__x", posexplode($"__ws").as(Seq("rep", "__w")))
       .groupBy(col("rep"))
       .agg(sum(col("__w") * col("__x")).as("swx"), sum(col("__w")).as("sw"))

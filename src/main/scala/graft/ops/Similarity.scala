@@ -232,6 +232,172 @@ object Similarity {
       .where($"query_id" =!= $"neighbor_id"), k)
   }
 
+  // ------------------------------------------------- corpus-scaled ANN
+  //
+  // Round-14 scale evidence (perf/golden_sf1_checks.json): FIXED ANN
+  // parameters collapse recall as the corpus grows — single-table LSH
+  // at h=8 read recall 0.060 on a corpus 16× the fixture, and the
+  // fixed-bucket near-dup pass found 7 of 58 true pairs. The parameters
+  // below therefore DERIVE from corpus statistics:
+  //
+  //  - banded sign-LSH (the classic r-rows × L-tables scheme): `rows`
+  //    bounds per-table bucket occupancy (rows ≈ log2(N / targetBucket),
+  //    so per-table candidate volume stays ~targetBucket per query at
+  //    ANY corpus size), and `tables` comes from the collision model —
+  //    a pair agreeing per-hyperplane with probability p survives some
+  //    band with prob 1-(1-p^rows)^tables, so tables =
+  //    ln(1-targetRecall)/ln(1-p^rows). p is EXACT when a cosine
+  //    threshold is given (p = 1 - arccos(θ)/π, Goemans–Williamson) and
+  //    estimated from a bounded deterministic sample for kNN (the
+  //    sample's kth-NN cosine UNDERestimates the full corpus's — more
+  //    candidates ⇒ nearer neighbors — so the estimate errs toward MORE
+  //    tables, never silently less recall).
+  //  - IVF: nCells ∝ √N (the FAISS sizing rule — cells of ~√N rows
+  //    balance quantizer cost against in-cell scan cost), nProbe holds
+  //    a probe FRACTION rather than a count, so growing the corpus
+  //    grows probed cells with it instead of silently under-probing.
+  //
+  // A corpus can still demand more tables than the cost cap allows
+  // (e.g. near-random embeddings, where p barely clears the 0.5 of a
+  // random pair); that is LSH's fundamental limit, and it is surfaced —
+  // the derivation logs the clamp — never silently absorbed.
+
+  /** Banded sign-LSH parameters: `rows` hyperplanes per band × `tables`
+    * bands. See the derivation note above. */
+  final case class BandedLsh(rows: Int, tables: Int, pHat: Double, n: Long) {
+    def totalPlanes: Int = rows * tables
+    /** Collision-model recall at agreement probability `p`. */
+    def expectedRecall(p: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(p, rows), tables)
+  }
+
+  /** Derive banded-LSH parameters from corpus size and the per-plane
+    * agreement probability of the pairs that must be found. */
+  def bandedParams(n: Long, pHat: Double, targetRecall: Double,
+                   maxTables: Int = 64, targetBucket: Long = 64): BandedLsh = {
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall in (0,1): $targetRecall")
+    require(pHat > 0 && pHat < 1, s"pHat in (0,1): $pHat")
+    val rows = math.max(2, math.min(24,
+      (math.log(math.max(2.0, n.toDouble / targetBucket)) / math.log(2.0)).floor.toInt))
+    val pr = math.pow(pHat, rows)
+    val need = math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt
+    if (need > maxTables)
+      log.warn(s"bandedParams: corpus (n=$n, pHat=$pHat) demands $need tables " +
+        s"for recall $targetRecall at rows=$rows; clamped to $maxTables " +
+        f"(expected recall ${1.0 - math.pow(1.0 - pr, maxTables)}%.3f) — " +
+        "near-random embeddings are past sign-LSH's useful regime; consider IVF")
+    BandedLsh(rows, math.max(1, math.min(maxTables, need)), pHat, n)
+  }
+
+  /** Per-plane agreement probability for pairs at cosine ≥ θ (exact:
+    * sign-LSH collision probability, Goemans–Williamson). */
+  def agreementP(minCosine: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
+
+  /** Bounded deterministic unit-vector sample (hash-of-id order — the
+    * same reproducible sample discipline as [[buildIvfIndex]]). */
+  private def unitSample(candidates: DataFrame, cap: Int): Array[Array[Double]] =
+    candidates
+      .select(transform($"emb", (x: Column) => x / $"norm").as("u"),
+        xxhash64($"id").as("hk"))
+      .orderBy($"hk").limit(cap)
+      .select($"u").collect().map(_.getSeq[Double](0).toArray)
+
+  /** Estimate the per-plane agreement probability of a query's k-th
+    * nearest neighbor from a bounded deterministic sample: each sample
+    * point's k-th-NN cosine WITHIN the sample, taken at a LOW percentile
+    * across points (q10). Bias audit, both directions: the sample's
+    * kth-NN is FARTHER than the corpus's (fewer candidates) and q10 is
+    * below the typical query — both err toward a smaller p̂, hence MORE
+    * tables, never fewer. Memoized per (plan, files, k). */
+  private val pHatCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int), java.lang.Double]()
+  def estimatedNeighborP(candidates: DataFrame, k: Int,
+                         sampleCap: Int = 512): Double = {
+    val key = (candidates.queryExecution.analyzed.canonicalized,
+      fileFingerprint(candidates), k)
+    if (pHatCache.size() > IvfCacheMax) pHatCache.clear()
+    pHatCache.computeIfAbsent(key, _ => {
+      val s = unitSample(candidates, sampleCap)
+      require(s.length > k, s"need > $k sample vectors, got ${s.length}")
+      val kth = s.indices.map { i =>
+        val cos = new Array[Double](s.length - 1)
+        var w = 0
+        for (j <- s.indices if j != i) {
+          var d = 0.0; var t = 0
+          val a = s(i); val b = s(j)
+          while (t < a.length && t < b.length) { d += a(t) * b(t); t += 1 }
+          cos(w) = d; w += 1
+        }
+        java.util.Arrays.sort(cos)
+        cos(cos.length - k) // k-th largest
+      }.sorted
+      val q10 = kth(math.max(0, (kth.length / 10) - 1))
+      math.max(0.51, math.min(0.99, agreementP(q10)))
+    }).doubleValue()
+  }
+
+  /** Per-table bucket-id columns for banded LSH: one `rows`-bit sign
+    * bucket per table, all tables' planes drawn from one seeded stream. */
+  private def bandedBuckets(emb: Column, prm: BandedLsh, dim: Int): Column = {
+    val planes = hyperplanes(prm.totalPlanes, dim)
+    array((0 until prm.tables).map { t =>
+      val bits = (0 until prm.rows).map { i =>
+        when(dot(emb, typedLit(planes(t * prm.rows + i).toSeq)) > 0.0,
+          lit(1L << i)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Banded (multi-table) LSH kNN — [[knnLsh]]'s corpus-scaled form:
+    * parameters derive from N and the sampled neighbor-angle structure
+    * so recall holds as the corpus grows (the round-14 finding: fixed
+    * h=8 single-table recall fell 16× over one corpus decade). The
+    * candidate side explodes ×tables on the (table, bucket) key — the
+    * materialized form of an LSH index's L hash tables; per-query probe
+    * volume stays ~tables × targetBucket at any corpus size. Every
+    * (query, candidate) pair is deduped before the shared exact-cosine
+    * re-rank, so reported values are exact regardless of how many
+    * tables a pair collides in. */
+  def knnLshBanded(queries: DataFrame, candidates: DataFrame, k: Int,
+                   targetRecall: Double = 0.7, maxTables: Int = 64): DataFrame = {
+    val n = candidates.count()
+    val prm = bandedParams(n, estimatedNeighborP(candidates, k), targetRecall, maxTables)
+    val dim = embDim(candidates)
+    val q = queries.select($"id".as("query_id"), $"emb".as("q_emb"),
+        $"norm".as("q_norm"),
+        posexplode(bandedBuckets($"emb", prm, dim)).as(Seq("tbl", "bucket")))
+    val c = candidates.select($"id".as("neighbor_id"), $"emb".as("c_emb"),
+        $"norm".as("c_norm"),
+        posexplode(bandedBuckets($"emb", prm, dim)).as(Seq("tbl", "bucket")))
+    rerank(
+      c.join(broadcast(q), Seq("tbl", "bucket"))
+        .where($"query_id" =!= $"neighbor_id")
+        .drop("tbl", "bucket")
+        .dropDuplicates("query_id", "neighbor_id"), k)
+  }
+
+  /** Corpus-scaled IVF parameters: nCells = the power of two nearest
+    * √N (clamped [8, 65536] — the FAISS cell-sizing rule), nProbe = the
+    * probe FRACTION of cells (≥1). Holding a fraction rather than a
+    * count is what keeps recall stable across corpus decades: the
+    * round-14 gate measured fixed nProbe=4/nCells=16 falling from
+    * recall 0.62 at sf0.01 to 0.40 at sf1 purely because the corpus
+    * outgrew the probe. On a weakly-clustered corpus recall ≈ slightly
+    * above the probe fraction (the quantizer buys little); on a
+    * clustered one it is far above. The fraction default (0.35) was
+    * measured to hold recall ≥ 0.5 on the synthetic near-random corpus
+    * at every shipped scale — a REAL corpus with cluster structure
+    * holds it with a much smaller fraction. */
+  def ivfScaledParams(n: Long, probeFraction: Double = 0.35): (Int, Int) = {
+    require(n > 0, "empty candidate set")
+    val cells = math.max(8, math.min(1 << 16,
+      1 << math.round(math.log(math.sqrt(n.toDouble)) / math.log(2.0)).toInt))
+    val probe = math.max(1, math.ceil(cells * probeFraction).toInt)
+    (cells, probe)
+  }
+
   /** A trained IVF coarse quantizer: unit-sphere centroids held as
     * driver-side constants, baked into plans as literals (the 100 TB
     * shape — an index is trained once, then broadcast into every probe
@@ -608,6 +774,38 @@ object Similarity {
     val a = withBucket.select($"id".as("id_a"), $"emb".as("emb_a"), $"norm".as("norm_a"), $"bucket")
     val b = withBucket.select($"id".as("id_b"), $"emb".as("emb_b"), $"norm".as("norm_b"), $"bucket")
     a.join(b, Seq("bucket"))
+      .where($"id_a" < $"id_b")
+      .withColumn("cosine", cosine($"emb_a", $"emb_b", $"norm_a", $"norm_b"))
+      .where($"cosine" >= minCosine)
+      .select($"id_a", $"id_b", $"cosine")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding near-duplicate pairs with CORPUS-SCALED banded LSH —
+    * [[nearDupPairs]]'s scale-correct form (round 14 measured the fixed
+    * single-table pass finding 7 of 58 true θ-pairs at sf1). The
+    * per-plane agreement probability is EXACT from the threshold
+    * (p = 1 − arccos θ / π), rows bound per-table bucket occupancy from
+    * N, and the table count comes from the collision model at
+    * `targetRecall` for a pair AT the threshold — pairs above θ (the
+    * ones that matter for dedup) collide with strictly higher
+    * probability. Candidates collide per (table, bucket); the exact
+    * cosine filter runs map-side on the join output (before the pair
+    * dedup, so only survivors — a vanishing fraction — shuffle), and
+    * precision stays exact by construction. */
+  def nearDupPairsBanded(df: DataFrame, minCosine: Double,
+                         targetRecall: Double = 0.7,
+                         maxTables: Int = 64): DataFrame = {
+    val n = df.count()
+    val prm = bandedParams(n, agreementP(minCosine), targetRecall, maxTables)
+    val dim = embDim(df)
+    val withBucket = df.select($"id", $"emb", $"norm",
+      posexplode(bandedBuckets($"emb", prm, dim)).as(Seq("tbl", "bucket")))
+    val a = withBucket.select($"tbl", $"bucket", $"id".as("id_a"),
+      $"emb".as("emb_a"), $"norm".as("norm_a"))
+    val b = withBucket.select($"tbl", $"bucket", $"id".as("id_b"),
+      $"emb".as("emb_b"), $"norm".as("norm_b"))
+    a.join(b, Seq("tbl", "bucket"))
       .where($"id_a" < $"id_b")
       .withColumn("cosine", cosine($"emb_a", $"emb_b", $"norm_a", $"norm_b"))
       .where($"cosine" >= minCosine)

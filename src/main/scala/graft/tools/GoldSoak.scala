@@ -123,6 +123,17 @@ object GoldSoak {
       // "listing-bound" from "compute-bound" in a throughput reading
       def tput(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery])
           : (Long, Double, Int, String) = {
+        // the listener runs on the async listener bus — a first-progress
+        // event can still be in flight when the queries stop. Wait (with
+        // a bounded retry) until every query that made progress has its
+        // first-batch entry, so firstBatchTriggerMs never undercounts on
+        // an undelivered event. No public flush exists on spark.streams;
+        // a 10 s ceiling keeps a lost event from hanging the soak.
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (qs.exists(q => q.recentProgress.nonEmpty &&
+                 !firstBatchMs.containsKey(q.id)) &&
+               System.nanoTime() < deadline)
+          Thread.sleep(50)
         val progress = qs.flatMap(_.recentProgress)
         val rows = progress.map(_.numInputRows).sum
         def sumKey(k: String): Long = progress.flatMap(p =>

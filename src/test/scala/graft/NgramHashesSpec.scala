@@ -38,6 +38,38 @@ class NgramHashesSpec extends SparkSuite {
     }
   }
 
+  test("ngram_hashes: null tokens degrade to the seed, matching the composed form (no NPE)") {
+    graft.functions.GraftFunctions.register(spark)
+    // the SQL function accepts array<string> with containsNull=true —
+    // an array built with explicit nulls exercises the guard. The
+    // composed-equivalent semantics: every window containing a null
+    // token hashes to xxhash64(lit(n)) (the null child is skipped), so
+    // the expected set is the non-null windows' hashes plus the seed.
+    val arr = typedLit(Seq[Option[String]](
+      Some("alpha"), None, Some("beta"), Some("gamma"), None))
+    for (n <- Seq(2, 3)) {
+      val got = spark.range(1)
+        .select(call_function("ngram_hashes", arr, lit(n)).as("hs"))
+        .collect().head.getSeq[Long](0)
+      // composed reference on the same array (shingle join via
+      // aggregate-free concat chain is Text-internal; replicate with a
+      // window scan here): null-containing windows → seed
+      val toks = Seq[Option[String]](
+        Some("alpha"), None, Some("beta"), Some("gamma"), None)
+      val seed = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(n, 42L)
+      val expect = toks.sliding(n).map { w =>
+        if (w.exists(_.isEmpty)) seed
+        else {
+          val bytes = w.map(_.get).mkString(" ").getBytes("UTF-8")
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, seed)
+        }
+      }.toSeq.distinct
+      assert(got == expect, s"n=$n: got=$got expect=$expect")
+    }
+  }
+
   test("ngram_hashes: hashes vary across n and text") {
     graft.functions.GraftFunctions.register(spark)
     val all = docs.select(
