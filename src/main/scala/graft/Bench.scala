@@ -242,6 +242,7 @@ object Bench {
       graft.queries.Stores.docContainment(spark, sfDir).count()
       graft.queries.Stores.lmScores(spark, sfDir).count()
       graft.queries.Stores.qualityScores(spark, sfDir).count()
+      graft.queries.Stores.embedPairs(spark, sfDir).count()
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(

@@ -16,81 +16,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** (estimated splits, total bytes) for a local parquet path — splits =
-    * Σ ceil(fileLen / maxPartitionBytes), an UPPER bound on scan
-    * parallelism (parquet can't split below a row group). Computed fresh
-    * on every call — pure file-metadata arithmetic (one dir listing, no
-    * Spark job), so caching would only buy staleness: a keyed cache here
-    * baked in the first session's maxPartitionBytes and kept serving
-    * pre-rewrite file sizes after tests/tools regenerated a table dir. */
-  private def layoutStats(spark: SparkSession, path: String): (Long, Long) = {
-    val f = new java.io.File(path)
-    val files =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .filter(x => x.isFile && x.getName.endsWith(".parquet"))
-      else Array(f)
-    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    (files.map(x => math.max(1L, (x.length + maxPart - 1) / maxPart)).sum,
-      files.map(_.length).sum)
-  }
-
-  /** Per-row-compute tables fan out across the cluster when the physical
-    * layout can't: the fixture corpora ship as 1–2 single-row-group
-    * parquet files, so WITHOUT this every tokenize/hash/decode projection
-    * over them runs on as many cores as there are row groups (measured:
-    * the q29 winnow projection at sf3 ran on 1 of 32 cores; 25 s → 5 s
-    * with the fan-out). The exchange moves only the pruned columns
-    * (projections and filters push below RepartitionByExpression, so
-    * scan-level pushdown is unchanged — PlanAudit verifies), keyed by the
-    * table's unique id for a uniform, deterministic placement.
-    *
-    * At 100 TB this is a NO-OP by construction: a real corpus has
-    * thousands of splits, `estimatedSplits ≥ parallelism`, and the read
-    * passes through untouched — the guard only compensates for
-    * small-file layouts, it never adds a shuffle a real cluster corpus
-    * would pay.
-    *
-    * documents + embeddings ONLY — the per-row-compute tables, where the
-    * projection above the scan (tokenize / shingle / hash / decode /
-    * vector math) dwarfs the exchange. Measured on the relational fact
-    * tables (lineitem/orders/events) the same fan-out LOSES: their map
-    * work is cheap column arithmetic, so scan + partial-agg on few cores
-    * beats scan + full-row shuffle (q02 0.36→0.71 s, q303 0.64→1.53 s at
-    * sf1) — the partial aggregate IS the right parallelism fix there. */
-  private val fanOutKeys = Map(
-    "documents" -> "doc_id", "embeddings" -> "vec_id")
-  /** Below this corpus size the fan-out is net-negative: the extra
-    * exchange STAGE costs ~0.1–0.3 s of scheduling per query, which at
-    * fixture scale (sf0.1 documents: 0.6 MB, whole queries in the
-    * 0.2–0.9 s band) outweighs any parallelism it buys — measured as a
-    * 1.24× median slow-down across the sf0.1 sweep when unconditional,
-    * and still a 2–2.8× regression on the CHEAP document queries at sf1
-    * (5.8 MB corpus: the heavy text family gained 3–5 s each, q44
-    * 5.2→0.96 s, but ~dozens of sub-second scans paid +0.3–1 s of extra
-    * stage each — net-neutral in total, net-negative per query). From
-    * ~8 MB the heavy-family win dominates everything in sight: at sf3
-    * (17.4 MB) q44 reads 15.1→1.84 s and q29 25.4→5.3 s with no cheap-
-    * query regression visible above noise. */
-  private val fanOutMinBytes = 8L << 20
-  private def fanOut(spark: SparkSession, df: DataFrame, name: String,
-                     path: String): DataFrame =
-    fanOutKeys.get(name) match {
-      case Some(key) =>
-        val target = spark.sparkContext.defaultParallelism
-        val (splits, bytes) = layoutStats(spark, path)
-        if (splits >= math.max(2, target / 2) || bytes < fanOutMinBytes) df
-        else df.repartition(target, org.apache.spark.sql.functions.col(key))
-      case None => df
-    }
-
+  /** NOTE on scan parallelism: rounds 13–14 carried an automatic
+    * fan-out here for documents/embeddings behind a corpus-bytes floor.
+    * Corpus bytes turned out to be a proxy for the real signal — QUERY
+    * SHAPE: per-row-compute projections (tokenize/shingle/hash/decode/
+    * vector math) want the exchange at every scale where the map cost
+    * dominates, cheap scans never do. The fan-out now lives as an
+    * explicit opt-in at the heavy operator entry points
+    * ([[graft.ops.FanOut.perRowCompute]]); plain reads here stay bare
+    * scans with zero extra stages. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // every query path flows through here, so the library's native
     // functions are always registered regardless of query-map iteration
     // order (idempotent, cheap)
     graft.functions.GraftFunctions.register(spark)
-    val path = s"$sfDir/$name.parquet"
-    fanOut(spark, spark.read.parquet(path), name, path)
+    spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

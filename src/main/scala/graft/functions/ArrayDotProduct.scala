@@ -101,6 +101,17 @@ object GraftFunctions {
     "winnow_fps" -> literalIntBuilder("winnow_fps", "w")(WinnowFingerprints.apply),
     "ngram_hashes" -> literalIntBuilder("ngram_hashes", "n")(NgramHashes.apply),
     "token_entropy" -> (exprs => TokenEntropy(exprs(0))),
+    // (array<double> col, rows literal, tables literal) — banded sign-LSH
+    // bucket ids; band geometry is an index parameter fixed at analysis
+    // time, never per-row data
+    "lsh_buckets" -> { exprs =>
+      if (exprs.length != 3)
+        throw new IllegalArgumentException(
+          s"lsh_buckets expects 3 arguments (array<double> col, rows literal, tables literal), got ${exprs.length}")
+      LshBuckets(exprs(0),
+        evalIntLiteral("lsh_buckets", "rows", exprs(1)),
+        evalIntLiteral("lsh_buckets", "tables", exprs(2)))
+    },
     "topk_freq" -> { exprs =>
       if (exprs.length != 3)
         throw new IllegalArgumentException(
@@ -172,6 +183,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "winnow_fps" -> classOf[WinnowFingerprints].getName,
     "ngram_hashes" -> classOf[NgramHashes].getName,
     "token_entropy" -> classOf[TokenEntropy].getName,
+    "lsh_buckets" -> classOf[LshBuckets].getName,
     "topk_freq" -> classOf[FrequentItemsSketch].getName,
     "bloom_might_contain" ->
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

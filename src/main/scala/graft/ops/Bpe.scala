@@ -55,7 +55,8 @@ object Bpe {
     * Tokenization matches [[Text.tokens]] so the trained vocab serves
     * the same surface the token stats run on. */
   def wordTable(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(Text.tokens(col(textCol))).as("w"))
+    FanOut.perRowCompute(df, col(textCol))
+      .select(explode(Text.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(concat(split(col("w"), ""), array(lit(EndOfWord))).as("syms"),
         col("n"))
@@ -267,7 +268,7 @@ object Bpe {
     * reference implementation; BpeSpec asserts bit equality. */
   def encode(df: DataFrame, textCol: String, model: BpeModel): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.withColumn("bpe_tokens",
+    FanOut.perRowCompute(df, col(textCol)).withColumn("bpe_tokens",
       call_function("bpe_encode", col(textCol),
         lit(model.merges.map(m => m.left + " " + m.right).toArray)))
   }

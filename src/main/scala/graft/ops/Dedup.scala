@@ -683,7 +683,7 @@ object Dedup {
     *  - native expression: k× less hash work, zero shuffle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("doc"),
+    FanOut.perRowCompute(df, idCol).select(col(idCol).as("doc"),
         call_function("minhash_sigs", Text.shingles(col(textCol)), lit(k)).as("sig"))
       // the exploded form emits no row for a shingle-less doc; match it
       .where($"sig".isNotNull)
@@ -1034,7 +1034,7 @@ object Dedup {
     * asserted in OpsSpec. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("doc"),
+    FanOut.perRowCompute(df, idCol).select(col(idCol).as("doc"),
         call_function("simhash_sig", Text.tokens(col(textCol))).as("sig"))
       .where($"sig".isNotNull)
   }
@@ -1165,7 +1165,8 @@ object Dedup {
                       spanKey: Column => Column = xxhash64(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"span length k must be >= 2, got $k")
-    val toks = df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("t"))
+    val toks = FanOut.perRowCompute(df, idCol)
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("t"))
       .withColumn("n_tokens", size($"t"))
     // generator first, key projection second: one Generate node with the
     // span arithmetic pipelined above it (same codegen span), and the

@@ -72,7 +72,8 @@ object Multimodal {
   def attachMedia(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     import java.lang.Math.floorMod
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    FanOut.perRowCompute(docs, col("doc_id"))
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, nChars) =>

@@ -39,11 +39,16 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  /** Project an embedding table to (id, double-cast embedding, norm). */
+  /** Project an embedding table to (id, double-cast embedding, norm).
+    * The vector-math entry point, so it opts into the per-row-compute
+    * fan-out ([[FanOut.perRowCompute]]): everything downstream of a
+    * prepared frame is dot products over the whole corpus, which a
+    * single-row-group fixture layout would otherwise pin to 1–2 cores. */
   def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val emb = col(embCol).cast("array<double>")
-    df.select(col(idCol).as("id"), emb.as("emb"), l2Norm(emb).as("norm"))
+    FanOut.perRowCompute(df, idCol)
+      .select(col(idCol).as("id"), emb.as("emb"), l2Norm(emb).as("norm"))
   }
 
   /** Shared re-rank tail: score each (query, candidate) pair by cosine and
@@ -337,9 +342,20 @@ object Similarity {
     }).doubleValue()
   }
 
-  /** Per-table bucket-id columns for banded LSH: one `rows`-bit sign
-    * bucket per table, all tables' planes drawn from one seeded stream. */
-  private def bandedBuckets(emb: Column, prm: BandedLsh, dim: Int): Column = {
+  /** Per-table bucket-id array for banded LSH: one `rows`-bit sign
+    * bucket per table, all tables' planes drawn from one seeded stream.
+    * Native expression ([[graft.functions.LshBuckets]]) — the composed
+    * rows×tables dot-product tree's PLAN COMPILATION dominated the query
+    * at the corpus-scaled table counts (measured 7–15 s per call at
+    * r6×L30); the native form is one memoized plane matrix and one
+    * primitive loop per row. The composed form below is spec-pinned
+    * bit-equal (LshBucketsSpec). */
+  private def bandedBuckets(emb: Column, prm: BandedLsh): Column =
+    call_function("lsh_buckets", emb, lit(prm.rows), lit(prm.tables))
+
+  /** The composed (built-ins + hyperplane literals) formulation — kept
+    * as the cross-check path for the native expression. */
+  private[graft] def bandedBucketsComposed(emb: Column, prm: BandedLsh, dim: Int): Column = {
     val planes = hyperplanes(prm.totalPlanes, dim)
     array((0 until prm.tables).map { t =>
       val bits = (0 until prm.rows).map { i =>
@@ -364,13 +380,12 @@ object Similarity {
                    targetRecall: Double = 0.7, maxTables: Int = 64): DataFrame = {
     val n = candidates.count()
     val prm = bandedParams(n, estimatedNeighborP(candidates, k), targetRecall, maxTables)
-    val dim = embDim(candidates)
     val q = queries.select($"id".as("query_id"), $"emb".as("q_emb"),
         $"norm".as("q_norm"),
-        posexplode(bandedBuckets($"emb", prm, dim)).as(Seq("tbl", "bucket")))
+        posexplode(bandedBuckets($"emb", prm)).as(Seq("tbl", "bucket")))
     val c = candidates.select($"id".as("neighbor_id"), $"emb".as("c_emb"),
         $"norm".as("c_norm"),
-        posexplode(bandedBuckets($"emb", prm, dim)).as(Seq("tbl", "bucket")))
+        posexplode(bandedBuckets($"emb", prm)).as(Seq("tbl", "bucket")))
     rerank(
       c.join(broadcast(q), Seq("tbl", "bucket"))
         .where($"query_id" =!= $"neighbor_id")
@@ -753,9 +768,14 @@ object Similarity {
     val index =
       if (fs.exists(p)) {
         val loaded = loadIvfIndex(spark, indexPath)
-        require(loaded.nCells == nCells,
-          s"index at $indexPath has ${loaded.nCells} cells, caller asked $nCells")
-        if (loaded.corpusFp.forall(_ == fp)) loaded
+        if (loaded.nCells != nCells) {
+          // cell count is now corpus-derived (ivfScaledParams), so a
+          // mismatch means the sizing policy moved since the index was
+          // published — a stale index, not a caller error: retrain
+          log.warn(s"index at $indexPath has ${loaded.nCells} cells, caller " +
+            s"asked $nCells — retraining and republishing")
+          trainAndPublish()
+        } else if (loaded.corpusFp.forall(_ == fp)) loaded
         else {
           log.warn(s"index at $indexPath was trained for a different corpus " +
             s"(fingerprint ${loaded.corpusFp.get} != $fp) — retraining and republishing")
@@ -798,9 +818,8 @@ object Similarity {
                          maxTables: Int = 64): DataFrame = {
     val n = df.count()
     val prm = bandedParams(n, agreementP(minCosine), targetRecall, maxTables)
-    val dim = embDim(df)
     val withBucket = df.select($"id", $"emb", $"norm",
-      posexplode(bandedBuckets($"emb", prm, dim)).as(Seq("tbl", "bucket")))
+      posexplode(bandedBuckets($"emb", prm)).as(Seq("tbl", "bucket")))
     val a = withBucket.select($"tbl", $"bucket", $"id".as("id_a"),
       $"emb".as("emb_a"), $"norm".as("norm_a"))
     val b = withBucket.select($"tbl", $"bucket", $"id".as("id_b"),
@@ -811,6 +830,45 @@ object Similarity {
       .where($"cosine" >= minCosine)
       .select($"id_a", $"id_b", $"cosine")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Bump when [[nearDupPairsBanded]]'s derivation semantics change —
+    * a published store from an older algorithm must re-derive. */
+  private val EmbedPairsAlgoVersion = 1
+
+  /** Observable derivation count — lets specs assert store hits. */
+  private[graft] val embedPairComputeCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** PERSISTED banded near-dup pairs — [[nearDupPairsBanded]] behind the
+    * library's once-per-corpus store discipline ([[StoreIO.readThrough]]:
+    * fingerprint-checked, atomically published, derive-once). The banded
+    * derivation is a pure function of (corpus, θ, band params), every
+    * embedding-cluster analytic reads the same logical pair table, and
+    * at the recall-holding table counts the derivation is the expensive
+    * part — exactly the docPairs/clusters pattern. Derivation params ride
+    * the plan fingerprint so a θ or recall change re-derives. */
+  def nearDupPairsPersisted(vecs: DataFrame, path: String, minCosine: Double,
+                            targetRecall: Double = 0.7,
+                            maxTables: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    val planFp = StoreIO.fpOrdered64(Seq(
+      vecs.queryExecution.analyzed.canonicalized.toString,
+      minCosine.toString, targetRecall.toString, maxTables.toString))
+    val want = (fileFingerprint(vecs), planFp, EmbedPairsAlgoVersion)
+    StoreIO.readThrough(spark, path, "pairs", want, "nearDupPairsPersisted") {
+      replaceStale =>
+        embedPairComputeCount.incrementAndGet()
+        StoreIO.publish(spark, path, replaceStale) { tmp =>
+          nearDupPairsBanded(vecs, minCosine, targetRecall, maxTables)
+            .select($"id_a".cast("long"), $"id_b".cast("long"), $"cosine")
+            .write.mode("overwrite").parquet(s"$tmp/pairs")
+          StoreIO.writeMeta(spark, tmp, want)
+        }
+    } { () =>
+      spark.read.parquet(s"$path/pairs")
+        .select($"id_a", $"id_b", $"cosine")
+    }
   }
 
   /** SEMANTIC decontamination across corpora: every (train, eval) pair

@@ -141,7 +141,8 @@ object Text {
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, ns: Seq[Int] = Seq(2, 3)): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val projected = df.select(col(idCol) +: ns.map(n =>
+    val in = FanOut.perRowCompute(df, idCol)
+    val projected = in.select(col(idCol) +: ns.map(n =>
       shingles(col(textCol), n).as(s"g$n")): _*)
     val sigCols = ns.flatMap { n =>
       val g = col(s"g$n")
@@ -252,7 +253,8 @@ object Text {
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, topN: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = FanOut.perRowCompute(df, idCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), $"term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("__n_docs"))
@@ -369,8 +371,9 @@ object Text {
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, targetPred: Column): org.apache.spark.sql.DataFrame = {
     val d189 = org.apache.spark.sql.types.DecimalType(18, 9)
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"),
-      targetPred.as("is_target"))
+    val toks = FanOut.perRowCompute(df, idCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"),
+        targetPred.as("is_target"))
     val freq = toks.groupBy($"tok").agg(
       count(lit(1)).as("n_r"),
       sum(when($"is_target", 1L).otherwise(0L)).as("n_t"))
@@ -407,7 +410,8 @@ object Text {
     // no isNotNull filter: explode emits nothing for NULL/empty arrays
     // already, and a filter on the aliased expression would be pushed
     // below the projection and evaluate the whole fingerprint pass twice
-    df.select(col(idCol).as("doc_id"),
+    FanOut.perRowCompute(df, idCol)
+      .select(col(idCol).as("doc_id"),
         call_function("winnow_fps", shingles(col(textCol), k), lit(w)).as("fps"))
       .select($"doc_id", explode($"fps").as("fp"))
   }

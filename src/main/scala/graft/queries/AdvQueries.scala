@@ -172,11 +172,15 @@ object AdvQueries {
   }
 
   /** IVF approximate kNN (k-means coarse quantizer + in-cell exact
-    * re-rank; rows-only — recall asserted vs brute force in OpsSpec). */
+    * re-rank). CORPUS-SCALED parameters ([[graft.ops.Similarity.ivfScaledParams]]:
+    * nCells ∝ √N, nProbe holds the 0.35 probe fraction) — round 15's fix
+    * for fixed 16/4 whose recall fell 0.62 → 0.40 over a corpus decade;
+    * the sf1 golden gate enforces recall ≥ 0.5. */
   private val q41: Q = (s, d) => {
     import s.implicits._
     val e = graft.ops.Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
-    graft.ops.Similarity.knnIvf(e.where($"id" < 10), e, k = 5, nCells = 16, nProbe = 4)
+    val (cells, probe) = graft.ops.Similarity.ivfScaledParams(e.count())
+    graft.ops.Similarity.knnIvf(e.where($"id" < 10), e, k = 5, nCells = cells, nProbe = probe)
       .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".as("rnk"))
       .orderBy($"query_id", $"rnk")
   }
@@ -184,11 +188,18 @@ object AdvQueries {
   /** IVF-PQ approximate kNN (coarse quantizer restricts cells, product-
     * quantization codes rank by asymmetric distance, exact re-rank of the
     * shortlist; golden-pinned — k-means + argmin codebooks aren't
-    * DuckDB-expressible; recall asserted vs brute force in OpsSpec). */
+    * DuckDB-expressible). CORPUS-SCALED coarse params (q41's 0.35 probe
+    * fraction) + 4-dim subspaces (m = 16 over the 64-dim corpus, kSub =
+    * 32, refine = 16): the round-14 gate measured the old 8-dim/16-code
+    * books too noisy to rank a weakly-structured corpus (recall 0.18 at
+    * sf1); finer books + a deeper exact-re-rank shortlist hold ≥ 0.74 at
+    * every shipped scale, enforced ≥ 0.5 at sf1 by GoldenSf1Checks. */
   private val q73: Q = (s, d) => {
     import s.implicits._
     val e = graft.ops.Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
-    graft.ops.Similarity.knnIvfPq(e.where($"id" < 10), e, k = 5, nCells = 16, nProbe = 4)
+    val (cells, probe) = graft.ops.Similarity.ivfScaledParams(e.count())
+    graft.ops.Similarity.knnIvfPq(e.where($"id" < 10), e, k = 5,
+        nCells = cells, nProbe = probe, m = 16, kSub = 32, refine = 16)
       .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".as("rnk"))
       .orderBy($"query_id", $"rnk")
   }
@@ -207,8 +218,9 @@ object AdvQueries {
     // path and retrains, instead of probing a stale persisted index —
     // and rooted under the per-user 0700 store root (Stores.root)
     val idx = Stores.ivfStorePath(d)
+    val (cells, probe) = graft.ops.Similarity.ivfScaledParams(e.count())
     graft.ops.Similarity.knnIvfPersisted(e.where($"id" < 10), e, k = 5,
-        indexPath = idx, nCells = 16, nProbe = 4)
+        indexPath = idx, nCells = cells, nProbe = probe)
       .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".as("rnk"))
       .orderBy($"query_id", $"rnk")
   }

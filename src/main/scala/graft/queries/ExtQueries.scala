@@ -138,11 +138,16 @@ object ExtQueries {
       .orderBy($"query_id", $"rnk")
   }
 
-  /** LSH-bucketed approximate kNN (recall < 1 by design; no oracle). */
+  /** Banded (multi-table) LSH approximate kNN — corpus-scaled band
+    * geometry ([[Similarity.knnLshBanded]] at targetRecall 0.7: rows
+    * from N, tables from the sampled neighbor-angle collision model),
+    * the round-15 fix for the fixed single-table probe whose recall
+    * fell 0.86 → 0.06 over one corpus decade. Values exact (cosine
+    * re-rank); recall floor enforced at sf1 by GoldenSf1Checks. */
   private val q28: Q = (s, d) => {
     import s.implicits._
     val e = Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
-    Similarity.knnLsh(e.where($"id" < 10), e, k = 5)
+    Similarity.knnLshBanded(e.where($"id" < 10), e, k = 5, targetRecall = 0.7)
       .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"),
         $"rank".as("rnk"))
       .orderBy($"query_id", $"rnk")
@@ -265,13 +270,14 @@ object ExtQueries {
       .orderBy($"doc_id", $"media_type", $"item_idx")
   }
 
-  /** Embedding cosine near-dup pairs via LSH buckets + exact re-rank
-    * (threshold tuned to the synthetic corpus's cosine range; no oracle). */
+  /** Embedding cosine near-dup pairs at θ=0.4, from the persisted
+    * corpus-scaled banded pair store ([[Stores.embedPairs]] —
+    * [[Similarity.nearDupPairsBanded]], precision exact by
+    * construction, recall held by the collision model as the corpus
+    * grows). Steady state is a parquet scan. */
   private val q32: Q = (s, d) => {
     import s.implicits._
-    Similarity.nearDupPairs(
-        Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding"),
-        minCosine = 0.4)
+    Stores.embedPairs(s, d)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -337,17 +343,15 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
-  /** Embedding-space near-dup clusters: LSH-bucketed cosine pairs fed
-    * through connected components — semantic dedup at cluster granularity
-    * (no oracle: seeded hyperplanes aren't DuckDB-expressible; golden-file
-    * checked instead). */
+  /** Embedding-space near-dup clusters: the persisted banded pair store
+    * ([[Stores.embedPairs]]) fed through connected components — semantic
+    * dedup at cluster granularity, sharing q32's pair table so pair and
+    * cluster analytics can never disagree (no oracle: seeded hyperplanes
+    * aren't DuckDB-expressible; golden-file checked instead). */
   private val q45: Q = (s, d) => {
     import s.implicits._
     Dedup.connectedComponents(
-        Similarity.nearDupPairs(
-            Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding"),
-            minCosine = 0.4)
-          .select($"id_a", $"id_b"))
+        Stores.embedPairs(s, d).select($"id_a", $"id_b"))
       .withColumnRenamed("doc_id", "vec_id")
       .orderBy($"vec_id")
   }

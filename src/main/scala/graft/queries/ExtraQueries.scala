@@ -227,7 +227,8 @@ object ExtraQueries {
     val qs = e.where($"id" < 10)
     val bf = Similarity.knnBruteForce(qs, e, k = 5)
       .select($"query_id", $"neighbor_id")
-    val ivf = Similarity.knnIvf(qs, e, k = 5, nCells = 16, nProbe = 4)
+    val (cells, probe) = Similarity.ivfScaledParams(e.count())
+    val ivf = Similarity.knnIvf(qs, e, k = 5, nCells = cells, nProbe = probe)
       .select($"query_id", $"neighbor_id")
     val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))

@@ -103,6 +103,11 @@ object Stores {
   def mediaStorePath(d: String): String =
     storePath(d, "media", "documents.parquet")
 
+  /** Store root for the θ=0.4 banded embedding near-dup pair table of
+    * `d`'s embeddings (q32/q45). */
+  def embedPairsStorePath(d: String): String =
+    storePath(d, "embedpairs", "embeddings.parquet")
+
   /** Store root for the θ=0.9 containment-pair table of `d`. */
   def containmentStorePath(d: String): String =
     storePath(d, "containment", "documents.parquet")
@@ -186,6 +191,21 @@ object Stores {
     Dedup.clustersPersisted(Tables.documents(s, d), "doc_id", "text",
       clusterStorePath(d), n = 3, threshold = 0.5,
       pairSource = Some(() => docPairs(s, d)))
+
+  /** The canonical θ=0.4 embedding near-dup pair table of `d` —
+    * (id_a, id_b, cosine), CORPUS-SCALED banded LSH candidates with
+    * exact cosine verification ([[graft.ops.Similarity.nearDupPairsBanded]]
+    * at targetRecall 0.7 — band rows/tables derive from N and the
+    * threshold's exact collision probability, the round-15 fix for the
+    * fixed-bucket pass whose recall collapsed 16× over one corpus
+    * decade), loaded from the published store or derived + published on
+    * first touch. Precision is exact by construction (every reported
+    * pair is cosine-verified); recall is the collision-model floor the
+    * sf1 golden gate enforces. */
+  def embedPairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.nearDupPairsPersisted(
+      graft.ops.Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding"),
+      embedPairsStorePath(d), minCosine = 0.4, targetRecall = 0.7)
 
   /** The canonical media-features store of `d`'s documents (decoded
     * metadata, image dHash, audio fingerprints, per-frame video hashes,

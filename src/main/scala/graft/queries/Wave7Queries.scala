@@ -83,10 +83,13 @@ object Wave7Queries {
       minShared = 2, topK = 50, tileKey = c => md5(c))
   }
 
-  /** Multi-probe-vs-single-probe LSH recall report
-    * ([[Similarity.knnLshMultiProbe]]): mean recall@5 against the exact
-    * brute-force ground truth for the same hash bits — the recall the
-    * Hamming-1 probe expansion buys without re-bucketing the corpus.
+  /** Multi-table-vs-single-table LSH recall report: mean recall@5
+    * against the exact brute-force ground truth for the fixed
+    * single-table probe (h=8 — the legacy route whose recall collapses
+    * with corpus growth) vs the corpus-scaled banded route
+    * ([[Similarity.knnLshBanded]] at targetRecall 0.7) — the measured
+    * recall the collision-model band derivation buys. The sf1 golden
+    * gate enforces both dominance AND a 0.5 floor on the banded arm.
     * Golden-pinned (seeded hyperplanes aren't DuckDB-expressible —
     * q28/q111's precedent). */
   private val q152: Q = (s, d) => {
@@ -108,7 +111,8 @@ object Wave7Queries {
     }
     meanRecall(Similarity.knnLsh(qs, e, k = 5, h = 8), "single")
       .unionByName(
-        meanRecall(Similarity.knnLshMultiProbe(qs, e, k = 5, h = 8), "multi"))
+        meanRecall(Similarity.knnLshBanded(qs, e, k = 5, targetRecall = 0.7),
+          "multi"))
       .orderBy($"probe_mode")
   }
 
@@ -122,8 +126,9 @@ object Wave7Queries {
     import s.implicits._
     val slice = Tables.embeddings(s, d).where($"vec_id" < 200)
     val vecs = Similarity.prepared(slice, "vec_id", "embedding")
+    val (cells, probe) = Similarity.ivfScaledParams(vecs.count())
     Ranking.retrievalEvalRanked(
-        Similarity.knnIvf(vecs, vecs, k = 10, nCells = 16, nProbe = 2),
+        Similarity.knnIvf(vecs, vecs, k = 10, nCells = cells, nProbe = probe),
         slice.select($"vec_id".as("id"), $"label"), k = 10)
       .orderBy($"label")
   }

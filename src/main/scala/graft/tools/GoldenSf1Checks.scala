@@ -130,15 +130,16 @@ object GoldenSf1Checks {
         (n > 0 && ok == n, s"pairs=$n, hamming<=3 and a<b replayed=$ok")
       }),
 
-      ("q28_knn_lsh", "reported cosines exact + rank contract; recall vs brute force recorded", () => {
+      ("q28_knn_lsh", "reported cosines exact + rank contract + ENFORCED recall floor 0.5 (banded route)", () => {
         val out = q("q28_knn_lsh")
         val (n, badCos, badRank) = knnReplay(out)
         val r = recallVsBrute(out, 10)
-        // single-probe LSH recall is <1 BY DESIGN (the query's own
-        // contract) — the hard value check is the cosine/rank replay;
-        // recall is recorded as measured scale data
-        (n > 0 && badCos == 0 && badRank == 0,
-          f"rows=$n, cosMismatch=$badCos, rankViol=$badRank, recall=$r%.3f (recorded)")
+        // round 15: q28 runs the corpus-scaled banded route
+        // (knnLshBanded, targetRecall 0.7) — the floor is ENFORCED, not
+        // recorded (r14 measured the fixed single-table route at 0.060
+        // here; the banded derivation holds ~0.8 across corpus decades)
+        (n > 0 && badCos == 0 && badRank == 0 && r >= 0.5,
+          f"rows=$n, cosMismatch=$badCos, rankViol=$badRank, recall=$r%.3f (floor 0.5 ENFORCED)")
       }),
 
       ("q29_winnow_fp", "bit-equality vs the windowed (posexplode+sliding-min) formulation, 1000-doc slice", () => {
@@ -161,9 +162,12 @@ object GoldenSf1Checks {
           .withColumn("c", Similarity.cosine($"ea", $"eb", $"na", $"nb"))
         val n = pairs.count()
         val ok = withCos.where($"c" >= 0.4 && $"id_a" < $"id_b").count()
-        // recall vs exact all-pairs on a vec_id<500 slice — RECORDED, not
-        // a floor: nearDupPairs is LSH-bucketed, same-bucket-only by
-        // design, so slice recall is the measured bucket-miss rate
+        // recall vs exact all-pairs on a vec_id<500 slice — ENFORCED
+        // floor 0.5 since round 15: q32 reads the corpus-scaled banded
+        // pair store (nearDupPairsBanded, targetRecall 0.7), whose table
+        // count derives from N and the threshold's exact collision
+        // probability (r14 measured the fixed single-table pass at 7/58
+        // here)
         val sl = e.where($"id" < 500)
         val a = sl.select($"id".as("id_a"), $"emb".as("ea"), $"norm".as("na"))
         val b = sl.select($"id".as("id_b"), $"emb".as("eb"), $"norm".as("nb"))
@@ -172,8 +176,9 @@ object GoldenSf1Checks {
           .select($"id_a", $"id_b")
         val nT = truth.count()
         val found = truth.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
-        (n > 0 && ok == n,
-          s"pairs=$n precise=$ok; slice truth=$nT found=$found (bucket recall recorded)")
+        (n > 0 && ok == n && nT > 0 && found.toDouble / nT >= 0.5,
+          s"pairs=$n precise=$ok; slice truth=$nT found=$found " +
+            f"(recall=${found.toDouble / math.max(1, nT)}%.3f, floor 0.5 ENFORCED)")
       }),
 
       ("q38_approx_sketches", "HLL and DDSketch estimates vs exact sf1 recomputation within theory bounds", () => {
@@ -193,21 +198,18 @@ object GoldenSf1Checks {
         (gotMap.nonEmpty && bad.isEmpty, s"types=${exact.size}, violations=${bad.mkString("; ")}")
       }),
 
-      // Recall floors for the IVF family are the UNIFORM-CORPUS probe
-      // fraction (nProbe/nCells = 4/16 = 0.25): probing a quarter of the
-      // cells of an unclustered corpus recovers ≥ ~a quarter of the true
-      // neighbors in expectation. The fixture-scale OpsSpec floor (0.5 at
-      // nCells=8) does NOT transfer to sf1 — measured recall at the
-      // queries' fixed 4/16 parameters: 0.62 @ sf0.01 → 0.40 @ sf1, the
-      // expected under-probing of a 16× larger corpus, with every
-      // reported VALUE still exact (cosine/rank replay). The measured
-      // recall is the tracked scale datum.
-      ("q41_knn_ivf", "reported cosines exact + rank contract + recall >= probe-fraction bound (0.25)", () => {
+      // Round 15: the IVF family derives nCells ∝ √N with nProbe holding
+      // a 0.35 probe fraction (Similarity.ivfScaledParams) — fixed 16/4
+      // under-probed a growing corpus (0.62 @ sf0.01 → 0.40 @ sf1 in the
+      // r14 artifact). Floors are ENFORCED at 0.5 across the family;
+      // measured at the scaled params: 0.76/0.78/0.78 over the three
+      // shipped scales.
+      ("q41_knn_ivf", "reported cosines exact + rank contract + ENFORCED recall floor 0.5 (scaled params)", () => {
         val out = q("q41_knn_ivf")
         val (n, badCos, badRank) = knnReplay(out)
         val r = recallVsBrute(out, 10)
-        (n > 0 && badCos == 0 && badRank == 0 && r >= 0.25,
-          f"rows=$n, cosMismatch=$badCos, rankViol=$badRank, recall=$r%.3f (floor 0.25 = nProbe/nCells)")
+        (n > 0 && badCos == 0 && badRank == 0 && r >= 0.5,
+          f"rows=$n, cosMismatch=$badCos, rankViol=$badRank, recall=$r%.3f (floor 0.5 ENFORCED)")
       }),
 
       ("q45_embed_clusters", "component labels consistent with every q32 edge + label = component member", () => {
@@ -242,14 +244,15 @@ object GoldenSf1Checks {
         (bad.isEmpty, s"rows=${exact.size}, violations=${bad.mkString("; ")}")
       }),
 
-      ("q73_knn_ivfpq", "reported cosines exact + rank contract; PQ-shortlist recall recorded (floor 0.1)", () => {
+      ("q73_knn_ivfpq", "reported cosines exact + rank contract + ENFORCED recall floor 0.5 (m=16/kSub=32/refine=16)", () => {
         val out = q("q73_knn_ivfpq")
         val (n, badCos, badRank) = knnReplay(out)
         val r = recallVsBrute(out, 10)
-        // the 16-entry-per-subspace PQ shortlist cuts below the raw IVF
-        // probe fraction; the hard check is the exact re-rank values
-        (n > 0 && badCos == 0 && badRank == 0 && r >= 0.1,
-          f"rows=$n, cosMismatch=$badCos, rankViol=$badRank, recall=$r%.3f (recorded; floor 0.1)")
+        // round 15: scaled coarse params + 4-dim subspaces + deeper
+        // exact-re-rank shortlist (r14's 8-dim/16-code books read 0.18
+        // here; the finer books hold ≥ 0.74 across shipped scales)
+        (n > 0 && badCos == 0 && badRank == 0 && r >= 0.5,
+          f"rows=$n, cosMismatch=$badCos, rankViol=$badRank, recall=$r%.3f (floor 0.5 ENFORCED)")
       }),
 
       ("q74_knn_ivf_saved", "persisted-index output identical to q41's fresh-train output", () => {
@@ -413,8 +416,8 @@ object GoldenSf1Checks {
           if (math.abs(got(qid) - r) > 1e-9) Some(s"$qid: ${got(qid)} vs $r") else None
         }
         val mean = got.values.sum / got.size
-        (got.size == 10 && bad.isEmpty && mean >= 0.25,
-          f"n=${got.size}, mismatches=${bad.mkString("; ")}, mean=$mean%.3f (floor 0.25 = probe fraction)")
+        (got.size == 10 && bad.isEmpty && mean >= 0.5,
+          f"n=${got.size}, mismatches=${bad.mkString("; ")}, mean=$mean%.3f (floor 0.5 ENFORCED, scaled params)")
       }),
 
       ("q125_compress_ratio", "equal to an independently-written zlib pass, 1/20 sample", () => {
@@ -496,12 +499,12 @@ object GoldenSf1Checks {
           s"clusters=${rows.length}, sizeMismatch=${badSize.length}, amb>mem=$badAmb")
       }),
 
-      ("q152_multiprobe_recall", "multi-probe dominates single-probe; both in [0,1]", () => {
+      ("q152_multiprobe_recall", "banded arm dominates single-table AND clears the ENFORCED 0.5 floor", () => {
         val rows = q("q152_multiprobe_recall").collect()
           .map(r => r.getString(0) -> r.getAs[Double]("mean_recall_at_5")).toMap
         val s = rows("single"); val mu = rows("multi")
-        (mu >= s && s >= 0 && mu <= 1,
-          f"single=$s%.3f, multi=$mu%.3f (dominance required)")
+        (mu >= s && s >= 0 && mu <= 1 && mu >= 0.5,
+          f"single=$s%.3f, banded=$mu%.3f (dominance + floor 0.5 ENFORCED)")
       }),
 
       ("q153_ivf_retrieval_eval", "metrics in [0,1], precision<=recall ordering sane, non-degenerate", () => {

@@ -64,13 +64,15 @@ object Probe {
         println(f"[probe] $sf knnIvf frac=$frac recall = $r%.3f")
       }
 
-      for ((frac, refine) <- Seq((0.35, 4), (0.35, 8), (0.45, 8))) {
+      for ((frac, m, kSub, refine) <- Seq(
+          (0.35, 8, 16, 8), (0.35, 16, 16, 8), (0.35, 16, 32, 8),
+          (0.35, 16, 32, 16), (0.45, 16, 32, 16))) {
         val (cells, probe) = Similarity.ivfScaledParams(n, frac)
-        val r = time(f"$sf knnIvfPq frac=$frac refine=$refine") {
+        val r = time(f"$sf knnIvfPq frac=$frac m=$m kSub=$kSub refine=$refine") {
           recall(Similarity.knnIvfPq(qs, e, k = 5, nCells = cells,
-            nProbe = probe, refine = refine))
+            nProbe = probe, m = m, kSub = kSub, refine = refine))
         }
-        println(f"[probe] $sf knnIvfPq frac=$frac refine=$refine recall = $r%.3f")
+        println(f"[probe] $sf knnIvfPq frac=$frac m=$m kSub=$kSub refine=$refine recall = $r%.3f")
       }
 
       // near-dup slice recall: truth = exact pairs among id<500

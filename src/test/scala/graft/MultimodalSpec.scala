@@ -155,9 +155,19 @@ class MultimodalSpec extends SparkSuite {
     val rows = frames.collect()
     assert(rows.forall(_.frame_idx % 3 == 0))
     assert(rows.forall(f => Codecs.decodeImage(f.frame).contains(Codecs.ImageMeta(16, 12, 3))))
-    // the sampling plan introduces no exchange (map-side fan-out)
-    val plan = Multimodal.sampleFrames(media, 3).queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    // the SAMPLING itself introduces no exchange (map-side frame
+    // fan-out). The one allowed Exchange is attachMedia's per-row-compute
+    // input fan-out (FanOut.perRowCompute), which sits BELOW the decode —
+    // nothing may shuffle between decode and output. In the printed tree
+    // (root first) that means every Exchange line comes after the last
+    // MapPartitions line.
+    val planLines = Multimodal.sampleFrames(media, 3)
+      .queryExecution.executedPlan.toString.linesIterator.toSeq
+    val exchangeIdx = planLines.zipWithIndex.filter(_._1.contains("Exchange")).map(_._2)
+    val lastDecodeIdx = planLines.zipWithIndex.filter(_._1.contains("MapPartitions")).map(_._2)
+    assert(exchangeIdx.size <= 1, planLines.mkString("\n"))
+    assert(exchangeIdx.forall(e => lastDecodeIdx.forall(_ < e)),
+      "no exchange between decode and output:\n" + planLines.mkString("\n"))
     frames.unpersist()
   }
 

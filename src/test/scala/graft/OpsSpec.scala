@@ -685,9 +685,14 @@ class OpsSpec extends SparkSuite {
     val viaExplicit = pairs(Similarity.probeIvf(custom, q, e, k = 3, nProbe = 2))
     assert(viaPersisted == viaExplicit)
 
-    // cell-count mismatch is refused loudly, not silently mis-probed
-    intercept[IllegalArgumentException](
-      Similarity.knnIvfPersisted(q, e, k = 3, path, nCells = 4, nProbe = 2).count())
+    // cell-count mismatch = the corpus-derived sizing policy moved since
+    // the index was published — a STALE index: retrained + republished
+    // (never silently mis-probed with the wrong geometry)
+    val reprobed = pairs(
+      Similarity.knnIvfPersisted(q, e, k = 3, path, nCells = 4, nProbe = 2))
+    assert(reprobed == pairs(Similarity.knnIvf(q, e, k = 3, nCells = 4, nProbe = 2)))
+    assert(Similarity.loadIvfIndex(spark, path).nCells == 4,
+      "mismatched-cell-count probe must republish the index at the new geometry")
   }
 
   test("IVF cache retrains when the files behind an identical plan change") {
@@ -829,6 +834,69 @@ class OpsSpec extends SparkSuite {
     val knn = Similarity.knnLsh(df.where(col("id") === 0), df, k = 2)
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
     assert(knn.contains((0L, 2L, 1)))
+  }
+
+  test("knnLshBanded: values exact, recall holds the collision-model target at fixture scale") {
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val qs = e.where(col("id") < 10)
+    val bf = Similarity.knnBruteForce(qs, e, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val banded = Similarity.knnLshBanded(qs, e, k = 5, targetRecall = 0.7)
+    // every reported cosine is the exact recomputation (6 dp grid)
+    val joined = banded
+      .join(e.select(col("id").as("query_id"), col("emb").as("qe"), col("norm").as("qn")), Seq("query_id"))
+      .join(e.select(col("id").as("neighbor_id"), col("emb").as("ce"), col("norm").as("cn")), Seq("neighbor_id"))
+    val badCos = joined.where(
+      round(Similarity.cosine(col("qe"), col("ce"), col("qn"), col("cn")), 6) =!=
+        round(col("cosine"), 6)).count()
+    assert(badCos == 0)
+    val hit = bf.join(banded.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / bf.count()
+    // the parameter derivation promises ~targetRecall; allow sampling slack
+    assert(recall >= 0.6, s"banded recall $recall < 0.6 at fixture scale")
+    // duplicates from multi-table collisions are folded before the rerank
+    val dup = banded.groupBy(col("query_id"), col("neighbor_id"))
+      .count().where(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
+  test("nearDupPairsBanded: precision exact; recall >= 0.5 vs brute-force truth") {
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val pairs = Similarity.nearDupPairsBanded(e, minCosine = 0.4, targetRecall = 0.7)
+    val a = e.select(col("id").as("id_a"), col("emb").as("ea"), col("norm").as("na"))
+    val b = e.select(col("id").as("id_b"), col("emb").as("eb"), col("norm").as("nb"))
+    val truth = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+    val nT = truth.count()
+    val nP = pairs.count()
+    val precise = pairs
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .where(Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")) >= 0.4 &&
+        col("id_a") < col("id_b")).count()
+    assert(precise == nP, s"imprecise pairs: ${nP - precise}")
+    val found = truth.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+    assert(found.toDouble / math.max(1, nT) >= 0.5,
+      s"banded near-dup recall ${found.toDouble / nT} < 0.5 ($found/$nT)")
+  }
+
+  test("nearDupPairsPersisted: derives once, store read-back identical, stale θ re-derives") {
+    val dir = java.nio.file.Files.createTempDirectory("embpairs").toString
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val before = Similarity.embedPairComputeCount.get()
+    val first = Similarity.nearDupPairsPersisted(e, s"$dir/p", minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(Similarity.embedPairComputeCount.get() == before + 1)
+    val second = Similarity.nearDupPairsPersisted(e, s"$dir/p", minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(Similarity.embedPairComputeCount.get() == before + 1, "second read must hit the store")
+    assert(first == second)
+    assert(first == Similarity.nearDupPairsBanded(e, minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // a different θ is a different derivation: the store re-derives
+    Similarity.nearDupPairsPersisted(e, s"$dir/p", minCosine = 0.45).count()
+    assert(Similarity.embedPairComputeCount.get() == before + 2)
   }
 
   test("df-capped Jaccard equals exact above max df, restricts universe below") {
