@@ -405,8 +405,9 @@ object GoldenSf1Checks {
         val bf = Similarity.knnBruteForce(e.where($"id" < 10), e, k = 5)
           .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
           .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val (cells, probe) = Similarity.ivfScaledParams(e.count())
         val ivf = Similarity.knnIvf(e.where($"id" < 10), e, k = 5,
-            nCells = 16, nProbe = 4)
+            nCells = cells, nProbe = probe)
           .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
           .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
         val bad = (0L until 10L).flatMap { qid =>
