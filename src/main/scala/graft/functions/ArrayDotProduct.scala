@@ -139,6 +139,42 @@ object GraftFunctions {
       BootstrapWeights(exprs(0), seed,
         evalIntLiteral("bootstrap_weights", "b", exprs(2)))
     },
+    // (array<double> emb, double norm, 2D centroid array literal) — the
+    // trained quantizer is index data fixed at analysis time
+    "ivf_assign" -> { exprs =>
+      if (exprs.length != 3)
+        throw new IllegalArgumentException(
+          s"ivf_assign expects 3 arguments (emb, norm, centroid-matrix literal), got ${exprs.length}")
+      if (!exprs(2).foldable)
+        throw new IllegalArgumentException(
+          "ivf_assign: centroids must be a foldable array<array<double>> literal")
+      val cents = exprs(2).eval() match {
+        case a: ArrayData =>
+          (0 until a.numElements()).map(i => a.getArray(i).toDoubleArray().toSeq)
+        case other => throw new IllegalArgumentException(
+          s"ivf_assign: centroids must evaluate to array<array<double>>, got $other")
+      }
+      IvfAssign(exprs(0), exprs(1), cents)
+    },
+    // (array<double> emb, double norm, 3D codebook array literal)
+    "pq_encode" -> { exprs =>
+      if (exprs.length != 3)
+        throw new IllegalArgumentException(
+          s"pq_encode expects 3 arguments (emb, norm, codebook literal), got ${exprs.length}")
+      if (!exprs(2).foldable)
+        throw new IllegalArgumentException(
+          "pq_encode: codebooks must be a foldable array<array<array<double>>> literal")
+      val books = exprs(2).eval() match {
+        case a: ArrayData =>
+          (0 until a.numElements()).map { mm =>
+            val sub = a.getArray(mm)
+            (0 until sub.numElements()).map(i => sub.getArray(i).toDoubleArray().toSeq)
+          }
+        case other => throw new IllegalArgumentException(
+          s"pq_encode: codebooks must evaluate to a 3-level double array, got $other")
+      }
+      PqEncode(exprs(0), exprs(1), books)
+    },
     // Spark's own runtime-filter probe expression (codegen-resident,
     // deserializes the sketch once per codegen instance), surfaced as a
     // callable function: Spark 4.1 keeps BloomFilterMightContain internal
@@ -184,6 +220,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "ngram_hashes" -> classOf[NgramHashes].getName,
     "token_entropy" -> classOf[TokenEntropy].getName,
     "lsh_buckets" -> classOf[LshBuckets].getName,
+    "ivf_assign" -> classOf[IvfAssign].getName,
+    "pq_encode" -> classOf[PqEncode].getName,
     "topk_freq" -> classOf[FrequentItemsSketch].getName,
     "bloom_might_contain" ->
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -526,10 +526,23 @@ object Similarity {
   }
 
   /** Add the IVF cell id to a prepared embedding frame: argmin over the
-    * centroid literals of ‖c‖² − 2·û·c (û unit-normalized, ‖û‖² constant),
-    * first-min tie-break. A pure codegen'd projection — cell assignment
-    * at 100 TB is one map-side scan, no ML pipeline in the plan. */
+    * trained centroids of ‖c‖² − 2·û·c (û unit-normalized, ‖û‖² constant),
+    * first-min tie-break. Native expression
+    * ([[graft.functions.IvfAssign]] — centroids as expression data, one
+    * primitive loop per row): the composed per-centroid literal tree's
+    * plan compilation dominated the probe queries at the corpus-scaled
+    * cell counts (the lsh_buckets disease). Cell assignment at 100 TB is
+    * one map-side scan, no ML pipeline in the plan. Bit-equal to
+    * [[assignCellsComposed]] (IvfOpsSpec). */
   def assignCells(df: DataFrame, index: IvfIndex): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("cell", call_function("ivf_assign", $"emb", $"norm",
+      typedLit(index.centroids.toSeq.map(_.toSeq))))
+  }
+
+  /** The composed (per-centroid literal subtree) formulation — kept as
+    * the cross-check path for the native expression. */
+  private[graft] def assignCellsComposed(df: DataFrame, index: IvfIndex): DataFrame = {
     val withU = df.withColumn("u", transform($"emb", (x: Column) => x / $"norm"))
     val dists = array(index.centroidStructs.map { case (c, n2) =>
       lit(n2) - lit(2.0) * dot($"u", typedLit(c))
@@ -600,10 +613,21 @@ object Similarity {
 
   /** Map-side PQ encoding: `codes[mm]` = argmin over sub-space mm's
     * centroids of ‖u_sub − c‖² (first-min tie-break, matching
-    * [[assignCells]]). A pure codegen'd projection — at 100 TB the
-    * encode is one scan, and the 8-byte-per-vector code column is what
-    * downstream ADC probes read instead of the full embedding. */
+    * [[assignCells]]). Native expression ([[graft.functions.PqEncode]]):
+    * the composed form at m=16 × kSub=32 is 512 literal-dot subtrees and
+    * its plan compilation dominated q73. At 100 TB the encode is one
+    * scan, and the code column is what downstream ADC probes read
+    * instead of the full embedding. Bit-equal to [[encodePqComposed]]
+    * (IvfOpsSpec). */
   def encodePq(df: DataFrame, index: PqIndex): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("codes", call_function("pq_encode", $"emb", $"norm",
+      typedLit(index.asSeq)))
+  }
+
+  /** The composed (per-codebook literal subtree) formulation — kept as
+    * the cross-check path for the native expression. */
+  private[graft] def encodePqComposed(df: DataFrame, index: PqIndex): DataFrame = {
     val u = transform($"emb", (x: Column) => x / $"norm")
     val codeCols = index.subCentroids.zipWithIndex.map { case (cents, mm) =>
       val sub = slice(u, mm * index.dSub + 1, index.dSub)
