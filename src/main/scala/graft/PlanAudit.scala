@@ -5,8 +5,15 @@ import org.apache.spark.sql.SparkSession
   * graft.PlanAudit [query...]"`). */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // bench-condition overrides (round 15): plan shape depends on the data
+    // scale (file sizes drive broadcast estimates and the FanOut split
+    // heuristic) and the core count, so committed plan artifacts must be
+    // captured at the same sfDir/cpus the bench runs — the old hardcoded
+    // local[4]/sf0.01 stays the default for quick interactive audits
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -21,7 +28,7 @@ object PlanAudit {
     val executed = flags.contains("-executed")
     qnames.foreach { n =>
       println(s"\n========== $n ==========")
-      val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+      val df = SparkEntry.queries(n)(spark, sfDir)
       if (executed) {
         // run an action THROUGH this Dataset's own QueryExecution: a
         // sink write plans a separate QueryExecution, leaving this one's

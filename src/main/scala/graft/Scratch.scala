@@ -12,6 +12,11 @@ object Scratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // measurement parity with Bench: a resident engine's codegen cache
+      // (the default 100 entries can evict a single heavy query's own
+      // classes between two back-to-back runs)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "32768"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup scan (JIT/codegen); docs-only slices have no lineitem

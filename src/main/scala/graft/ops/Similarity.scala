@@ -21,6 +21,58 @@ object Similarity {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Exact corpus row count WITHOUT a Spark job where the plan allows it:
+    * when `df` is a row-count-preserving pipeline (projections /
+    * repartitions / aliases only) over exactly one parquet relation, the
+    * count is the sum of the parquet FOOTER record counts — the same
+    * number `df.count()` computes by scheduling a cluster job over every
+    * row group. The ANN parameter derivations below need |corpus| before
+    * they can build a plan; at 100 TB that must be a metadata read (what
+    * a real catalog's table statistics provide), not a pre-pass over the
+    * data. Falls back to `df.count()` for any shape it cannot prove
+    * (filters, joins, non-parquet, multi-relation) — never an estimate:
+    * the derived parameters feed golden-pinned values, so the count must
+    * be bit-identical to the job's. Round-15 measurement: removes one
+    * 0.2–0.8 s job from every banded-LSH / scaled-IVF query at sf0.1. */
+  def corpusCount(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    def preserving(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation                  => true
+      case pr: Project                         => preserving(pr.child)
+      case a: SubqueryAlias                    => preserving(a.child)
+      case r: RepartitionOperation             => preserving(r.child)
+      case _                                   => false
+    }
+    val plan = df.queryExecution.analyzed
+    if (!preserving(plan)) return df.count()
+    plan.collect { case lr: LogicalRelation => lr } match {
+      case Seq(lr) => lr.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          fs.location match {
+            case loc: PartitioningAwareFileIndex =>
+              val conf = df.sparkSession.sessionState.newHadoopConf()
+              try loc.allFiles().map { f =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(f.getPath, conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              }.sum
+              catch { case scala.util.control.NonFatal(e) =>
+                log.warn(s"corpusCount: footer read failed (${e.getMessage}); " +
+                  "falling back to a count job")
+                df.count()
+              }
+            case _ => df.count()
+          }
+        case _ => df.count()
+      }
+      case _ => df.count()
+    }
+  }
+
   /** Dot product of two array<double> columns via the library's native
     * codegen'd expression (graft.functions.ArrayDotProduct) — requires
     * [[graft.functions.GraftFunctions.register]] on the session, which
@@ -378,7 +430,7 @@ object Similarity {
     * tables a pair collides in. */
   def knnLshBanded(queries: DataFrame, candidates: DataFrame, k: Int,
                    targetRecall: Double = 0.7, maxTables: Int = 64): DataFrame = {
-    val n = candidates.count()
+    val n = corpusCount(candidates)
     val prm = bandedParams(n, estimatedNeighborP(candidates, k), targetRecall, maxTables)
     val q = queries.select($"id".as("query_id"), $"emb".as("q_emb"),
         $"norm".as("q_norm"),
@@ -840,7 +892,7 @@ object Similarity {
   def nearDupPairsBanded(df: DataFrame, minCosine: Double,
                          targetRecall: Double = 0.7,
                          maxTables: Int = 64): DataFrame = {
-    val n = df.count()
+    val n = corpusCount(df)
     val prm = bandedParams(n, agreementP(minCosine), targetRecall, maxTables)
     val withBucket = df.select($"id", $"emb", $"norm",
       posexplode(bandedBuckets($"emb", prm)).as(Seq("tbl", "bucket")))

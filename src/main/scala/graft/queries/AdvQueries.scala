@@ -179,7 +179,7 @@ object AdvQueries {
   private val q41: Q = (s, d) => {
     import s.implicits._
     val e = graft.ops.Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
-    val (cells, probe) = graft.ops.Similarity.ivfScaledParams(e.count())
+    val (cells, probe) = graft.ops.Similarity.ivfScaledParams(graft.ops.Similarity.corpusCount(e))
     graft.ops.Similarity.knnIvf(e.where($"id" < 10), e, k = 5, nCells = cells, nProbe = probe)
       .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".as("rnk"))
       .orderBy($"query_id", $"rnk")
@@ -197,7 +197,7 @@ object AdvQueries {
   private val q73: Q = (s, d) => {
     import s.implicits._
     val e = graft.ops.Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
-    val (cells, probe) = graft.ops.Similarity.ivfScaledParams(e.count())
+    val (cells, probe) = graft.ops.Similarity.ivfScaledParams(graft.ops.Similarity.corpusCount(e))
     graft.ops.Similarity.knnIvfPq(e.where($"id" < 10), e, k = 5,
         nCells = cells, nProbe = probe, m = 16, kSub = 32, refine = 16)
       .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".as("rnk"))
@@ -218,7 +218,7 @@ object AdvQueries {
     // path and retrains, instead of probing a stale persisted index —
     // and rooted under the per-user 0700 store root (Stores.root)
     val idx = Stores.ivfStorePath(d)
-    val (cells, probe) = graft.ops.Similarity.ivfScaledParams(e.count())
+    val (cells, probe) = graft.ops.Similarity.ivfScaledParams(graft.ops.Similarity.corpusCount(e))
     graft.ops.Similarity.knnIvfPersisted(e.where($"id" < 10), e, k = 5,
         indexPath = idx, nCells = cells, nProbe = probe)
       .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".as("rnk"))

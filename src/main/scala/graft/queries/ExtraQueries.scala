@@ -227,7 +227,7 @@ object ExtraQueries {
     val qs = e.where($"id" < 10)
     val bf = Similarity.knnBruteForce(qs, e, k = 5)
       .select($"query_id", $"neighbor_id")
-    val (cells, probe) = Similarity.ivfScaledParams(e.count())
+    val (cells, probe) = Similarity.ivfScaledParams(Similarity.corpusCount(e))
     val ivf = Similarity.knnIvf(qs, e, k = 5, nCells = cells, nProbe = probe)
       .select($"query_id", $"neighbor_id")
     val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")

@@ -89,7 +89,20 @@ object Wave46Queries {
     // a few-hundred-row frame), then resolve the exact grid value only
     // inside that one bucket (≤10⁵-value frame). Both windows run over
     // collapsed, bounded frames at any span.
-    val slopes = day.as("a").join(day.as("b"), $"a.t" < $"b.t")
+    // round-15: the staged day frame is one AQE-coalesced partition
+    // (tiny aggregate output), so the O(days²) pair generation — and
+    // both staged-slope consumers downstream of it — ran on ONE core.
+    // Spreading the STREAM side of the nested-loop join by t (explicit
+    // partition count so AQE does not re-coalesce the tiny frame; the
+    // per-input-row fan-out is ~|days|/2 pair rows, which is what must
+    // parallelize) puts all three 10⁶-row passes on the full cluster.
+    // At sf0.1's 2.9 M pairs this is wall-time-neutral once codegen is
+    // warm (A/B: 1.46 vs 1.50 s) — the win is the multi-core scaling
+    // headroom as the day span (and the quadratic pair count) grows.
+    // Identical output: counts and decimal sums are partitioning-
+    // independent.
+    val dayA = day.repartition(s.sparkContext.defaultParallelism, $"t")
+    val slopes = dayA.as("a").join(day.as("b"), $"a.t" < $"b.t")
       .select(floor((($"b.r" - $"a.r") / ($"b.t" - $"a.t")) * 100)
         .cast("long").as("sl"))
       .withColumn("bkt", floor($"sl" / 100000.0).cast("long"))

@@ -98,21 +98,31 @@ object Wave7Queries {
     val qs = e.where($"id" < 50)
     val bf = Similarity.knnBruteForce(qs, e, k = 5)
       .select($"query_id", $"neighbor_id")
-    def meanRecall(cand: DataFrame, mode: String) = {
-      val hits = bf.join(cand.select($"query_id", $"neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
-      qs.select($"id".as("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .agg(round(sum(round(coalesce($"n_hit", lit(0L)) / 5.0, 9)
-            .cast("decimal(28,12)")).cast("double") / count(lit(1)), 9)
-          .as("mean_recall_at_5"))
-        .select(lit(mode).as("probe_mode"), $"mean_recall_at_5")
-    }
-    meanRecall(Similarity.knnLsh(qs, e, k = 5, h = 8), "single")
-      .unionByName(
-        meanRecall(Similarity.knnLshBanded(qs, e, k = 5, targetRecall = 0.7),
-          "multi"))
+    // Round-15 shape: the pre-r15 form ran one meanRecall subplan per
+    // arm, so the exact ground-truth subtree (corpus scan + 50×N cosine
+    // BNLJ + top-k window, 0.95 s/arm at sf0.1) executed TWICE — once
+    // under each union branch. Tagging the candidate sets with their
+    // probe_mode and intersecting the union against bf in ONE semi-join
+    // keeps bf a single subtree in a single plan. The semi-join is
+    // flipped (candidates semi truth instead of truth semi candidates):
+    // both sides are per-query duplicate-free top-k sets, so the
+    // intersection count per (mode, query) — and every reported value —
+    // is unchanged (golden-pinned, regenerated bit-identical).
+    val cand =
+      Similarity.knnLsh(qs, e, k = 5, h = 8)
+        .select(lit("single").as("probe_mode"), $"query_id", $"neighbor_id")
+        .unionByName(
+          Similarity.knnLshBanded(qs, e, k = 5, targetRecall = 0.7)
+            .select(lit("multi").as("probe_mode"), $"query_id", $"neighbor_id"))
+    val hits = cand.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"probe_mode", $"query_id").agg(count(lit(1)).as("n_hit"))
+    qs.select($"id".as("query_id"),
+        explode(array(lit("single"), lit("multi"))).as("probe_mode"))
+      .join(hits, Seq("probe_mode", "query_id"), "left")
+      .groupBy($"probe_mode")
+      .agg(round(sum(round(coalesce($"n_hit", lit(0L)) / 5.0, 9)
+          .cast("decimal(28,12)")).cast("double") / count(lit(1)), 9)
+        .as("mean_recall_at_5"))
       .orderBy($"probe_mode")
   }
 

@@ -1,17 +1,18 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Similarity
 
 /** Dev-only stage profiler for pipeline hot spots (not part of any
   * gate): times the building blocks of a query in isolation so a
   * regression can be attributed to a stage instead of guessed at.
   * Edit the body for the investigation at hand; keep the committed
-  * version pointed at the most recent frontier (currently the
-  * round-15 corpus-scaled ANN parameter derivation: recall/cost grid
-  * for banded LSH and fraction-probed IVF across testdata scales). */
+  * version pointed at the most recent frontier (currently round-15
+  * A/B harness: old vs new formulation of the query under
+  * investigation, interleaved in one JVM so bursty host noise
+  * cancels). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -21,81 +22,75 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def time[T](label: String)(f: => T): T = {
+    def time[T](label: String)(f: => T): Double = {
       val t0 = System.nanoTime()
-      val r = f
-      println(f"[probe] $label%-52s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-      r
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label%-40s $dt%7.2f s")
+      dt
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.read.parquet(s"$dir/orders.parquet").count()
+
+    // OLD q310 form (pre-r15): un-repartitioned stream side.
+    def oldQ310(s: SparkSession, d: String): DataFrame = {
+      val day = Tables.orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(round(sum(round($"o_totalprice" * 100, 0).cast("long")) / 100.0, 2)
+          .as("r"))
+        .select(datediff($"day", lit("1995-01-01").cast("date")).cast("long")
+          .as("t"), $"r")
+        .transform(graft.ops.Staged(_))
+      val slopes = day.as("a").join(day.as("b"), $"a.t" < $"b.t")
+        .select(floor((($"b.r" - $"a.r") / ($"b.t" - $"a.t")) * 100)
+          .cast("long").as("sl"))
+        .withColumn("bkt", floor($"sl" / 100000.0).cast("long"))
+        .transform(graft.ops.Staged(_))
+      val bhist = slopes.groupBy($"bkt").agg(count(lit(1)).cast("long").as("c"))
+      val locate = bhist
+        .withColumn("cum", sum($"c").over(Window.orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(bhist.agg(sum($"c").cast("long").as("np"))))
+        .where($"cum" >= floor(($"np" + 1) / 2).cast("long"))
+        .agg(min(struct($"bkt", ($"cum" - $"c").as("before"), $"np")).as("m"))
+        .select($"m.bkt".as("mb"), $"m.before".as("before"), $"m.np".as("np"))
+      val med = slopes.join(broadcast(locate), $"bkt" === $"mb")
+        .groupBy($"sl", $"before", $"np")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("cum", $"before" + sum($"c").over(Window.orderBy($"sl")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .agg(max($"np").as("n_pairs"),
+          (min(when($"cum" >= floor(($"np" + 1) / 2).cast("long"), $"sl")) /
+            lit(100.0)).as("theil_sen_slope"))
+      val ols = day.agg(count(lit(1)).cast("double").as("n"),
+          sum($"t".cast("decimal(28,0)")).cast("double").as("sx"),
+          sum(($"t" * $"t").cast("decimal(38,0)")).cast("double").as("sxx"),
+          sum($"r".cast("decimal(28,2)")).cast("double").as("sy"),
+          sum(round($"t" * $"r", 2).cast("decimal(38,2)")).cast("double")
+            .as("sxy"))
+        .select($"n".cast("long").as("n_days"),
+          round(($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("ols_slope"))
+      med.crossJoin(broadcast(ols))
+        .select($"n_days", $"n_pairs", $"theil_sen_slope", $"ols_slope")
     }
 
-    val sfDirs = Seq(
-      "sf0.01" -> "/root/testdata/sf0.01",
-      "sf0.1" -> "/root/testdata/sf0.1",
-      "sf1" -> "/root/repo/testdata-sf1")
-
-    for ((sf, dir) <- sfDirs) {
-      val e = Similarity.prepared(Tables.embeddings(spark, dir), "vec_id", "embedding")
-      val n = e.count()
-      val qs = e.where($"id" < 10)
-      val bf = Similarity.knnBruteForce(qs, e, k = 5)
-        .select($"query_id", $"neighbor_id").cache()
-      val nTruth = bf.count()
-      def recall(approx: DataFrame): Double =
-        bf.join(approx.select($"query_id", $"neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / nTruth
-
-      println(s"=== $sf  n=$n ===")
-      val pHat = Similarity.estimatedNeighborP(e, 5)
-      println(f"[probe] $sf pHat(k=5) = $pHat%.4f")
-
-      for (tr <- Seq(0.5, 0.7, 0.8)) {
-        val prm = Similarity.bandedParams(n, pHat, tr)
-        val r = time(f"$sf knnLshBanded tr=$tr (r=${prm.rows} L=${prm.tables})") {
-          recall(Similarity.knnLshBanded(qs, e, k = 5, targetRecall = tr))
-        }
-        println(f"[probe] $sf knnLshBanded tr=$tr recall = $r%.3f")
-      }
-
-      for (frac <- Seq(0.25, 0.35, 0.45)) {
-        val (cells, probe) = Similarity.ivfScaledParams(n, frac)
-        val r = time(f"$sf knnIvf frac=$frac (cells=$cells probe=$probe)") {
-          recall(Similarity.knnIvf(qs, e, k = 5, nCells = cells, nProbe = probe))
-        }
-        println(f"[probe] $sf knnIvf frac=$frac recall = $r%.3f")
-      }
-
-      for ((frac, m, kSub, refine) <- Seq(
-          (0.35, 8, 16, 8), (0.35, 16, 16, 8), (0.35, 16, 32, 8),
-          (0.35, 16, 32, 16), (0.45, 16, 32, 16))) {
-        val (cells, probe) = Similarity.ivfScaledParams(n, frac)
-        val r = time(f"$sf knnIvfPq frac=$frac m=$m kSub=$kSub refine=$refine") {
-          recall(Similarity.knnIvfPq(qs, e, k = 5, nCells = cells,
-            nProbe = probe, m = m, kSub = kSub, refine = refine))
-        }
-        println(f"[probe] $sf knnIvfPq frac=$frac m=$m kSub=$kSub refine=$refine recall = $r%.3f")
-      }
-
-      // near-dup slice recall: truth = exact pairs among id<500
-      val sl = e.where($"id" < 500)
-      val a = sl.select($"id".as("id_a"), $"emb".as("ea"), $"norm".as("na"))
-      val b2 = sl.select($"id".as("id_b"), $"emb".as("eb"), $"norm".as("nb"))
-      val truth = a.join(broadcast(b2), $"id_a" < $"id_b")
-        .where(Similarity.cosine($"ea", $"eb", $"na", $"nb") >= 0.4)
-        .select($"id_a", $"id_b").cache()
-      val nT = truth.count()
-      for (tr <- Seq(0.5, 0.7, 0.8)) {
-        val pairs = time(f"$sf nearDupPairsBanded tr=$tr full corpus") {
-          val p = Similarity.nearDupPairsBanded(e, minCosine = 0.4, targetRecall = tr)
-          p.cache(); p.count(); p
-        }
-        val found = truth.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
-        val total = pairs.count()
-        println(f"[probe] $sf nearDupBanded tr=$tr: pairs=$total sliceTruth=$nT found=$found recall=${found.toDouble / math.max(1, nT)}%.3f")
-        pairs.unpersist()
-      }
-      bf.unpersist(); truth.unpersist()
-      spark.catalog.clearCache()
+    val newQ = graft.SparkEntry.queries("q310_theilsen_trend")
+    noop(oldQ310(spark, dir)); graft.ops.Staged.releaseAll(); spark.catalog.clearCache()
+    noop(newQ(spark, dir)); graft.ops.Staged.releaseAll(); spark.catalog.clearCache()
+    val oldT = collection.mutable.ArrayBuffer[Double]()
+    val newT = collection.mutable.ArrayBuffer[Double]()
+    for (i <- 1 to 5) {
+      oldT += time(s"old q310 #$i")(noop(oldQ310(spark, dir)))
+      graft.ops.Staged.releaseAll(); spark.catalog.clearCache()
+      newT += time(s"new q310 #$i")(noop(newQ(spark, dir)))
+      graft.ops.Staged.releaseAll(); spark.catalog.clearCache()
     }
+    println(f"[probe] old min=${oldT.min}%.2f median=${oldT.sorted.apply(2)}%.2f")
+    println(f"[probe] new min=${newT.min}%.2f median=${newT.sorted.apply(2)}%.2f")
     spark.stop()
   }
 }
