@@ -775,10 +775,12 @@ object Dedup {
     * left-anti join on the contaminated ids. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val benchSh = benchmark
+    // per-row-compute entry points (shingle explode) — round-15 guarded
+    // fan-out wiring; see decontaminateBloom below for the same move
+    val benchSh = FanOut.perRowCompute(benchmark, idCol)
       .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
       .distinct()
-    val contaminated = corpus
+    val contaminated = FanOut.perRowCompute(corpus, idCol)
       .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
       .join(broadcast(benchSh), Seq("sh"), "left_semi")
       .select(col(idCol)).distinct()
@@ -816,7 +818,7 @@ object Dedup {
     // staged: the bloom build (an action, below) materializes this
     // frame, and the exact verify join reads it again — without the
     // persist the benchmark scan + shingle explode + distinct runs twice
-    val benchSh = benchmark
+    val benchSh = FanOut.perRowCompute(benchmark, idCol)
       .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
       .distinct()
       .transform(Staged(_))
@@ -827,7 +829,7 @@ object Dedup {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val candidates = corpus
+    val candidates = FanOut.perRowCompute(corpus, idCol)
       .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
       .where(call_function("bloom_might_contain", lit(bloomBytes), xxhash64($"sh")))
     // exact verify: candidates are the bloom's ~fpp-sized survivor set, so
@@ -1256,13 +1258,23 @@ object Dedup {
     * md5 on oracle-checked surfaces). */
   def docTiles(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
                tileKey: Column => Column = xxhash64(_)): DataFrame =
-    tileSegments(df, idCol, textCol, k)
+    tileSegments(df, idCol, textCol, k, fan = false) // postings re-shuffle on h at once
       .select($"doc", tileKey($"tile").as("h")).distinct()
 
   private[ops] def tileSegments(df: DataFrame, idCol: String,
-                                textCol: String, k: Int): DataFrame = {
+                                textCol: String, k: Int,
+                                fan: Boolean = true): DataFrame = {
     require(k >= 1, s"tile length k must be >= 1, got $k")
-    df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("t"))
+    // per-row-compute entry point (tokenize + tile explode + slice):
+    // round-15 guarded fan-out, CALLER-GATED. The A/B probe measured the
+    // exchange paying only where the downstream holds heavy per-tile
+    // work in the SAME stage (keep-first's collect_list rebuild); the
+    // pair-graph/postings consumers re-shuffle immediately on (doc, h),
+    // so for them the fan-out is a pure extra stage (q164 shape:
+    // no-fanout median 1.16 s vs fanout 1.19 s, min 0.87 vs 1.04) and
+    // they opt out.
+    (if (fan) FanOut.perRowCompute(df, idCol) else df)
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("t"))
       .where(size($"t") >= 1)
       .select($"doc", $"t",
         explode(sequence(lit(0), ceil(size($"t") / lit(k.toDouble)).cast("int") - 1))
@@ -1293,7 +1305,7 @@ object Dedup {
     require(minFrac > 0.0 && minFrac <= 1.0,
       s"minFrac must be in (0,1]: $minFrac")
     require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
-    val tiles = tileSegments(df, idCol, textCol, k)
+    val tiles = tileSegments(df, idCol, textCol, k, fan = false)
       .select($"doc", tileKey($"tile").as("h")).distinct()
     val rare = tiles.join(
       tiles.groupBy($"h").agg(count(lit(1)).as("__df"))
@@ -1333,7 +1345,7 @@ object Dedup {
                         k: Int = 8, minDf: Int = 8,
                         tileKey: Column => Column = xxhash64(_)): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2: $minDf")
-    val tiles = tileSegments(df, idCol, textCol, k)
+    val tiles = tileSegments(df, idCol, textCol, k, fan = false)
       .select($"doc", tileKey($"tile").as("h"))
     val bp = tiles.distinct()
       .groupBy($"h").agg(count(lit(1)).as("__df"))
@@ -1380,7 +1392,7 @@ object Dedup {
                     k: Int = 8, maxDf: Int = 64, minShared: Int = 2,
                     tileKey: Column => Column = xxhash64(_)): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
-    val tiles = tileSegments(df, idCol, textCol, k)
+    val tiles = tileSegments(df, idCol, textCol, k, fan = false) // A/B: pair graphs lose the extra stage
       .select($"doc", tileKey($"tile").as("h")).distinct()
     val rare = tiles.join(
       tiles.groupBy($"h").agg(count(lit(1)).as("__df"))

@@ -55,24 +55,31 @@ object FanOut {
     }
     if (blocked) return df
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // one relation, or a UNION of scan pipelines (round 15: the
+    // augmented-corpus pattern — a table unioned with filtered
+    // projections of itself — is still a file-split-capped read; each
+    // arm's splits count separately because each arm scans separately)
     val rels = plan.collect { case lr: LogicalRelation => lr }
-    if (rels.length != 1) return df
+    if (rels.isEmpty) return df
     import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
-    rels.head.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location match {
-          case p: PartitioningAwareFileIndex =>
-            val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-            val splits = p.allFiles()
-              .map(f => math.max(1L, (f.getLen + maxPart - 1) / maxPart)).sum
-            if (splits >= math.max(2, target / 2)) df
-            else df.repartition(target, key)
-          // exotic FileIndex impls don't expose file sizes — leave the
-          // read untouched rather than guess
-          case _ => df
-        }
-      case _ => df
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val perRelSplits = rels.map { lr =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location match {
+            case p: PartitioningAwareFileIndex =>
+              p.allFiles()
+                .map(f => math.max(1L, (f.getLen + maxPart - 1) / maxPart)).sum
+            // exotic FileIndex impls don't expose file sizes — leave the
+            // read untouched rather than guess
+            case _ => -1L
+          }
+        case _ => -1L
+      }
     }
+    if (perRelSplits.exists(_ < 0)) return df
+    if (perRelSplits.sum >= math.max(2, target / 2)) df
+    else df.repartition(target, key)
   }
 
   def perRowCompute(df: DataFrame, key: String): DataFrame =

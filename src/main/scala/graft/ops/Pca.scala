@@ -136,19 +136,23 @@ object Pca {
     * (measured 65 s vs 2 s at sf0.1). No shuffle, no second pass. */
   def removeTopComponents(df: DataFrame, embCol: String, outCol: String,
                           model: PcaModel): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val d = model.mean.length
     // dim-major transpose: vt(j) = the k components' loadings at dim j
     val vt = (0 until d).map(j => model.components.map(_(j)).toSeq)
     val centered = zip_with(col(embCol).cast("array<double>"),
       typedLit(model.mean.toSeq), (a, b) => a - b)
+    // round-15: the k projections and the per-dim residual inner product
+    // run through the native array_dot (whole-stage codegen) instead of
+    // the interpreted aggregate(zip_with(...)) lambda chain — same left
+    // fold bit-for-bit (ArrayDotProduct's pinned contract), ~d×k fewer
+    // per-row lambda dispatches on the anisotropy hot path
     df.withColumn("__c", centered)
       .withColumn("__s", array(model.components.map(v =>
-        Similarity.dotHof(col("__c"), typedLit(v.toSeq))): _*))
+        Similarity.dot(col("__c"), typedLit(v.toSeq))): _*))
       .withColumn(outCol,
         zip_with(col("__c"), typedLit(vt),
-          (cj, vtj) => cj - aggregate(
-            zip_with(vtj, col("__s"), (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x)))
+          (cj, vtj) => cj - Similarity.dot(vtj, col("__s"))))
       .drop("__c", "__s")
   }
 

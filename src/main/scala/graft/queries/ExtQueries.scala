@@ -565,7 +565,9 @@ object ExtQueries {
     val bitOf = srcs.zipWithIndex.foldLeft(lit(null).cast("long")) {
       case (acc, (name, i)) => when($"source" === name, lit(1L << i)).otherwise(acc)
     } // exhaustive when-chain over the taxonomy
-    val masks = Tables.documents(s, d)
+    // round-15 guarded fan-out: the shingle explode is the whole map
+    // cost and the fixture scan is one row group
+    val masks = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select(bitOf.as("bit"),
         explode(array_distinct(Text.shingles($"text", 8))).as("sh"))
       .groupBy($"sh").agg(bit_or($"bit").as("mask"))

@@ -83,7 +83,13 @@ object Wave25Queries {
     * run over value-cardinality frames only). */
   private val q211: Q = (s, d) => {
     import s.implicits._
-    val perCust = Tables.orders(s, d)
+    // round-15 guarded fan-out keyed by the group key: the repartition
+    // doubles as the aggregation's exchange, and the per-customer
+    // decimal partial agg leaves the fixture's single row group
+    val perCust = graft.ops.FanOut.perRowCompute(
+        Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderdate", $"o_totalprice"),
+        "o_custkey")
       .groupBy($"o_custkey")
       .agg(max($"o_orderdate".cast("date")).as("last_d"),
         count(lit(1)).cast("long").as("frequency"),

@@ -169,7 +169,8 @@ object Wave29Queries {
     * the fix exactness allows. */
   private val q226: Q = (s, d) => {
     import s.implicits._
-    val sh = Tables.documents(s, d)
+    // round-15 guarded fan-out: the trigram explode is the map cost
+    val sh = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select($"doc_id", $"source",
         explode(array_distinct(Text.shingles($"text", 3))).as("sh"))
     val perPair = sh.groupBy($"sh", $"source")

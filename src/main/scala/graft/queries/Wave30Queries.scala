@@ -32,9 +32,13 @@ object Wave30Queries {
       .join(broadcast(Tables.nation(s, d)
         .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"n_name")
-    val byPart = Tables.lineitem(s, d)
-      .select($"l_suppkey", $"l_partkey",
-        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+    // round-15 guarded fan-out: the broadcast-join probe + decimal
+    // partial agg otherwise run inside the single-row-group scan stage
+    val byPart = graft.ops.FanOut.perRowCompute(
+        Tables.lineitem(s, d)
+          .select($"l_suppkey", $"l_partkey",
+            ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev")),
+        "l_partkey")
       .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
       .groupBy($"n_name", $"l_partkey")
       .agg(sum(round($"rev" * 10000, 0).cast("long")).as("__v"))

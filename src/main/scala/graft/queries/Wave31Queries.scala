@@ -126,7 +126,12 @@ object Wave31Queries {
     * Golden-pinned: seeded xxhash64. */
   private val q240: Q = (s, d) => {
     import s.implicits._
-    val docs = Tables.documents(s, d).where($"doc_id" < 2000)
+    // round-15: fan out BEFORE staging — the persisted slice otherwise
+    // holds the fixture scan's single partition and all three banded
+    // signature passes run on one core (the operator-level fan-out
+    // cannot see through an InMemoryRelation)
+    val docs = graft.ops.FanOut.perRowCompute(
+        Tables.documents(s, d).where($"doc_id" < 2000), "doc_id")
       .transform(graft.ops.Staged(_))
     // guaranteed-exact slice truth (capped-store guard) — see q207
     val exact = Stores.docPairsExactSlice(s, d, maxDocId = 2000)

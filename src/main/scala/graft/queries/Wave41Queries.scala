@@ -124,8 +124,14 @@ object Wave41Queries {
     * intercept instead of r). Map-side sums, |flags|-row output. */
   private val q292: Q = (s, d) => {
     import s.implicits._
-    val g = Tables.lineitem(s, d)
-      .select($"l_returnflag", $"l_discount".as("x"), $"l_quantity".as("y"))
+    // round-15 guarded fan-out, keyed by the unique order key (NOT the
+    // 3-value group key — that would put the heavy decimal partial agg
+    // on 3 cores); sums are decimal-exact, so order-independent
+    val g = graft.ops.FanOut.perRowCompute(
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_returnflag",
+            $"l_discount".as("x"), $"l_quantity".as("y")), "l_orderkey")
+      .drop("l_orderkey")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).cast("double").as("n"),
         sum($"x".cast("decimal(18,2)")).cast("double").as("sx"),

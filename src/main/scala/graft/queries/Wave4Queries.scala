@@ -92,7 +92,12 @@ object Wave4Queries {
       .where(col("a.doc_id") % 4 === 0)
       .select(col("a.doc_id").as("doc_id"),
         concat(col("a.text"), lit(" "), col("b.text")).as("text"))
-    val plain = docs.where($"doc_id" % 4 =!= 0)
+    // round-15 guarded fan-out on the NON-join branch: the glued side
+    // exits its self-join 32-way, but the plain side is a bare filtered
+    // scan pinned to the fixture's single row group — and langScores
+    // over token halves is the whole per-row cost of codeSwitch
+    val plain = graft.ops.FanOut.perRowCompute(
+      docs.where($"doc_id" % 4 =!= 0), "doc_id")
     Text.codeSwitch(glued.unionByName(plain), "doc_id", "text")
       .orderBy($"doc_id")
   }
@@ -193,14 +198,17 @@ object Wave4Queries {
     * Golden-pinned (components come from the iterative fit). */
   private val q140: Q = (s, d) => {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
+    // round-15: guarded fan-out (the whole query is per-row vector math
+    // over a single-row-group fixture scan) + native array_dot in place
+    // of the interpreted HOF dot (bit-equal left fold)
+    val emb = graft.ops.FanOut.perRowCompute(Tables.embeddings(s, d), "vec_id")
     val m = Stores.pcaModel(s, d)
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val cleaned = graft.ops.Pca.removeTopComponents(emb, "embedding", "x", m)
       .select($"x")
-    val s1 = graft.ops.Similarity.dotHof($"x", typedLit(m.components(0).toSeq))
-    val s2 = graft.ops.Similarity.dotHof($"x", typedLit(m.components(1).toSeq))
+    val s1 = graft.ops.Similarity.dot($"x", typedLit(m.components(0).toSeq))
+    val s2 = graft.ops.Similarity.dot($"x", typedLit(m.components(1).toSeq))
     val a = cleaned.agg(
       count(lit(1)).as("n"),
       sum(round(s1 * s1, 9).cast("decimal(28,12)")).cast("double").as("q1"),

@@ -45,8 +45,15 @@ object Wave51Queries {
     * bounds read off the same collapsed frame. */
   private val q328: Q = (s, d) => {
     import s.implicits._
-    val hist = Tables.lineitem(s, d)
-      .groupBy(round($"l_extendedprice" * 100, 0).cast("long").as("pc"))
+    // round-15 guarded fan-out keyed by the histogram key itself: the
+    // repartition IS the aggregation's exchange (same hash key), so the
+    // plan keeps one shuffle and the cent-histogram partial aggregation
+    // runs on the cluster instead of the fixture's single row group
+    val hist = graft.ops.FanOut.perRowCompute(
+        Tables.lineitem(s, d)
+          .select(round($"l_extendedprice" * 100, 0).cast("long").as("pc")),
+        "pc")
+      .groupBy($"pc")
       .agg(count(lit(1)).cast("long").as("nv"))
     val cum = hist.select($"pc", $"nv",
       sum($"nv").over(Window.orderBy($"pc")

@@ -119,7 +119,16 @@ object Wave54Queries {
     * ln() agreement); Σx², Σxy, Σy² ride the DECIMAL(38,0) path. */
   private val q345: Q = (s, d) => {
     import s.implicits._
-    val pts = Tables.lineitem(s, d).select(
+    // round-15 guarded fan-out: the whole cost of this query is the
+    // partial aggregation (2 logs + 6 decimal accumulations per row),
+    // which a single-row-group layout pins to one core (A/B probe at
+    // sf0.1: 2.24 → 0.64 s). Keyed by the unique order key — uniform
+    // placement; every aggregate here is order-independent (longs and
+    // decimals), so the result is partitioning-invariant.
+    val pts = graft.ops.FanOut.perRowCompute(
+        Tables.lineitem(s, d).select($"l_orderkey", $"l_extendedprice",
+          $"l_quantity", $"l_discount"), "l_orderkey")
+      .select(
         floor(log(($"l_extendedprice" / $"l_quantity") *
           (lit(1) - $"l_discount")) * 1e9).cast("long").as("x"),
         floor(log($"l_quantity") * 1e9).cast("long").as("y"))
@@ -166,9 +175,13 @@ object Wave54Queries {
           (min(when($"cum" * 10L >= $"nn" * 9L, $"pc")) / 100.0)
             .as("p90"))
     }
-    val o = Tables.orders(s, d).select(
-        date_format($"o_orderdate", "yyyy-MM").as("month"),
-        round($"o_totalprice" * 100, 0).cast("long").as("pc"))
+    // round-15 guarded fan-out BEFORE the stage/persist: the staged
+    // frame inherits its partitioning, so an un-fanned single-row-group
+    // scan pins BOTH bands() passes to one core
+    val o = graft.ops.FanOut.perRowCompute(
+        Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("month"),
+          round($"o_totalprice" * 100, 0).cast("long").as("pc")), "pc")
       .transform(graft.ops.Staged(_))
     val monthly = bands(o, Seq("month"))
     val global = bands(o.select(lit("all").as("g"), $"pc"), Seq("g"))

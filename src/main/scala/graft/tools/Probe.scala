@@ -1,23 +1,24 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.{Dedup, Text}
 
 /** Dev-only stage profiler for pipeline hot spots (not part of any
   * gate): times the building blocks of a query in isolation so a
   * regression can be attributed to a stage instead of guessed at.
   * Edit the body for the investigation at hand; keep the committed
   * version pointed at the most recent frontier (currently round-15
-  * A/B harness: old vs new formulation of the query under
-  * investigation, interleaved in one JVM so bursty host noise
-  * cancels). */
+  * A/B: does the tileSegments fan-out pay on the rare-tile-pair graph
+  * family (q164's shape), or only on the heavy tile-dedup consumers). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "32768"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -33,64 +34,64 @@ object Probe {
       df.write.format("noop").mode("overwrite").save()
 
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark.read.parquet(s"$dir/orders.parquet").count()
+    spark.read.parquet(s"$dir/documents.parquet").count()
 
-    // OLD q310 form (pre-r15): un-repartitioned stream side.
-    def oldQ310(s: SparkSession, d: String): DataFrame = {
-      val day = Tables.orders(s, d)
-        .groupBy(to_date($"o_orderdate").as("day"))
-        .agg(round(sum(round($"o_totalprice" * 100, 0).cast("long")) / 100.0, 2)
-          .as("r"))
-        .select(datediff($"day", lit("1995-01-01").cast("date")).cast("long")
-          .as("t"), $"r")
-        .transform(graft.ops.Staged(_))
-      val slopes = day.as("a").join(day.as("b"), $"a.t" < $"b.t")
-        .select(floor((($"b.r" - $"a.r") / ($"b.t" - $"a.t")) * 100)
-          .cast("long").as("sl"))
-        .withColumn("bkt", floor($"sl" / 100000.0).cast("long"))
-        .transform(graft.ops.Staged(_))
-      val bhist = slopes.groupBy($"bkt").agg(count(lit(1)).cast("long").as("c"))
-      val locate = bhist
-        .withColumn("cum", sum($"c").over(Window.orderBy($"bkt")
-          .rowsBetween(Window.unboundedPreceding, 0)))
-        .crossJoin(broadcast(bhist.agg(sum($"c").cast("long").as("np"))))
-        .where($"cum" >= floor(($"np" + 1) / 2).cast("long"))
-        .agg(min(struct($"bkt", ($"cum" - $"c").as("before"), $"np")).as("m"))
-        .select($"m.bkt".as("mb"), $"m.before".as("before"), $"m.np".as("np"))
-      val med = slopes.join(broadcast(locate), $"bkt" === $"mb")
-        .groupBy($"sl", $"before", $"np")
-        .agg(count(lit(1)).cast("long").as("c"))
-        .withColumn("cum", $"before" + sum($"c").over(Window.orderBy($"sl")
-          .rowsBetween(Window.unboundedPreceding, 0)))
-        .agg(max($"np").as("n_pairs"),
-          (min(when($"cum" >= floor(($"np" + 1) / 2).cast("long"), $"sl")) /
-            lit(100.0)).as("theil_sen_slope"))
-      val ols = day.agg(count(lit(1)).cast("double").as("n"),
-          sum($"t".cast("decimal(28,0)")).cast("double").as("sx"),
-          sum(($"t" * $"t").cast("decimal(38,0)")).cast("double").as("sxx"),
-          sum($"r".cast("decimal(28,2)")).cast("double").as("sy"),
-          sum(round($"t" * $"r", 2).cast("decimal(38,2)")).cast("double")
-            .as("sxy"))
-        .select($"n".cast("long").as("n_days"),
-          round(($"n" * $"sxy" - $"sx" * $"sy") /
-            ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("ols_slope"))
-      med.crossJoin(broadcast(ols))
-        .select($"n_days", $"n_pairs", $"theil_sen_slope", $"ols_slope")
+    val tmpl16 = "template header boilerplate nav sidebar footer " +
+      "promo banner subscribe follow share like comment related trending latest"
+    def plantedDocs(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d).select($"doc_id",
+        when($"doc_id" % 11 === 0, concat(lit(tmpl16 + " "), $"text"))
+          .otherwise($"text").as("text"))
+
+    // pre-r15 rareTilePairs (no fan-out), inlined from public pieces
+    def oldRareTilePairs(df: DataFrame, k: Int, maxDf: Int, minShared: Int,
+                         tileKey: Column => Column): DataFrame = {
+      val seg = df.select($"doc_id".as("doc"), Text.tokens($"text").as("t"))
+        .where(size($"t") >= 1)
+        .select($"doc", $"t",
+          explode(sequence(lit(0), ceil(size($"t") / lit(k.toDouble)).cast("int") - 1))
+            .as("pos"))
+        .select($"doc", $"pos",
+          concat_ws(" ", slice($"t", $"pos" * k + 1, lit(k))).as("tile"))
+      val tiles = seg.select($"doc", tileKey($"tile").as("h")).distinct()
+      val rare = tiles.join(
+        tiles.groupBy($"h").agg(count(lit(1)).as("__df"))
+          .where($"__df" <= maxDf).select($"h"),
+        Seq("h"))
+      rare.select($"h", $"doc".as("doc_a"))
+        .join(rare.select($"h", $"doc".as("doc_b")), Seq("h"))
+        .where($"doc_a" =!= $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .where($"n_shared" >= minShared)
     }
 
-    val newQ = graft.SparkEntry.queries("q310_theilsen_trend")
-    noop(oldQ310(spark, dir)); graft.ops.Staged.releaseAll(); spark.catalog.clearCache()
-    noop(newQ(spark, dir)); graft.ops.Staged.releaseAll(); spark.catalog.clearCache()
-    val oldT = collection.mutable.ArrayBuffer[Double]()
-    val newT = collection.mutable.ArrayBuffer[Double]()
+    def degHist(edges: DataFrame): DataFrame = {
+      val hist = edges.groupBy($"doc_a")
+        .agg(count(lit(1)).cast("long").as("degree"))
+        .groupBy($"degree").agg(count(lit(1)).cast("long").as("n_nodes"))
+      hist.crossJoin(broadcast(
+          hist.agg(sum($"n_nodes").cast("long").as("__t"))))
+        .select($"degree", $"n_nodes",
+          round($"n_nodes" / $"__t", 9).as("node_frac"))
+        .orderBy($"degree")
+    }
+
+    def oldQ(s: SparkSession, d: String) =
+      degHist(oldRareTilePairs(plantedDocs(s, d), 8, 64, 2, c => md5(c)))
+    def newQ(s: SparkSession, d: String) =
+      degHist(Dedup.rareTilePairs(plantedDocs(s, d), "doc_id", "text",
+        k = 8, maxDf = 64, minShared = 2, tileKey = c => md5(c)))
+
+    noop(oldQ(spark, dir)); noop(newQ(spark, dir))
+    val a = collection.mutable.ArrayBuffer[Double]()
+    val b = collection.mutable.ArrayBuffer[Double]()
     for (i <- 1 to 5) {
-      oldT += time(s"old q310 #$i")(noop(oldQ310(spark, dir)))
-      graft.ops.Staged.releaseAll(); spark.catalog.clearCache()
-      newT += time(s"new q310 #$i")(noop(newQ(spark, dir)))
-      graft.ops.Staged.releaseAll(); spark.catalog.clearCache()
+      a += time(s"q164 no-fanout #$i")(noop(oldQ(spark, dir)))
+      b += time(s"q164 fanout    #$i")(noop(newQ(spark, dir)))
     }
-    println(f"[probe] old min=${oldT.min}%.2f median=${oldT.sorted.apply(2)}%.2f")
-    println(f"[probe] new min=${newT.min}%.2f median=${newT.sorted.apply(2)}%.2f")
+    println(f"[probe] no-fanout min=${a.min}%.2f median=${a.sorted.apply(2)}%.2f")
+    println(f"[probe] fanout    min=${b.min}%.2f median=${b.sorted.apply(2)}%.2f")
     spark.stop()
   }
 }
