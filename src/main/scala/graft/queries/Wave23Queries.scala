@@ -36,8 +36,13 @@ object Wave23Queries {
     val docs = Tables.documents(s, d).select($"doc_id",
       when($"doc_id" % 11 === 0, concat(lit(Wave8Queries.tmpl16 + " "), $"text"))
         .otherwise($"text").as("text"))
-    val edges = Dedup.rareTilePairs(docs, "doc_id", "text", k = 8,
-      maxDf = 64, minShared = 2, tileKey = c => md5(c))
+    // round-15: staged — the edge list feeds BOTH the label propagation
+    // (which eagerly checkpoints its own projection of it) and the
+    // modularity join below; un-staged, the whole tile-pair derivation
+    // (tokenize + postings + df-cap + pair join) runs twice
+    val edges = graft.ops.Staged(
+      Dedup.rareTilePairs(docs, "doc_id", "text", k = 8,
+        maxDf = 64, minShared = 2, tileKey = c => md5(c)))
     val seeds = Tables.documents(s, d).where($"doc_id" % 7 === 0)
       .select($"doc_id".as("node"), $"lang".as("label"))
     val lab = Graph.labelPropagate(edges, "doc_a", "doc_b", seeds, iters = 3)

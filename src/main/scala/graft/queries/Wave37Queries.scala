@@ -166,7 +166,11 @@ object Wave37Queries {
     val lab = Sampling.splitAssign(
         Tables.documents(s, d).select($"doc_id"), "doc_id", splitDefs)
       .select($"doc_id", $"split")
-    val docs = Tables.documents(s, d).join(lab, "doc_id")
+    // round-15 guarded fan-out BEFORE the join: lab is broadcast, so an
+    // un-fanned documents side keeps the shingle explode and the gopher
+    // gate inside the single-row-group scan stage
+    val docs = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
+      .join(lab, "doc_id")
     val sh = docs.where($"split".isin("train", "test"))
       .select($"doc_id", $"split",
         explode(array_distinct(Text.shingles($"text", 8))).as("sh"))

@@ -87,7 +87,10 @@ object Wave4Queries {
   private val q133: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val glued = docs.as("a")
+    // round-15 guarded fan-out on the STREAM side of the self-join (the
+    // b side broadcasts, so the glued branch otherwise stays inside the
+    // single-row-group scan stage all the way through codeSwitch)
+    val glued = graft.ops.FanOut.perRowCompute(docs, "doc_id").as("a")
       .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .where(col("a.doc_id") % 4 === 0)
       .select(col("a.doc_id").as("doc_id"),

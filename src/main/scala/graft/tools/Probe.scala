@@ -77,21 +77,46 @@ object Probe {
         .orderBy($"degree")
     }
 
-    def oldQ(s: SparkSession, d: String) =
-      degHist(oldRareTilePairs(plantedDocs(s, d), 8, 64, 2, c => md5(c)))
-    def newQ(s: SparkSession, d: String) =
-      degHist(Dedup.rareTilePairs(plantedDocs(s, d), "doc_id", "text",
-        k = 8, maxDf = 64, minShared = 2, tileKey = c => md5(c)))
-
-    noop(oldQ(spark, dir)); noop(newQ(spark, dir))
+    // q203 A/B: staged edge list vs recomputed-per-consumer (old form,
+    // inlined — identical to the committed q203 minus the Staged call)
+    import graft.ops.Graph
+    def q203Of(stage: Boolean)(s: SparkSession, d: String): DataFrame = {
+      val docs = plantedDocs(s, d)
+      val e0 = Dedup.rareTilePairs(docs, "doc_id", "text", k = 8,
+        maxDf = 64, minShared = 2, tileKey = c => md5(c))
+      val edges = if (stage) graft.ops.Staged(e0) else e0
+      val seeds = Tables.documents(s, d).where($"doc_id" % 7 === 0)
+        .select($"doc_id".as("node"), $"lang".as("label"))
+      val lab = Graph.labelPropagate(edges, "doc_a", "doc_b", seeds, iters = 3)
+        .select($"node", coalesce($"label",
+          concat(lit("n"), $"node".cast("string"))).as("community"))
+      val e2 = edges.select($"doc_a", $"doc_b")
+        .join(lab.select($"node".as("doc_a"), $"community".as("ca")), Seq("doc_a"))
+        .join(lab.select($"node".as("doc_b"), $"community".as("cb")), Seq("doc_b"))
+      val tot = broadcast(e2.agg(count(lit(1)).cast("long").as("m2")))
+      val per = e2.groupBy($"ca".as("community"))
+        .agg(count(lit(1)).cast("long").as("degree_sum"),
+          sum(when($"ca" === $"cb", 1L).otherwise(0L)).cast("long")
+            .as("internal_edges"))
+      val nn = lab.groupBy($"community").agg(count(lit(1)).cast("long").as("n_nodes"))
+      per.join(nn, Seq("community")).crossJoin(tot)
+        .select($"community", $"n_nodes", $"internal_edges", $"degree_sum",
+          round($"internal_edges".cast("double") / $"m2".cast("double") -
+            ($"degree_sum".cast("double") / $"m2".cast("double")) *
+            ($"degree_sum".cast("double") / $"m2".cast("double")), 9)
+            .as("modularity_term"))
+        .orderBy($"community")
+    }
+    def clear(): Unit = { graft.ops.Staged.releaseAll(); spark.catalog.clearCache() }
+    noop(q203Of(false)(spark, dir)); clear(); noop(q203Of(true)(spark, dir)); clear()
     val a = collection.mutable.ArrayBuffer[Double]()
     val b = collection.mutable.ArrayBuffer[Double]()
     for (i <- 1 to 5) {
-      a += time(s"q164 no-fanout #$i")(noop(oldQ(spark, dir)))
-      b += time(s"q164 fanout    #$i")(noop(newQ(spark, dir)))
+      a += time(s"q203 unstaged #$i")(noop(q203Of(false)(spark, dir))); clear()
+      b += time(s"q203 staged   #$i")(noop(q203Of(true)(spark, dir))); clear()
     }
-    println(f"[probe] no-fanout min=${a.min}%.2f median=${a.sorted.apply(2)}%.2f")
-    println(f"[probe] fanout    min=${b.min}%.2f median=${b.sorted.apply(2)}%.2f")
+    println(f"[probe] unstaged min=${a.min}%.2f median=${a.sorted.apply(2)}%.2f")
+    println(f"[probe] staged   min=${b.min}%.2f median=${b.sorted.apply(2)}%.2f")
     spark.stop()
   }
 }
