@@ -13,18 +13,25 @@ import org.apache.spark.sql.functions._
   * Scale shape: each iteration is one equi-join of the rank frame
   * against the materialized out-degree-annotated edge list followed by
   * one destination-keyed aggregation — the standard two-shuffle
-  * Pregel-on-relations round. The edge list and each round's rank frame
-  * are EAGERLY materialized (`localCheckpoint`, the [[Bpe.train]]
-  * iterative-operator precedent): an iterative recurrence left lazy
-  * compounds its lineage, and by round 5 the optimizer re-walks a plan
-  * tree dozens of exchanges deep for frames of a few thousand rows —
-  * measured 6.2 s → 3.0 s at sf0.1 from truncation alone. Each round's
-  * plan is then two leaf-backed joins, so optimizer+codegen work stays
-  * CONSTANT per round at any depth. On a cluster the same call works
-  * unchanged (localCheckpoint blocks live on executors; a
-  * fault-tolerant long run would swap in reliable checkpointing — same
-  * shape, different sink). No collect, no driver loop over data — the
-  * driver loop is over ITERATIONS only.
+  * Pregel-on-relations round. The LOOP-INVARIANT frames (edge list,
+  * out-degree annotation, node set) are EAGERLY materialized
+  * (`localCheckpoint`, the [[Bpe.train]] iterative-operator precedent)
+  * so the expensive edge subtree runs exactly once and every round's
+  * plan bottoms out in leaves. The per-ROUND recurrence, by contrast,
+  * stays lazy up to the final round (round 16): the unrolled chain over
+  * those leaves is bounded (single-digit `iters` by contract — a deeper
+  * run should re-introduce periodic checkpoints), AQE's ReusedExchange
+  * de-duplicates the repeated leaf exchanges inside the one consuming
+  * job, and dropping the per-round materialization job helps (round-16
+  * A/B: q155 1.55 → 1.33 s median at sf0.1, identical ranks). History:
+  * round 9 measured 6.2 → 3.0 s from truncating an UNBOUNDED lazy
+  * recurrence whose leaves were not yet checkpointed — the cure was the
+  * leaf checkpoints, not the per-round ones. The FINAL frame still
+  * checkpoints eagerly so multi-consumer callers pay the loop once. On
+  * a cluster the same call works unchanged (localCheckpoint blocks live
+  * on executors; a fault-tolerant long run would swap in reliable
+  * checkpointing — same shape, different sink). No collect, no driver
+  * loop over data — the driver loop is over ITERATIONS only.
   *
   * Determinism (oracle parity): per-node edge contributions are rounded
   * to 12 dp, summed exactly as DECIMAL(28,12) (reduction-order-free),
@@ -63,17 +70,25 @@ object Graph {
     val nRow = nodes.agg(count(lit(1)).cast("long").as("__n"))
     val nodesN = nodes.crossJoin(broadcast(nRow)).localCheckpoint(true)
     var pr = nodesN.select($"node", (lit(1.0) / $"__n").as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inw = eo.join(pr.select($"node".as("src"), $"pr"), Seq("src"))
         .select($"dst", round($"pr" / $"outdeg", 12).as("w"))
         .groupBy($"dst")
         .agg(sum($"w".cast(D)).cast("double").as("inw"))
-      pr = nodesN
+      val next = nodesN
         .join(inw.select($"dst".as("node"), $"inw"), Seq("node"), "left")
         .select($"node",
           round(lit(1.0 - damping) / $"__n" +
             lit(damping) * coalesce($"inw", lit(0.0)), 12).as("pr"))
-        .localCheckpoint(true)
+      // Round-16: intermediate rounds stay LAZY — the unrolled round
+      // chain over the three checkpointed leaves is bounded (iters is
+      // single-digit by contract), AQE's ReusedExchange de-duplicates
+      // the per-round leaf exchanges inside the one consuming job, and
+      // dropping the per-round materialization job measured q155
+      // 1.55 -> 1.33 s median at sf0.1 (interleaved A/B, identical
+      // ranks). The FINAL frame still checkpoints eagerly so a
+      // multi-consumer caller (the q203 pattern) pays the loop once.
+      pr = if (i == iters) next.localCheckpoint(true) else next
     }
     pr.select($"node", round($"pr", 9).as("pr"))
   }
@@ -105,7 +120,7 @@ object Graph {
       .join(seeds.select(col("node"), col("label").as("__seed")),
         Seq("node"), "left")
       .select($"node", $"__seed".as("label")).localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val votes = e.join(
           lab.where($"label".isNotNull).select($"node".as("src"), $"label"),
           Seq("src"))
@@ -113,9 +128,11 @@ object Graph {
         .groupBy($"dst")
         .agg(min(struct((-$"cnt").as("neg"), $"label".as("l"))).as("top"))
         .select($"dst".as("node"), $"top.l".as("__new"))
-      lab = lab.join(votes, Seq("node"), "left")
+      val next = lab.join(votes, Seq("node"), "left")
         .select($"node", coalesce($"label", $"__new").as("label"))
-        .localCheckpoint(true)
+      // intermediate rounds lazy, final eager — see [[pageRank]]'s
+      // round-16 note (q203 consumes the result twice)
+      lab = if (i == iters) next.localCheckpoint(true) else next
     }
     lab
   }

@@ -432,17 +432,32 @@ object Similarity {
                    targetRecall: Double = 0.7, maxTables: Int = 64): DataFrame = {
     val n = corpusCount(candidates)
     val prm = bandedParams(n, estimatedNeighborP(candidates, k), targetRecall, maxTables)
-    val q = queries.select($"id".as("query_id"), $"emb".as("q_emb"),
-        $"norm".as("q_norm"),
-        posexplode(bandedBuckets($"emb", prm)).as(Seq("tbl", "bucket")))
-    val c = candidates.select($"id".as("neighbor_id"), $"emb".as("c_emb"),
-        $"norm".as("c_norm"),
-        posexplode(bandedBuckets($"emb", prm)).as(Seq("tbl", "bucket")))
-    rerank(
-      c.join(broadcast(q), Seq("tbl", "bucket"))
-        .where($"query_id" =!= $"neighbor_id")
-        .drop("tbl", "bucket")
-        .dropDuplicates("query_id", "neighbor_id"), k)
+    // Round-16 (guide §8: decide with small rows, move big rows once).
+    // The ×tables explode and the pair dedup used to CARRY both sides'
+    // embeddings: every corpus row was copied `tables` times with its
+    // k-long array, and each collision pushed ~2 embeddings through the
+    // dedup exchange, only for most copies to be discarded as duplicate
+    // pairs. The probe/dedup pipeline now runs on BARE IDS (the bucket
+    // ids and the pair set fully determine the result); embeddings
+    // re-attach to the DEDUPLICATED pairs — queries by their existing
+    // broadcast, candidates via a broadcast of the per-query-bounded
+    // pair set onto a second corpus scan (a columnar scan costs far less
+    // than an exploded payload shuffle). Pair set, cosines, and the
+    // re-rank tie-break are unchanged — bit-identical output.
+    val qk = queries.select($"id".as("query_id"),
+      posexplode(bandedBuckets($"emb", prm)).as(Seq("tbl", "bucket")))
+    val ck = candidates.select($"id".as("neighbor_id"),
+      posexplode(bandedBuckets($"emb", prm)).as(Seq("tbl", "bucket")))
+    val pairs = ck.join(broadcast(qk), Seq("tbl", "bucket"))
+      .where($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
+      .select($"id".as("neighbor_id"), $"emb".as("c_emb"), $"norm".as("c_norm"))
+      .join(broadcast(pairs), Seq("neighbor_id"))
+      .join(broadcast(queries.select($"id".as("query_id"), $"emb".as("q_emb"),
+        $"norm".as("q_norm"))), Seq("query_id"))
+    rerank(scored, k)
   }
 
   /** Corpus-scaled IVF parameters: nCells = the power of two nearest
@@ -894,18 +909,34 @@ object Similarity {
                          maxTables: Int = 64): DataFrame = {
     val n = corpusCount(df)
     val prm = bandedParams(n, agreementP(minCosine), targetRecall, maxTables)
-    val withBucket = df.select($"id", $"emb", $"norm",
+    // Round-16 (guide §8, same rewrite as [[knnLshBanded]]): candidate
+    // generation and pair dedup on BARE IDS — the old form shuffled the
+    // ×tables-exploded corpus with BOTH sides' embeddings through the
+    // (tbl, bucket) self-join and pushed two k-long arrays per collision
+    // into the dedup exchange (tables× the corpus payload, twice). The
+    // all-pairs side cannot broadcast (unlike the kNN probe set), so the
+    // embeddings re-attach to the DEDUPLICATED pair set by two id-keyed
+    // joins against the un-exploded corpus: the heavy bytes cross an
+    // exchange once per side instead of `tables` times per side. Dedup
+    // moved BEFORE the cosine: the score is a pure function of the pair,
+    // so score-then-dedup and dedup-then-score emit identical rows (and
+    // the latter computes each cosine once, not once per collision).
+    val ck = df.select($"id",
       posexplode(bandedBuckets($"emb", prm)).as(Seq("tbl", "bucket")))
-    val a = withBucket.select($"tbl", $"bucket", $"id".as("id_a"),
-      $"emb".as("emb_a"), $"norm".as("norm_a"))
-    val b = withBucket.select($"tbl", $"bucket", $"id".as("id_b"),
-      $"emb".as("emb_b"), $"norm".as("norm_b"))
-    a.join(b, Seq("tbl", "bucket"))
+    val pairs = ck.select($"tbl", $"bucket", $"id".as("id_a"))
+      .join(ck.select($"tbl", $"bucket", $"id".as("id_b")),
+        Seq("tbl", "bucket"))
       .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(df.select($"id".as("id_a"), $"emb".as("emb_a"),
+        $"norm".as("norm_a")), Seq("id_a"))
+      .join(df.select($"id".as("id_b"), $"emb".as("emb_b"),
+        $"norm".as("norm_b")), Seq("id_b"))
       .withColumn("cosine", cosine($"emb_a", $"emb_b", $"norm_a", $"norm_b"))
       .where($"cosine" >= minCosine)
       .select($"id_a", $"id_b", $"cosine")
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Bump when [[nearDupPairsBanded]]'s derivation semantics change —

@@ -77,8 +77,18 @@ object Windows {
     // the observed-minute marker (not the mean) drives is_gap: a minute
     // whose values are all NULL is still an OBSERVED minute, not a grid
     // gap — and its ffilled value legitimately carries the prior mean
-    val agg = df.groupBy(col(entity), date_trunc("minute", col(tsCol)).as("grid_ts"))
-      .agg(Exact.davg(col(valueCol)).as("__v"), lit(true).as("__obs"))
+    // Round-16: stage the minute-grain aggregate. Its two consumers —
+    // the grid subtree (bounds → explode) and the join's probe side —
+    // each planned their own scan+aggregate of the raw input, and
+    // exchange reuse cannot merge them: column pruning strips `__v`
+    // from the bounds branch, so the two exchanges are no longer
+    // identical subtrees (verified in the executed plan — two FileScans,
+    // zero ReusedExchange). The staged frame is minute-grain (bounded by
+    // span × entities, not row volume), so caching it costs far less
+    // than the second raw-input pass it removes.
+    val agg = Staged(df
+      .groupBy(col(entity), date_trunc("minute", col(tsCol)).as("grid_ts"))
+      .agg(Exact.davg(col(valueCol)).as("__v"), lit(true).as("__obs")))
     // bounds derive from the per-minute aggregate (date_trunc commutes
     // with min/max), not a second scan of the raw input
     val bounds = agg.groupBy(col(entity)).agg(

@@ -184,17 +184,25 @@ object Wave35Queries {
     * cardinality; names attach by broadcast. */
   private val q263: Q = (s, d) => {
     import s.implicits._
+    // Round-16: the two countDistincts over different columns planned as
+    // an Expand (x3 of every joined fact row) feeding the orderkey
+    // exchange. A per-(order, supplier) pre-aggregate computes the same
+    // three order-level facts -- distinct suppliers = count of pair rows,
+    // distinct LATE suppliers = sum of per-pair any-late flags, blame =
+    // min suppkey among late pairs -- with plain hash aggregates: the
+    // exchange carries each pair once instead of each line three times.
     Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey", $"l_shipdate")
       .join(Tables.orders(s, d).where($"o_orderstatus" === "F")
         .select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
-      .withColumn("lsupp", when(
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when(
         datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date")) > 60,
-        $"l_suppkey"))
+        1L).otherwise(0L)).as("__late"))
       .groupBy($"l_orderkey")
-      .agg(countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct($"lsupp").as("n_late"),
-        min($"lsupp").as("suppkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum($"__late").as("n_late"),
+        min(when($"__late" === 1L, $"l_suppkey")).as("suppkey"))
       .where($"n_supp" > 1 && $"n_late" === 1)
       .groupBy($"suppkey")
       .agg(count(lit(1)).cast("long").as("numwait"))

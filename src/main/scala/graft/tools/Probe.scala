@@ -3,15 +3,16 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Text}
+import graft.ops.{Dedup, Funnel, Graph, Staged, Text}
 
 /** Dev-only stage profiler for pipeline hot spots (not part of any
   * gate): times the building blocks of a query in isolation so a
   * regression can be attributed to a stage instead of guessed at.
   * Edit the body for the investigation at hand; keep the committed
-  * version pointed at the most recent frontier (currently round-15
-  * A/B: does the tileSegments fan-out pay on the rare-tile-pair graph
-  * family (q164's shape), or only on the heavy tile-dedup consumers). */
+  * version pointed at the most recent frontier (currently round-16:
+  * per-round materialization strategy of the iterative graph family —
+  * eager checkpoint per round vs broadcast-hinted rounds vs a fully
+  * lazy unrolled plan over checkpointed leaves). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -32,6 +33,7 @@ object Probe {
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def clear(): Unit = { Staged.releaseAll(); spark.catalog.clearCache() }
 
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.read.parquet(s"$dir/documents.parquet").count()
@@ -42,81 +44,110 @@ object Probe {
       Tables.documents(s, d).select($"doc_id",
         when($"doc_id" % 11 === 0, concat(lit(tmpl16 + " "), $"text"))
           .otherwise($"text").as("text"))
-
-    // pre-r15 rareTilePairs (no fan-out), inlined from public pieces
-    def oldRareTilePairs(df: DataFrame, k: Int, maxDf: Int, minShared: Int,
-                         tileKey: Column => Column): DataFrame = {
-      val seg = df.select($"doc_id".as("doc"), Text.tokens($"text").as("t"))
-        .where(size($"t") >= 1)
-        .select($"doc", $"t",
-          explode(sequence(lit(0), ceil(size($"t") / lit(k.toDouble)).cast("int") - 1))
-            .as("pos"))
-        .select($"doc", $"pos",
-          concat_ws(" ", slice($"t", $"pos" * k + 1, lit(k))).as("tile"))
-      val tiles = seg.select($"doc", tileKey($"tile").as("h")).distinct()
-      val rare = tiles.join(
-        tiles.groupBy($"h").agg(count(lit(1)).as("__df"))
-          .where($"__df" <= maxDf).select($"h"),
-        Seq("h"))
-      rare.select($"h", $"doc".as("doc_a"))
-        .join(rare.select($"h", $"doc".as("doc_b")), Seq("h"))
-        .where($"doc_a" =!= $"doc_b")
-        .groupBy($"doc_a", $"doc_b")
-        .agg(count(lit(1)).cast("long").as("n_shared"))
-        .where($"n_shared" >= minShared)
-    }
-
-    def degHist(edges: DataFrame): DataFrame = {
-      val hist = edges.groupBy($"doc_a")
-        .agg(count(lit(1)).cast("long").as("degree"))
-        .groupBy($"degree").agg(count(lit(1)).cast("long").as("n_nodes"))
-      hist.crossJoin(broadcast(
-          hist.agg(sum($"n_nodes").cast("long").as("__t"))))
-        .select($"degree", $"n_nodes",
-          round($"n_nodes" / $"__t", 9).as("node_frac"))
-        .orderBy($"degree")
-    }
-
-    // q203 A/B: staged edge list vs recomputed-per-consumer (old form,
-    // inlined — identical to the committed q203 minus the Staged call)
-    import graft.ops.Graph
-    def q203Of(stage: Boolean)(s: SparkSession, d: String): DataFrame = {
-      val docs = plantedDocs(s, d)
-      val e0 = Dedup.rareTilePairs(docs, "doc_id", "text", k = 8,
+    def edgesOf: DataFrame =
+      Dedup.rareTilePairs(plantedDocs(spark, dir), "doc_id", "text", k = 8,
         maxDf = 64, minShared = 2, tileKey = c => md5(c))
-      val edges = if (stage) graft.ops.Staged(e0) else e0
-      val seeds = Tables.documents(s, d).where($"doc_id" % 7 === 0)
-        .select($"doc_id".as("node"), $"lang".as("label"))
-      val lab = Graph.labelPropagate(edges, "doc_a", "doc_b", seeds, iters = 3)
-        .select($"node", coalesce($"label",
-          concat(lit("n"), $"node".cast("string"))).as("community"))
-      val e2 = edges.select($"doc_a", $"doc_b")
-        .join(lab.select($"node".as("doc_a"), $"community".as("ca")), Seq("doc_a"))
-        .join(lab.select($"node".as("doc_b"), $"community".as("cb")), Seq("doc_b"))
-      val tot = broadcast(e2.agg(count(lit(1)).cast("long").as("m2")))
-      val per = e2.groupBy($"ca".as("community"))
-        .agg(count(lit(1)).cast("long").as("degree_sum"),
-          sum(when($"ca" === $"cb", 1L).otherwise(0L)).cast("long")
-            .as("internal_edges"))
-      val nn = lab.groupBy($"community").agg(count(lit(1)).cast("long").as("n_nodes"))
-      per.join(nn, Seq("community")).crossJoin(tot)
-        .select($"community", $"n_nodes", $"internal_edges", $"degree_sum",
-          round($"internal_edges".cast("double") / $"m2".cast("double") -
-            ($"degree_sum".cast("double") / $"m2".cast("double")) *
-            ($"degree_sum".cast("double") / $"m2".cast("double")), 9)
-            .as("modularity_term"))
-        .orderBy($"community")
+
+    val D = "decimal(28,12)"
+
+    // bcast: per-round joins take broadcast hints; ckpt: materialize
+    // every `ckptEvery` rounds (0 = never, final frame stays lazy too).
+    def pageRankV(edges: DataFrame, iters: Int, damping: Double,
+                  bcast: Boolean, ckptEvery: Int): DataFrame = {
+      def h(df: DataFrame) = if (bcast) broadcast(df) else df
+      val e = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .localCheckpoint(true)
+      val eo = e.join(
+          e.groupBy($"src").agg(count(lit(1)).cast("long").as("outdeg")),
+          Seq("src"))
+        .localCheckpoint(true)
+      val nodes = e.select($"src".as("node"))
+        .union(e.select($"dst".as("node"))).distinct()
+      val nRow = nodes.agg(count(lit(1)).cast("long").as("__n"))
+      val nodesN = nodes.crossJoin(broadcast(nRow)).localCheckpoint(true)
+      var pr = nodesN.select($"node", (lit(1.0) / $"__n").as("pr"))
+      for (i <- 1 to iters) {
+        val inw = eo.join(h(pr.select($"node".as("src"), $"pr")), Seq("src"))
+          .select($"dst", round($"pr" / $"outdeg", 12).as("w"))
+          .groupBy($"dst")
+          .agg(sum($"w".cast(D)).cast("double").as("inw"))
+        val next = nodesN
+          .join(h(inw.select($"dst".as("node"), $"inw")), Seq("node"), "left")
+          .select($"node",
+            round(lit(1.0 - damping) / $"__n" +
+              lit(damping) * coalesce($"inw", lit(0.0)), 12).as("pr"))
+        pr = if (ckptEvery > 0 && i % ckptEvery == 0 && i < iters)
+               next.localCheckpoint(true)
+             else next
+      }
+      pr.select($"node", round($"pr", 9).as("pr"))
     }
-    def clear(): Unit = { graft.ops.Staged.releaseAll(); spark.catalog.clearCache() }
-    noop(q203Of(false)(spark, dir)); clear(); noop(q203Of(true)(spark, dir)); clear()
-    val a = collection.mutable.ArrayBuffer[Double]()
-    val b = collection.mutable.ArrayBuffer[Double]()
+
+    def q155Of(v: Int): DataFrame = {
+      val pr = v match {
+        case 0 => Graph.pageRank(edgesOf, "doc_a", "doc_b", 5, 0.85)
+        case 1 => pageRankV(edgesOf, 5, 0.85, bcast = true, ckptEvery = 0)
+        case 2 => pageRankV(edgesOf, 5, 0.85, bcast = false, ckptEvery = 0)
+        case _ => pageRankV(edgesOf, 5, 0.85, bcast = true, ckptEvery = 2)
+      }
+      pr.orderBy($"pr".desc, $"node").limit(50)
+        .select($"node".as("doc_id"), $"pr")
+    }
+
+    // ---- q186 markov variants: tiny frames, 8 rounds -------------------
+    def q186Of(v: Int): DataFrame = {
+      val p0 = Funnel.eventTransitions(Tables.events(spark, dir), "user_id",
+          "ts", "event_id", "event_type")
+        .select($"from_type", $"to_type", $"prob")
+        .localCheckpoint(true)
+      val st = p0.select($"from_type".as("state"))
+        .union(p0.select($"to_type".as("state"))).distinct()
+      val stN = st.crossJoin(broadcast(
+        st.agg(count(lit(1)).cast("long").as("__n")))).localCheckpoint(true)
+      var pi = stN.select($"state", (lit(1.0) / $"__n").as("pi"))
+      def h(df: DataFrame) = if (v >= 1) broadcast(df) else df
+      for (i <- 1 to 8) {
+        val sw = p0.join(h(pi.select($"state".as("from_type"), $"pi")),
+            Seq("from_type"))
+          .select($"to_type", round($"pi" * $"prob", 12).as("__w"))
+          .groupBy($"to_type")
+          .agg(sum($"__w".cast(D)).cast("double").as("__sw"))
+        val next = stN.join(h(sw.select($"to_type".as("state"), $"__sw")),
+            Seq("state"), "left")
+          .select($"state", round(coalesce($"__sw", lit(0.0)), 12).as("pi"))
+        pi = v match {
+          case 0 => next.localCheckpoint(true)          // committed shape
+          case 1 => if (i % 4 == 0 && i < 8) next.localCheckpoint(true) else next
+          case _ => next                                 // fully lazy rounds
+        }
+      }
+      pi.select($"state", round($"pi", 9).as("pi")).orderBy($"state")
+    }
+
+    // value identity
+    val base155 = q155Of(0).collect().map(_.toString).sorted; clear()
+    for (v <- 1 to 3) {
+      val rows = q155Of(v).collect().map(_.toString).sorted; clear()
+      println(s"[probe] q155 v$v identity: ${base155.sameElements(rows)}")
+    }
+    val base186 = q186Of(0).collect().map(_.toString).sorted; clear()
+    for (v <- 1 to 2) {
+      val rows = q186Of(v).collect().map(_.toString).sorted; clear()
+      println(s"[probe] q186 v$v identity: ${base186.sameElements(rows)}")
+    }
+
+    val t = Array.fill(4)(collection.mutable.ArrayBuffer[Double]())
+    val m = Array.fill(3)(collection.mutable.ArrayBuffer[Double]())
+    for (v <- 0 to 3) { noop(q155Of(v)); clear() }
+    for (v <- 0 to 2) { noop(q186Of(v)); clear() }
     for (i <- 1 to 5) {
-      a += time(s"q203 unstaged #$i")(noop(q203Of(false)(spark, dir))); clear()
-      b += time(s"q203 staged   #$i")(noop(q203Of(true)(spark, dir))); clear()
+      for (v <- 0 to 3) { t(v) += time(s"q155 v$v #$i")(noop(q155Of(v))); clear() }
+      for (v <- 0 to 2) { m(v) += time(s"q186 v$v #$i")(noop(q186Of(v))); clear() }
     }
-    println(f"[probe] unstaged min=${a.min}%.2f median=${a.sorted.apply(2)}%.2f")
-    println(f"[probe] staged   min=${b.min}%.2f median=${b.sorted.apply(2)}%.2f")
+    for (v <- 0 to 3)
+      println(f"[probe] q155 v$v min=${t(v).min}%.2f median=${t(v).sorted.apply(2)}%.2f")
+    for (v <- 0 to 2)
+      println(f"[probe] q186 v$v min=${m(v).min}%.2f median=${m(v).sorted.apply(2)}%.2f")
     spark.stop()
   }
 }
