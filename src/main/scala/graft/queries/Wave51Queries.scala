@@ -162,8 +162,12 @@ object Wave51Queries {
       .where(year($"o_orderdate") === 1995)
       .select($"o_custkey".as("key")).distinct()
       .transform(graft.ops.Staged(_))
+    // round-16: staged — the probe set feeds BOTH the false-positive
+    // count and the n_probes denominator; unstaged, the customer scan
+    // and the anti join against the member set ran twice
     val probes = Tables.customer(s, d).select($"c_custkey".as("key"))
       .join(members, Seq("key"), "left_anti")
+      .transform(graft.ops.Staged(_))
     def positions(df: DataFrame): DataFrame = {
       val hashes = Seq((1103515245L, 12345L), (2654435761L, 40503L),
         (2246822519L, 3266489917L))

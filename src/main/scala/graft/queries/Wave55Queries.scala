@@ -43,7 +43,11 @@ object Wave55Queries {
     * explicit 7-column pivot. */
   private val q348: Q = (s, d) => {
     import s.implicits._
-    val cell = Tables.orders(s, d)
+    // round-16: guarded fan-out ahead of the partial aggregate — the
+    // per-row work (date_format month key + dayofweek + money rounding)
+    // otherwise runs on the fixture's single-row-group scan pinned to
+    // one core (same disease/cure as q345/q292, round 15)
+    val cell = graft.ops.FanOut.perRowCompute(Tables.orders(s, d), "o_orderkey")
       .groupBy(date_format($"o_orderdate", "yyyy-MM").as("m"),
         (dayofweek($"o_orderdate") - 1).as("dow"))
       .agg((sum(round($"o_totalprice" * 100, 0).cast("long")) /

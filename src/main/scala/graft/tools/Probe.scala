@@ -3,16 +3,15 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Funnel, Graph, Staged, Text}
+import graft.ops.{Dedup, Similarity, Staged, Text}
 
 /** Dev-only stage profiler for pipeline hot spots (not part of any
   * gate): times the building blocks of a query in isolation so a
   * regression can be attributed to a stage instead of guessed at.
   * Edit the body for the investigation at hand; keep the committed
   * version pointed at the most recent frontier (currently round-16:
-  * per-round materialization strategy of the iterative graph family —
-  * eager checkpoint per round vs broadcast-hinted rounds vs a fully
-  * lazy unrolled plan over checkpointed leaves). */
+  * q152's arm decomposition + staging the prepared embedding frame
+  * that four of its subtrees re-derive). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -38,116 +37,58 @@ object Probe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.read.parquet(s"$dir/documents.parquet").count()
 
-    val tmpl16 = "template header boilerplate nav sidebar footer " +
-      "promo banner subscribe follow share like comment related trending latest"
-    def plantedDocs(s: SparkSession, d: String): DataFrame =
-      Tables.documents(s, d).select($"doc_id",
-        when($"doc_id" % 11 === 0, concat(lit(tmpl16 + " "), $"text"))
-          .otherwise($"text").as("text"))
-    def edgesOf: DataFrame =
-      Dedup.rareTilePairs(plantedDocs(spark, dir), "doc_id", "text", k = 8,
-        maxDf = 64, minShared = 2, tileKey = c => md5(c))
-
-    val D = "decimal(28,12)"
-
-    // bcast: per-round joins take broadcast hints; ckpt: materialize
-    // every `ckptEvery` rounds (0 = never, final frame stays lazy too).
-    def pageRankV(edges: DataFrame, iters: Int, damping: Double,
-                  bcast: Boolean, ckptEvery: Int): DataFrame = {
-      def h(df: DataFrame) = if (bcast) broadcast(df) else df
-      val e = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .localCheckpoint(true)
-      val eo = e.join(
-          e.groupBy($"src").agg(count(lit(1)).cast("long").as("outdeg")),
-          Seq("src"))
-        .localCheckpoint(true)
-      val nodes = e.select($"src".as("node"))
-        .union(e.select($"dst".as("node"))).distinct()
-      val nRow = nodes.agg(count(lit(1)).cast("long").as("__n"))
-      val nodesN = nodes.crossJoin(broadcast(nRow)).localCheckpoint(true)
-      var pr = nodesN.select($"node", (lit(1.0) / $"__n").as("pr"))
-      for (i <- 1 to iters) {
-        val inw = eo.join(h(pr.select($"node".as("src"), $"pr")), Seq("src"))
-          .select($"dst", round($"pr" / $"outdeg", 12).as("w"))
-          .groupBy($"dst")
-          .agg(sum($"w".cast(D)).cast("double").as("inw"))
-        val next = nodesN
-          .join(h(inw.select($"dst".as("node"), $"inw")), Seq("node"), "left")
-          .select($"node",
-            round(lit(1.0 - damping) / $"__n" +
-              lit(damping) * coalesce($"inw", lit(0.0)), 12).as("pr"))
-        pr = if (ckptEvery > 0 && i % ckptEvery == 0 && i < iters)
-               next.localCheckpoint(true)
-             else next
-      }
-      pr.select($"node", round($"pr", 9).as("pr"))
+    def q152Of(stageE: Boolean): DataFrame = {
+      val e0 = Similarity.prepared(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      val e = if (stageE) Staged(e0) else e0
+      val qs = e.where($"id" < 50)
+      val bf = Similarity.knnBruteForce(qs, e, k = 5)
+        .select($"query_id", $"neighbor_id")
+      val cand =
+        Similarity.knnLsh(qs, e, k = 5, h = 8)
+          .select(lit("single").as("probe_mode"), $"query_id", $"neighbor_id")
+          .unionByName(
+            Similarity.knnLshBanded(qs, e, k = 5, targetRecall = 0.7)
+              .select(lit("multi").as("probe_mode"), $"query_id", $"neighbor_id"))
+      val hits = cand.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"probe_mode", $"query_id").agg(count(lit(1)).as("n_hit"))
+      qs.select($"id".as("query_id"),
+          explode(array(lit("single"), lit("multi"))).as("probe_mode"))
+        .join(hits, Seq("probe_mode", "query_id"), "left")
+        .groupBy($"probe_mode")
+        .agg(round(sum(round(coalesce($"n_hit", lit(0L)) / 5.0, 9)
+            .cast("decimal(28,12)")).cast("double") / count(lit(1)), 9)
+          .as("mean_recall_at_5"))
+        .orderBy($"probe_mode")
     }
 
-    def q155Of(v: Int): DataFrame = {
-      val pr = v match {
-        case 0 => Graph.pageRank(edgesOf, "doc_a", "doc_b", 5, 0.85)
-        case 1 => pageRankV(edgesOf, 5, 0.85, bcast = true, ckptEvery = 0)
-        case 2 => pageRankV(edgesOf, 5, 0.85, bcast = false, ckptEvery = 0)
-        case _ => pageRankV(edgesOf, 5, 0.85, bcast = true, ckptEvery = 2)
-      }
-      pr.orderBy($"pr".desc, $"node").limit(50)
-        .select($"node".as("doc_id"), $"pr")
-    }
+    // value identity for the staged variant
+    val base = q152Of(false).collect().map(_.toString).sorted; clear()
+    val got = q152Of(true).collect().map(_.toString).sorted; clear()
+    println(s"[probe] q152 stagedE identity: ${base.sameElements(got)}")
 
-    // ---- q186 markov variants: tiny frames, 8 rounds -------------------
-    def q186Of(v: Int): DataFrame = {
-      val p0 = Funnel.eventTransitions(Tables.events(spark, dir), "user_id",
-          "ts", "event_id", "event_type")
-        .select($"from_type", $"to_type", $"prob")
-        .localCheckpoint(true)
-      val st = p0.select($"from_type".as("state"))
-        .union(p0.select($"to_type".as("state"))).distinct()
-      val stN = st.crossJoin(broadcast(
-        st.agg(count(lit(1)).cast("long").as("__n")))).localCheckpoint(true)
-      var pi = stN.select($"state", (lit(1.0) / $"__n").as("pi"))
-      def h(df: DataFrame) = if (v >= 1) broadcast(df) else df
-      for (i <- 1 to 8) {
-        val sw = p0.join(h(pi.select($"state".as("from_type"), $"pi")),
-            Seq("from_type"))
-          .select($"to_type", round($"pi" * $"prob", 12).as("__w"))
-          .groupBy($"to_type")
-          .agg(sum($"__w".cast(D)).cast("double").as("__sw"))
-        val next = stN.join(h(sw.select($"to_type".as("state"), $"__sw")),
-            Seq("state"), "left")
-          .select($"state", round(coalesce($"__sw", lit(0.0)), 12).as("pi"))
-        pi = v match {
-          case 0 => next.localCheckpoint(true)          // committed shape
-          case 1 => if (i % 4 == 0 && i < 8) next.localCheckpoint(true) else next
-          case _ => next                                 // fully lazy rounds
-        }
-      }
-      pi.select($"state", round($"pi", 9).as("pi")).orderBy($"state")
+    // component decomposition (unstaged)
+    def comps(): Unit = {
+      val e = Similarity.prepared(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      val qs = e.where($"id" < 50)
+      time("  bf truth")(noop(Similarity.knnBruteForce(qs, e, 5))); clear()
+      val e2 = Similarity.prepared(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      val qs2 = e2.where($"id" < 50)
+      time("  single arm")(noop(Similarity.knnLsh(qs2, e2, 5, 8))); clear()
+      val e3 = Similarity.prepared(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      val qs3 = e3.where($"id" < 50)
+      time("  banded arm")(noop(Similarity.knnLshBanded(qs3, e3, 5, 0.7))); clear()
     }
+    comps(); comps()
 
-    // value identity
-    val base155 = q155Of(0).collect().map(_.toString).sorted; clear()
-    for (v <- 1 to 3) {
-      val rows = q155Of(v).collect().map(_.toString).sorted; clear()
-      println(s"[probe] q155 v$v identity: ${base155.sameElements(rows)}")
-    }
-    val base186 = q186Of(0).collect().map(_.toString).sorted; clear()
-    for (v <- 1 to 2) {
-      val rows = q186Of(v).collect().map(_.toString).sorted; clear()
-      println(s"[probe] q186 v$v identity: ${base186.sameElements(rows)}")
-    }
-
-    val t = Array.fill(4)(collection.mutable.ArrayBuffer[Double]())
-    val m = Array.fill(3)(collection.mutable.ArrayBuffer[Double]())
-    for (v <- 0 to 3) { noop(q155Of(v)); clear() }
-    for (v <- 0 to 2) { noop(q186Of(v)); clear() }
+    val a = collection.mutable.ArrayBuffer[Double]()
+    val b = collection.mutable.ArrayBuffer[Double]()
+    noop(q152Of(false)); clear(); noop(q152Of(true)); clear()
     for (i <- 1 to 5) {
-      for (v <- 0 to 3) { t(v) += time(s"q155 v$v #$i")(noop(q155Of(v))); clear() }
-      for (v <- 0 to 2) { m(v) += time(s"q186 v$v #$i")(noop(q186Of(v))); clear() }
+      a += time(s"q152 plain  #$i")(noop(q152Of(false))); clear()
+      b += time(s"q152 stagedE#$i")(noop(q152Of(true))); clear()
     }
-    for (v <- 0 to 3)
-      println(f"[probe] q155 v$v min=${t(v).min}%.2f median=${t(v).sorted.apply(2)}%.2f")
-    for (v <- 0 to 2)
-      println(f"[probe] q186 v$v min=${m(v).min}%.2f median=${m(v).sorted.apply(2)}%.2f")
+    println(f"[probe] q152 plain   min=${a.min}%.2f median=${a.sorted.apply(2)}%.2f")
+    println(f"[probe] q152 stagedE min=${b.min}%.2f median=${b.sorted.apply(2)}%.2f")
     spark.stop()
   }
 }
