@@ -31,8 +31,13 @@ object Curate {
     * IP pattern could claim), then phones, then IPs — so the counts are
     * of the ORIGINAL text and the masks never cascade. */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    // round-16: per-row-compute fan-out (three regex counts + three
+    // regex rewrites per row — q94 measured 4.2 s vs its 0.85 s r14
+    // fanned record at sf1). No id column in this signature; the text
+    // itself is a fine distribution key for a round placement.
     val t = col(textCol)
-    df.withColumn("n_email", regexp_count(t, lit(EmailRe)))
+    FanOut.perRowCompute(df, t)
+      .withColumn("n_email", regexp_count(t, lit(EmailRe)))
       .withColumn("n_phone", regexp_count(t, lit(PhoneRe)))
       .withColumn("n_ip", regexp_count(t, lit(Ipv4Re)))
       .withColumn("clean_text",
@@ -126,6 +131,11 @@ object Curate {
                  minStopFrac: Double = 0.02,
                  maxTopWordFrac: Double = 0.2,
                  carry: Seq[Column] = Nil): DataFrame = {
+    // round-16: per-row-compute fan-out. The gate tokenizes + runs three
+    // token-array passes per row; without the opt-in this lost the r14
+    // table-level fan-out and measured 1.6-2.2x slower at sf1 (q96/q266/
+    // q269/q299 in bench_r16_sf1_final vs bench_r14_sf1_final).
+    val df2 = FanOut.perRowCompute(df, idCol)
     val words: Column = Text.tokens(col(textCol))
     val nWords = size(words)
     val meanWlen = round(
@@ -140,7 +150,7 @@ object Curate {
     // `carry` columns (e.g. a score over the same text) evaluate in the
     // SAME projection, so a consumer needing gate label + its own signal
     // pays one corpus scan and no re-join (q299's shape)
-    df.select((Seq(col(idCol), nWords.cast("long").as("n_words"), meanWlen.as("mean_wlen"),
+    df2.select((Seq(col(idCol), nWords.cast("long").as("n_words"), meanWlen.as("mean_wlen"),
         stopFrac.as("stop_frac"), topFrac.as("top_word_frac"),
         (wordsOk && wlenOk && stopOk && topOk).as("passes"),
         concat_ws(",",

@@ -175,7 +175,10 @@ object Text {
     require(chunkSize >= 1 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize (got chunkSize=$chunkSize, overlap=$overlap)")
     val step = chunkSize - overlap
-    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // round-16 fan-out: tokenize + per-chunk slice/concat per row
+    // (q51 1.66x slower at sf1 without it)
+    val withToks = FanOut.perRowCompute(df, idCol)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
     val nChunks = greatest(lit(1),
       expr(s"(size(__toks) - $overlap + $step - 1) div $step"))
     val chunks = transform(sequence(lit(0), nChunks - 1),
@@ -284,7 +287,10 @@ object Text {
     * either engine's reduction order. */
   def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // round-16 fan-out ahead of the tokenize+explode (single-row-group
+    // scans otherwise run the whole posting emission on one core)
+    val fanned = FanOut.perRowCompute(df, idCol)
+    val toks = fanned.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val freq = toks.groupBy($"tok").agg(count(lit(1)).as("n_t"))
     val total = freq.agg(sum($"n_t").as("__n_total"))
     toks.join(freq, "tok")
@@ -319,8 +325,11 @@ object Text {
                     textCol: String, lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1): $lambda")
     val d189 = org.apache.spark.sql.types.DecimalType(18, 9)
-    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val prevCur = df.select(col(idCol),
+    // round-16 fan-out: two tokenize+explode passes per row feed the
+    // posting counts — the heaviest of the un-opted-in text paths
+    val fanned = FanOut.perRowCompute(df, idCol)
+    val toks = fanned.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val prevCur = fanned.select(col(idCol),
         posexplode(shingles(col(textCol), 2)).as(Seq("bpos", "bg")))
       .select(col(idCol), ($"bpos" + 1).as("pos"), $"bg",
         substring_index($"bg", " ", 1).as("prev"))
@@ -569,14 +578,16 @@ object Text {
     * PMI is decimal-rounded at 9 dp ([[tokenDrift]]'s discipline). */
   def pmiCollocations(df: org.apache.spark.sql.DataFrame, textCol: String,
                       minCount: Long, topK: Int): org.apache.spark.sql.DataFrame = {
-    val uni = df.select(explode(tokens(col(textCol))).as("tok"))
+    // round-16 fan-out (key = the text itself: no id in this signature)
+    val fanned = FanOut.perRowCompute(df, col(textCol))
+    val uni = fanned.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("n_u"))
-    val pairCounts = df.select(explode(shingles(col(textCol), 2)).as("bg"))
+    val pairCounts = fanned.select(explode(shingles(col(textCol), 2)).as("bg"))
       .groupBy($"bg").agg(count(lit(1)).as("n_pair"))
     // the pair total is over ALL pairs — the floor prunes which pairs are
     // REPORTED, not the probability space they are scored in. Computed
     // map-side from shingle-array sizes: no second explode+agg pass.
-    val nPairTotal = df.agg(
+    val nPairTotal = fanned.agg(
       sum(size(shingles(col(textCol), 2))).cast("double").as("__n_pair"))
     val pairs = pairCounts
       .where($"n_pair" >= minCount)

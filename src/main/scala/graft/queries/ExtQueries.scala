@@ -24,7 +24,10 @@ object ExtQueries {
   /** Token counting: total / distinct tokens, char count. */
   private val q21: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d).select(
+    // round-16: guarded fan-out — two tokenize passes per row were
+    // pinned to the single-row-group scan (1.57x slower at sf1)
+    graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
+      .select(
         $"doc_id",
         Text.tokenCount($"text").as("token_count"),
         Text.distinctTokenCount($"text").as("distinct_tokens"),
@@ -38,7 +41,9 @@ object ExtQueries {
     val wc = Text.tokenCount($"text")
     val awl = Text.sumTokenLen($"text") / wc
     val stopRatio = Text.stopwordCount($"text") / wc
-    Tables.documents(s, d).select(
+    // round-16: guarded fan-out (four token-array passes per row)
+    graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
+      .select(
         $"doc_id",
         wc.as("word_count"),
         awl.as("avg_word_len"),
@@ -52,7 +57,10 @@ object ExtQueries {
     import s.implicits._
     val scores = Text.langScores($"text")
     val scoreCols = scores.map { case (lang, c) => c.as(s"s_$lang") }
-    Tables.documents(s, d).select(
+    // round-16: guarded fan-out (5 marker-filter passes + argmax per
+    // row; 4.2x slower at sf1 without it)
+    graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
+      .select(
         Seq($"doc_id", $"lang") ++ scoreCols :+
           Text.langPredict(scores).as("predicted_lang"): _*)
       .withColumn("matches_label", $"predicted_lang" === $"lang")

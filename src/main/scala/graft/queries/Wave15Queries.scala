@@ -60,7 +60,7 @@ object Wave15Queries {
     * (q61's entropy discipline — reduction-order-free). */
   private val q182: Q = (s, d) => {
     import s.implicits._
-    val pc = Tables.documents(s, d)
+    val pc = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select($"lang", explode(Text.shingles($"text", 2)).as("bg"))
       .select($"lang", substring_index($"bg", " ", 1).as("prev"), $"bg")
       .groupBy($"lang", $"prev", $"bg")

@@ -58,8 +58,10 @@ object Wave22Queries {
     val wc = Text.tokenCount($"text")
     val awl = Text.sumTokenLen($"text") / wc
     val stopRatio = Text.stopwordCount($"text") / wc
-    val scored = Tables.documents(s, d).select($"doc_id", $"source",
-      Text.qualityScore(wc, stopRatio, awl).as("q"))
+    // round-16: guarded fan-out (quality heuristic = 4 token passes/row)
+    val scored = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
+      .select($"doc_id", $"source",
+        Text.qualityScore(wc, stopRatio, awl).as("q"))
     val cl = Stores.docClusters(s, d)
     val reps = cl.groupBy($"component_id").agg(min($"doc_id").as("rep_id"))
     val dropped = cl.join(reps, Seq("component_id"))
@@ -91,7 +93,9 @@ object Wave22Queries {
   private val q202: Q = (s, d) => {
     import s.implicits._
     val scores = Text.langScores($"text")
-    val m = Tables.documents(s, d)
+    // round-16: guarded fan-out ahead of the marker scoring (3.2x
+    // slower at sf1 on the single-row-group scan)
+    val m = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select($"lang", Text.langPredict(scores).as("predicted_lang"))
       .groupBy($"lang", $"predicted_lang")
       .agg(count(lit(1)).cast("long").as("n_docs"))

@@ -27,7 +27,10 @@ object Wave34Queries {
     * (inner, outer, containment); sizes are one map-side projection. */
   private val q253: Q = (s, d) => {
     import s.implicits._
-    val sizes = Tables.documents(s, d)
+    // round-16: fan out BEFORE staging (a persisted frame inherits its
+    // partitioning — the q346 lesson) — the shingle+distinct per row ran
+    // single-core at sf1 (2.5x)
+    val sizes = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select($"doc_id", size(array_distinct(Text.shingles($"text", 3)))
         .cast("long").as("n_sh"))
       .transform(graft.ops.Staged(_))

@@ -271,7 +271,9 @@ object Wave3Queries {
     * (zlib bytes are not DuckDB-expressible). */
   private val q125: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
+    // round-16: guarded fan-out — deflate per row is the heaviest
+    // per-row op on the surface (1.7x slower at sf1 un-fanned)
+    graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select($"doc_id", $"n_chars",
         round(call_function("deflate_ratio", $"text"), 6)
           .as("compress_ratio"))

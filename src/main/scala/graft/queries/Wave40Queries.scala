@@ -34,7 +34,7 @@ object Wave40Queries {
     import s.implicits._
     val w = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    Tables.documents(s, d)
+    graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select($"doc_id", explode(array_distinct(Text.shingles($"text", 3)))
         .as("sh"))
       .groupBy($"sh").agg(count(lit(1)).as("df"))

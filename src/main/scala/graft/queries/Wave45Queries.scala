@@ -122,7 +122,7 @@ object Wave45Queries {
     * with a total tie-break. */
   private val q307: Q = (s, d) => {
     import s.implicits._
-    val pc = Tables.documents(s, d)
+    val pc = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select(explode(Text.shingles($"text", 2)).as("bg"))
       .select(substring_index($"bg", " ", 1).as("w1"),
         substring_index($"bg", " ", -1).as("w2"))

@@ -45,7 +45,7 @@ object Wave54Queries {
     * divisions per row. */
   private val q343: Q = (s, d) => {
     import s.implicits._
-    val counts = Tables.documents(s, d)
+    val counts = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select(explode(graft.ops.Text.shingles($"text", 3)).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).cast("long").as("c"))
       .transform(graft.ops.Staged(_))

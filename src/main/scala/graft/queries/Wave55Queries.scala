@@ -43,11 +43,12 @@ object Wave55Queries {
     * explicit 7-column pivot. */
   private val q348: Q = (s, d) => {
     import s.implicits._
-    // round-16: guarded fan-out ahead of the partial aggregate — the
-    // per-row work (date_format month key + dayofweek + money rounding)
-    // otherwise runs on the fixture's single-row-group scan pinned to
-    // one core (same disease/cure as q345/q292, round 15)
-    val cell = graft.ops.FanOut.perRowCompute(Tables.orders(s, d), "o_orderkey")
+    // round-16: a guarded fan-out ahead of this aggregate was tried and
+    // REVERTED — bench 1.27 -> 1.71 s. The per-row work (date_format +
+    // dayofweek + rounding) is cheap column arithmetic, so scan +
+    // partial-agg beats scan + full-row exchange: the PERF.md fact-table
+    // calibration (q02/q303) holds here too.
+    val cell = Tables.orders(s, d)
       .groupBy(date_format($"o_orderdate", "yyyy-MM").as("m"),
         (dayofweek($"o_orderdate") - 1).as("dow"))
       .agg((sum(round($"o_totalprice" * 100, 0).cast("long")) /

@@ -142,7 +142,7 @@ object Wave57Queries {
     val wc = Text.tokenCount($"text")
     val awl = Text.sumTokenLen($"text") / wc
     val stopRatio = Text.stopwordCount($"text") / wc
-    val cells = Tables.documents(s, d)
+    val cells = graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select(floor(Text.qualityScore(wc, stopRatio, awl) * 10)
           .cast("long").as("qb"),
         (wc.cast("long") / 16L).cast("long").as("lb"))

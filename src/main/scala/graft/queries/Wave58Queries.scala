@@ -76,7 +76,7 @@ object Wave58Queries {
     }
     val nLangsHit = perLang.map(h => when(h >= 2, 1).otherwise(0))
       .reduce(_ + _)
-    Tables.documents(s, d)
+    graft.ops.FanOut.perRowCompute(Tables.documents(s, d), "doc_id")
       .select($"lang", (nLangsHit >= 2).as("mixed"))
       .groupBy($"lang")
       .agg(count(lit(1)).cast("long").as("n_docs"),

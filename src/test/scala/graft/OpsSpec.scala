@@ -861,6 +861,22 @@ class OpsSpec extends SparkSuite {
     assert(dup == 0)
   }
 
+  test("knnLshBanded: ids-only probe/attach shape is partitioning-invariant (round-16 rewrite)") {
+    // the §8 rewrite decides pairs on bare ids and re-attaches the
+    // embeddings on a second scan: the result must not depend on how
+    // either side happens to be partitioned
+    val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val qs = e.where(col("id") < 10)
+    def rows(q: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Similarity.knnLshBanded(q, c, k = 5, targetRecall = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    val base = rows(qs, e)
+    val shuffled = rows(qs.repartition(7), e.repartition(13))
+    assert(base == shuffled, "banded kNN must be partitioning-invariant")
+    assert(base.nonEmpty)
+  }
+
   test("nearDupPairsBanded: precision exact; recall >= 0.5 vs brute-force truth") {
     val e = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
     val pairs = Similarity.nearDupPairsBanded(e, minCosine = 0.4, targetRecall = 0.7)
