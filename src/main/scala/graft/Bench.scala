@@ -92,7 +92,10 @@ object Bench {
     * construction), and scan "name":number pairs. Exposed for
     * BenchSpec. */
   private[graft] def parseSteadySection(json: String, key: String): Map[String, Double] = {
-    val at = json.indexOf("\"" + key + "\":{")
+    // whitespace-tolerant: the fold tool pretty-prints (`"sf0.1": {`),
+    // older records were compact (`"sf0.1":{`) — accept both
+    val at = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\{").r
+      .findFirstMatchIn(json).map(_.start).getOrElse(-1)
     if (at < 0) Map.empty
     else {
       val open = json.indexOf('{', at)

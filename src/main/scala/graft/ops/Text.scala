@@ -217,7 +217,10 @@ object Text {
   def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // round-16 fan-out: tokenize + per-row entropy (q61 1.64x slower at
+    // sf1 without it — the last un-opted-in per-row-compute entry)
+    FanOut.perRowCompute(df, idCol)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         size($"__toks").as("n_tokens"),
         round(call_function("token_entropy", $"__toks"), 6).as("token_entropy"))

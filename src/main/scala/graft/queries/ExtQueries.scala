@@ -601,6 +601,11 @@ object ExtQueries {
     * guarantee-tested in OpsSpec with a tiny capacity. */
   private val q66: Q = (s, d) => {
     import s.implicits._
+    // round-16: deliberately NOT fanned out — topk_freq is a Misra-Gries
+    // sketch whose counts are partition-order-dependent once eviction
+    // fires; re-partitioning the scan could change the declared output
+    // at larger SFs. The un-fanned single-split scan is also the
+    // sketch's deterministic regime.
     Tables.documents(s, d)
       .select($"lang", explode(Text.tokens($"text")).as("token"))
       .groupBy($"lang")
